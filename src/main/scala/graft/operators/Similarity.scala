@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`array<float>`). Extension tier — the reference has no vector ops
+ * (SURVEY.md §2.14).
+ *
+ * Two paths:
+ *  - `bruteForceTopK`: exact cosine top-k, queries × corpus. The correctness
+ *    baseline. Cost Q·N — right answer when Q is small (broadcast the
+ *    queries) or N is modest.
+ *  - `lshTopK`: IVF-style bucketed search — corpus and queries are hashed
+ *    into random-hyperplane buckets; each query only scores its bucket's
+ *    candidates (multi-probe over bands recovers recall). The 100 TB path:
+ *    the corpus shuffle key is a small int, candidate lists shrink by the
+ *    bucket fan-out, and no Q·N product is ever materialized.
+ */
+object Similarity {
+
+  /**
+   * Exact top-k neighbors by cosine for each query vector. `queries` and
+   * `corpus` both have (id, embedding). Self-pairs (same id) are excluded.
+   * The queries side is broadcast (small by construction); ties broken by
+   * neighbor id ascending for determinism.
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: both sides get `bands` band values from a
+   * `nBits` hyperplane signature; a query meets only corpus vectors sharing a
+   * band value (multi-probe across bands), then exact cosine rescoring and
+   * per-query top-k. Recall grows with bands; cost per query is the mean
+   * bucket occupancy × bands instead of N.
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nBits: Int = 16,
+      bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val bits = nBits / bands
+    val mask = (1L << bits) - 1L
+    def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+          VectorFunctions.hyperplaneSignature(col("embedding"), nBits, seed).as("sig"))
+        .select(col(idAs), col(embAs),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))))
+            .as(Seq("band", "band_val")))
+    val q = banded(queries, "query_id", "q_emb")
+    val c = banded(corpus, "neighbor_id", "c_emb")
+    val cand = c.join(q, Seq("band", "band_val"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/**
+ * Extension tier A — star-schema analytics the reference lacks entirely
+ * (SURVEY.md §2.7/§2.8/§2.14: no joins, no windows, no distinct, no top-k,
+ * no rollup). All plans are declarative DataFrame chains so Catalyst picks
+ * broadcast vs shuffle joins, pushes filters into scans, and AQE handles
+ * skew at scale.
+ *
+ * Floating-point policy: every double aggregate is rounded (2dp) in BOTH the
+ * Spark plan and the oracle SQL — double sums at different partition orders
+ * agree far below 0.005, so rounding makes the hash comparison stable.
+ */
+object StarQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape: multi-aggregate groupBy with arithmetic expressions.
+    QueryDef.of("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        // to_timestamp parses in the session TZ (UTC) — avoids the JVM-default
+        // zone that java.sql.Timestamp.valueOf would use.
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Broadcast join: fact × small dim. part is tiny relative to lineitem at
+    // every SF — explicit broadcast() hint keeps the plan shuffle-free on the
+    // dim side regardless of autoBroadcastJoinThreshold.
+    QueryDef.of("join_broadcast",
+      """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+
+    // Multi-way join through the dimension chain (customer→nation→region),
+    // dims broadcast, fact aggregated AFTER a partial pre-aggregation on the
+    // join key — at 100 TB the pre-agg shrinks the shuffle by orders of
+    // magnitude vs joining raw orders rows.
+    QueryDef.of("join_multi",
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total_spend,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      val perCust = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum("o_totalprice").as("spend"), count(lit(1)).as("n_ord"))
+      perCust
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum("spend"), 2).as("total_spend"), sum("n_ord").as("n_orders"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Left-semi join (EXISTS): customers having at least one F-status order.
+    QueryDef.of("semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Left-anti join (NOT EXISTS): customers with no orders at all.
+    QueryDef.of("anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Window ranking: top-3 spenders per nation. Aggregate first (shrinks the
+    // window input to one row per customer), then rank within nation.
+    QueryDef.of("window_rank",
+      """SELECT n_name, c_name, spend, rk FROM (
+        |  SELECT n_name, c_name, round(sum(o_totalprice), 2) AS spend,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY round(sum(o_totalprice), 2) DESC, c_name) AS BIGINT) AS rk
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, c_name
+        |) WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin) { (s, dir) =>
+      val spend = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "c_name")
+        .agg(round(sum("o_totalprice"), 2).as("spend"))
+      val w = Window.partitionBy("n_name").orderBy(col("spend").desc, col("c_name").asc)
+      spend
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("n_name", "c_name", "spend", "rk")
+        .orderBy("n_name", "rk")
+    },
+
+    // Running (cumulative) window: per-customer running order spend over time.
+    QueryDef.of("window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ROLLUP: hierarchical subtotals (flag → flag+status → grand total).
+    QueryDef.of("rollup_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // CUBE: all grouping-set combinations.
+    QueryDef.of("cube_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_extendedprice"), 2).as("sum_price"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // DISTINCT (the reference has none — SURVEY.md §2.14).
+    QueryDef.of("distinct_vals",
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // Top-k by value with deterministic tie-break. Spark plans this as
+    // TakeOrderedAndProject — no global sort materialization.
+    QueryDef.of("topk",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // JSON extraction from the events props column + aggregate per type.
+    QueryDef.of("events_json",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(value), 2) AS avg_value, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), round(avg("value"), 2).as("avg_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    },
+
+    // Tumbling event-time window (batch form): hourly counts per event type.
+    // The streaming form of the same aggregation lives in
+    // graft.streaming.EventsStreaming (same logical plan under readStream).
+    QueryDef.of("events_window",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour_start", "event_type")
+    }
+  )
+}
