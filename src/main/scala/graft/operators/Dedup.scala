@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 
@@ -62,19 +61,26 @@ object Dedup {
       threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     val sig = docs.select(col("doc_id"), minhashSignature(col("text"), k, numHashes).as("sig"))
-    // band hash = polynomial combine of the band's rows (exact Long math)
+    // band hash = polynomial combine of the band's rows (exact Long math).
+    // The band array is built at Scala level (bands is a compile-time-ish
+    // constant), keeping b*rows exact integer arithmetic and the expression
+    // codegen-friendly.
     val banded = sig.select(
       col("doc_id"), col("sig"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)), lit(7L),
-            (acc, h) => pmod(acc * lit(1000003L) + h, lit(2147483647L)))))
-        .as(Seq("band", "band_hash")))
-    // cap pathological buckets (e.g. empty/boilerplate docs all colliding)
-    val bucketW = Window.partitionBy("band", "band_hash").orderBy("doc_id")
-    val capped = banded
-      .withColumn("bucket_rn", row_number().over(bucketW))
-      .filter(col("bucket_rn") <= maxBucketSize)
+      posexplode(array((0 until bands).map { b =>
+        aggregate(slice(col("sig"), b * rows + 1, rows), lit(7L),
+          (acc, h) => pmod(acc * lit(1000003L) + h, lit(2147483647L)))
+      }: _*)).as(Seq("band", "band_hash")))
+    // Drop pathological buckets (e.g. empty/boilerplate docs all colliding).
+    // Scale-safe: bucket sizes via partial-aggregated groupBy.count, hot-key
+    // list broadcast back as an anti-join — NOT a per-key window, which would
+    // funnel every row of a hot bucket onto one partition (the exact skew the
+    // cap exists to defuse).
+    val hotBuckets = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select("band", "band_hash")
+    val capped = banded.join(broadcast(hotBuckets), Seq("band", "band_hash"), "left_anti")
     val l = capped.select(col("band"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val r = capped.select(col("band"), col("band_hash"),
@@ -93,18 +99,20 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup pairs: 62-bit token-level simhash; candidates collide on
-   * at least one of `bands` contiguous signature bands (pigeonhole: Hamming
-   * distance < bands ⇒ some band is identical); verified by Hamming distance
-   * <= `maxHamming`. Join key is (band, 16-bit band value) — compact.
+   * SimHash near-dup pairs: 62-bit shingle-level simhash; candidates collide
+   * on at least one of `bands` contiguous signature bands (pigeonhole:
+   * Hamming distance < bands ⇒ some band is identical, so recall is
+   * GUARANTEED for pairs with hamming < bands); verified by Hamming distance
+   * <= `maxHamming`. Join key is (band, band value) — compact longs only.
    */
-  def simhashPairs(docs: DataFrame, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, bands: Int = 16, maxHamming: Int = 10,
+      k: Int = 3): DataFrame = {
     val bits = 64 / bands
     val mask = (1L << bits) - 1L
-    val sig = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val sig = docs.select(col("doc_id"), simhash(col("text"), k).as("sh"))
     val banded = sig.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => shiftright(col("sh"), b * bits).bitwiseAND(lit(mask))))
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sh"), b * bits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "band_val")))
     val l = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val r = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -127,17 +135,30 @@ object Dedup {
    * cost is Σ_s df(s)² over shingles. For 100 TB one first drops stop-
    * shingles (df above a cutoff) — `maxShingleDf` does exactly that, which
    * also bounds skew on the join key.
+   *
+   * `hashShingles=true` (default, the scale path) posts 31-bit shingle
+   * hashes to the inverted index so the self-join key is a long, not a
+   * string. `hashShingles=false` posts the raw shingle strings — bit-exact
+   * (no hash-collision noise), used by the oracle-checked query surface;
+   * equality of the two variants on collision-free data is asserted in
+   * `DedupSpec`.
    */
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
-      maxShingleDf: Int = 1000): DataFrame = {
+      maxShingleDf: Int = 1000, hashShingles: Boolean = true): DataFrame = {
+    val shingleKey: Column => Column =
+      if (hashShingles) s => tokenHash(s) else identity
     val sh = docs
       .select(col("doc_id"),
-        array_distinct(transform(shingles(col("text"), k), s => tokenHash(s))).as("sh"))
+        array_distinct(transform(shingles(col("text"), k), s => shingleKey(s))).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val filtered = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
+    // Stop-shingle removal via groupBy.count (map-side partial agg) + a
+    // broadcast anti-join on the hot-shingle list. A count-over-window here
+    // would pull every posting of a hot shingle onto one partition — at
+    // 100 TB one boilerplate shingle = one stuck task.
+    val hotShingles = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("s")
+    val filtered = sh.join(broadcast(hotShingles), Seq("s"), "left_anti")
     val l = filtered.select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
     val r = filtered.select(col("s"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
     l.join(r, "s")
@@ -174,8 +195,8 @@ object Dedup {
     val sig = emb.select(col("vec_id"), col("embedding"),
       VectorFunctions.hyperplaneSignature(col("embedding"), nBits, seed).as("sig"))
     val banded = sig.select(col("vec_id"), col("embedding"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))))
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "band_val")))
     val l = banded.select(col("band"), col("band_val"),
       col("vec_id").as("id_a"), col("embedding").as("e_a"))

@@ -36,7 +36,7 @@ object Similarity {
       .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
   }
@@ -56,8 +56,8 @@ object Similarity {
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
           VectorFunctions.hyperplaneSignature(col("embedding"), nBits, seed).as("sig"))
         .select(col(idAs), col(embAs),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))))
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))): _*))
             .as(Seq("band", "band_val")))
     val q = banded(queries, "query_id", "q_emb")
     val c = banded(corpus, "neighbor_id", "c_emb")
@@ -67,7 +67,7 @@ object Similarity {
       .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     cand
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
   }

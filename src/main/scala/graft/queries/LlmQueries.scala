@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.functions.TextFunctions
+
+/**
+ * Extension tier B — the LLM-training-data-pipeline surface over the
+ * `documents` and `embeddings` tables: deduplication (exact, fingerprint,
+ * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
+ * search (brute-force + LSH ANN), text analysis (token stats, quality,
+ * language-ID, fingerprinting) and multimodal binary-column plumbing.
+ *
+ * Oracle policy: every DuckDB oracle mirrors the Spark arithmetic
+ * operation-for-operation (same fold order, same casts, same rounding) so
+ * double results are bit-identical, not merely close. Near-dup queries get
+ * exact oracles through clean separation in the test corpus: planted
+ * near-duplicates sit at Jaccard >= 0.9 while all other pairs sit below
+ * 0.3, so any reasonable detector threshold (0.5) must return exactly the
+ * true-Jaccard pair set, which DuckDB computes exactly. Approximate
+ * operators whose output is NOT deterministically characterizable
+ * (LSH ANN at low-similarity operating points) are wired rows-only.
+ */
+object LlmQueries {
+
+  private val stopwordsSqlList: String =
+    TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared DuckDB CTE: tokenization + word-3-shingle sets per document,
+    * mirroring TextFunctions.tokens/shingles. */
+  private val shingleCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+      |         ELSE list_transform(generate_series(1, len(ts) - 2),
+      |                             i -> array_to_string(ts[i:i+2], ' ')) END) AS s
+      |  FROM toks
+      |), ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+      |         CAST(count(*) AS BIGINT) AS i
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- deduplication -------------------------------------------------
+
+    QueryDef.of("dedup_exact",
+      """SELECT keep_id, n_dups FROM (
+        |  SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        |  FROM documents GROUP BY text
+        |) ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy("keep_id")
+    },
+
+    // Same answer as dedup_exact, but the shuffle key is a 16-byte
+    // (fingerprint, length) pair instead of the document text — the shape
+    // that survives 100 TB. Same oracle: grouping by (fp, len, text) is
+    // exactly grouping by text.
+    QueryDef.of("dedup_fingerprint",
+      """SELECT keep_id, n_dups FROM (
+        |  SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        |  FROM documents GROUP BY text
+        |) ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      Dedup.exactByFingerprint(Tables.documents(s, dir)).orderBy("keep_id")
+    },
+
+    // Exact n-gram Jaccard near-dup pairs via the inverted shingle index
+    // (raw-string shingle variant → bit-exact against the DuckDB oracle;
+    // the hashed-key scale variant is asserted equal in DedupSpec).
+    QueryDef.of("ngram_jaccard",
+      shingleCte +
+        """
+          |SELECT doc_a, doc_b,
+          |  round(CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE), 6) AS jaccard
+          |FROM p
+          |WHERE CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE) >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), k = 3, threshold = 0.5,
+          maxShingleDf = 1000, hashShingles = false)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // MinHash+LSH near-dup pair DETECTION: banded signatures, candidate
+    // bucket join, signature-estimate verification at 0.5. The corpus is
+    // cleanly separated (planted near-dups >= 0.9 true Jaccard, everything
+    // else < 0.3), so the detected pair set must equal the exact-Jaccard
+    // pair set, which the oracle computes exactly.
+    QueryDef.of("dedup_minhash",
+      shingleCte +
+        """
+          |SELECT doc_a, doc_b FROM p
+          |WHERE CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE) >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), k = 3, numHashes = 32, bands = 8,
+          threshold = 0.5)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash near-dup pair detection — same clean-separation argument as
+    // dedup_minhash: shingle-simhash puts planted near-dups at Hamming ≤ 9
+    // and unrelated pairs at ≥ 14, so (bands=16, maxHamming=10) returns
+    // exactly the true-Jaccard pair set (recall guaranteed by pigeonhole:
+    // hamming 10 < 16 bands).
+    QueryDef.of("dedup_simhash",
+      shingleCte +
+        """
+          |SELECT doc_a, doc_b FROM p
+          |WHERE CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE) >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), bands = 16, maxHamming = 10)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Embedding-cosine near-dup over corpus ∪ planted copies (vec_id +
+    // 100000): the LSH path (hyperplane bands; identical vectors collide in
+    // every band, so recall on true duplicates is deterministic), threshold
+    // 0.9 against a corpus whose max non-identical cosine is ~0.51 → the
+    // result is exactly the planted pairs.
+    QueryDef.of("dedup_embedding",
+      """SELECT vec_id AS id_a, CAST(vec_id + 100000 AS BIGINT) AS id_b
+        |FROM embeddings ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.unionAll(
+        e.select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDupLsh(planted, threshold = 0.9).orderBy("id_a", "id_b")
+    },
+
+    // ----- similarity search --------------------------------------------
+
+    // Exact ANN baseline: 10 query vectors (broadcast) against the corpus,
+    // cosine top-5 each. Scales as |corpus| × |queries| with the queries
+    // broadcast — linear in the corpus, no all-pairs product.
+    QueryDef.of("ann_topk",
+      """SELECT query_id, rank, neighbor_id, cos_sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // LSH-bucketed ANN (the 100 TB path): approximate by construction at
+    // this operating point, so rows-only — exactness of the bucketing
+    // machinery is covered by SimilaritySpec against the brute-force path.
+    QueryDef.rowsOnly("ann_topk_lsh") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+          nBits = 16, bands = 8)
+        .orderBy("query_id", "rank")
+    },
+
+    // ----- text analysis -------------------------------------------------
+
+    QueryDef.of("text_stats",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE list_sum(list_transform(ts,
+        |              t -> greatest(1, CAST(ceil(length(t) / 6.0) AS BIGINT)))) END AS BIGINT) AS n_subwords,
+        |  round(CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
+        |        ELSE CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+        |             / CAST(len(ts) AS DOUBLE) END, 4) AS mean_tok_len,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |             / CAST(length(text) AS DOUBLE) END, 4) AS punct_ratio,
+        |  round(CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
+        |        ELSE CAST(len(list_filter(ts, t -> list_contains(""".stripMargin +
+        stopwordsSqlList +
+        """, t))) AS DOUBLE)
+          |             / CAST(len(ts) AS DOUBLE) END, 4) AS stopword_ratio
+          |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ts
+          |      FROM documents)
+          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import TextFunctions._
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          subwordCountEstimate(col("text")).as("n_subwords"),
+          round(meanTokenLength(col("text")), 4).as("mean_tok_len"),
+          round(punctRatio(col("text")), 4).as("punct_ratio"),
+          round(stopwordRatio(col("text")), 4).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Composite quality score per document — oracle mirrors the exact
+    // weighted-sum formula (same term order, so doubles match bitwise;
+    // deliberately unrounded, see TextFunctions.qualityScore).
+    QueryDef.of("text_quality",
+      """SELECT doc_id,
+        |  least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS DOUBLE) / 50.0, 1.0) * 0.3
+        |    + least((CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
+        |             ELSE CAST(len(list_filter(ts, t -> list_contains(""".stripMargin +
+        stopwordsSqlList +
+        """, t))) AS DOUBLE)
+          |                  / CAST(len(ts) AS DOUBLE) END) * 5.0, 1.0) * 0.3
+          |    + (CASE WHEN (CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
+          |                  ELSE CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+          |                       / CAST(len(ts) AS DOUBLE) END) BETWEEN 3.0 AND 10.0
+          |            THEN 1.0 ELSE 0.5 END) * 0.2
+          |    + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+          |        ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+          |             / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.2 AS quality
+          |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ts
+          |      FROM documents)
+          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID distribution. Tie-break: highest score, then
+    // lexicographically-later language (struct-max in Spark ≡ the
+    // descending-lex CASE cascade in the oracle).
+    QueryDef.of("lang_id_dist",
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, 'ing ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END) AS s_en,
+        |    (CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, 'sch') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END) AS s_de,
+        |    (CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' et ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END) AS s_fr,
+        |    (CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' que ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' los ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' una ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' es ') THEN 1 ELSE 0 END) AS s_es,
+        |    (CASE WHEN contains(p, '的') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, '了') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, '是') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, '我') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, '不') THEN 1 ELSE 0 END) AS s_zh
+        |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)
+        |), sel AS (
+        |  SELECT CASE
+        |    WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+        |    WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+        |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+        |    WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+        |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+        |    ELSE 'de' END AS lang_pred
+        |  FROM sc
+        |)
+        |SELECT lang_pred, CAST(count(*) AS BIGINT) AS cnt
+        |FROM sel GROUP BY lang_pred ORDER BY lang_pred""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_pred")
+    },
+
+    // Rolling-hash document fingerprint (deterministic integer contract;
+    // oracle replicates the same polynomial fold in DuckDB lambdas).
+    QueryDef.of("doc_fingerprint",
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split_regex(trim(text), '\s+'),
+        |      t -> list_reduce(
+        |             list_prepend(CAST(17 AS BIGINT), list_transform(
+        |               generate_series(1, length(t)),
+        |               i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+        |             (h, c) -> (h * 31 + c) % 2147483647))),
+        |    (h, th) -> (h * 1000003 + th) % 2147483647)
+        |  END AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ----- multimodal ----------------------------------------------------
+
+    // Opaque-binary payload plumbing: byte length + header hex, computed as
+    // Catalyst expressions over BinaryType (never deserialized row-by-row).
+    QueryDef.of("multimodal_stats",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  substr(hex(encode(text)), 1, 16) AS header_hex
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.payloadStats(media)
+        .select("doc_id", "n_bytes", "header_hex")
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -27,7 +27,19 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a long
+    * and convert ns → µs with exact integer division (`div`; a double
+    * division would lose precision — ns-since-epoch exceeds 2^53). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else raw
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
