@@ -1,0 +1,119 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Columnar text primitives vs plain-Scala reference implementations. */
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val M = 2147483647L
+  private def refTokens(s: String): Seq[String] = {
+    val t = s.trim; if (t.isEmpty) Seq.empty else t.split("\\s+").toSeq
+  }
+  private def refTokenHash(t: String, mult: Long): Long =
+    t.foldLeft(17L)((h, c) => (h * mult + c.toLong) % M)
+  private def refShingles(s: String, k: Int): Seq[String] = {
+    val ts = refTokens(s)
+    if (ts.size <= k) Seq(ts.mkString(" "))
+    else ts.sliding(k).map(_.mkString(" ")).toSeq
+  }
+  private def refFingerprint(s: String): Long =
+    refTokens(s).foldLeft(0L)((h, t) => (h * 1000003L + refTokenHash(t, 31L)) % M)
+  private def refSimhash(s: String, k: Int = 3): Long = {
+    val votes = Array.fill(62)(0L)
+    for (t <- refShingles(s, k); if t.nonEmpty || true) {
+      val h1 = refTokenHash(t, 31L); val h2 = refTokenHash(t, 37L)
+      for (b <- 0 until 62) {
+        val h = if (b < 31) h1 else h2
+        votes(b) += (if (((h >> (b % 31)) & 1L) == 1L) 1L else -1L)
+      }
+    }
+    (0 until 62).map(b => if (votes(b) > 0) 1L << b else 0L).reduce(_ | _)
+  }
+
+  private val samples = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c",
+    "single",
+    "  padded   with   spaces  ",
+    "punct! heavy, text; with: lots? of. marks",
+    "one two three four five six seven eight nine ten eleven twelve")
+
+  test("tokens/tokenCount match the Scala reference (incl. empty/blank)") {
+    val all = samples ++ Seq("", "   ")
+    val got = all.toDF("t")
+      .select(TextFunctions.tokens(col("t")), TextFunctions.tokenCount(col("t")))
+      .collect()
+    all.zip(got).foreach { case (s, row) =>
+      assert(row.getSeq[String](0) == refTokens(s), s"tokens($s)")
+      assert(row.getInt(1) == refTokens(s).size, s"tokenCount($s)")
+    }
+  }
+
+  test("tokenHash and fingerprint match the polynomial reference") {
+    val got = samples.toDF("t")
+      .select(TextFunctions.tokenHash(col("t")), TextFunctions.fingerprint(col("t")))
+      .collect()
+    samples.zip(got).foreach { case (s, row) =>
+      assert(row.getLong(0) == refTokenHash(s, 31L), s"tokenHash($s)")
+      assert(row.getLong(1) == refFingerprint(s), s"fingerprint($s)")
+    }
+  }
+
+  test("shingles match sliding windows (short docs → one whole-doc shingle)") {
+    val got = samples.toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3)).collect()
+    samples.zip(got).foreach { case (s, row) =>
+      assert(row.getSeq[String](0) == refShingles(s, 3), s"shingles($s)")
+    }
+  }
+
+  test("simhash (single-pass vote array) matches the per-bit reference") {
+    val got = samples.toDF("t").select(TextFunctions.simhash(col("t"))).collect()
+    samples.zip(got).foreach { case (s, row) =>
+      assert(row.getLong(0) == refSimhash(s), s"simhash($s)")
+    }
+  }
+
+  test("hammingDistance is bit_count of xor") {
+    val got = Seq((3L, 5L), (0L, 0L), (Long.MaxValue, 0L)).toDF("a", "b")
+      .select(TextFunctions.hammingDistance(col("a"), col("b"))).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(2, 0, 63))
+  }
+
+  test("minhash signature agreement estimates Jaccard for near-identical docs") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = a + " extra" // high shingle overlap
+    val c = "totally different words entirely here now ok yes no maybe"
+    val df = Seq(a, b, c).toDF("t")
+      .select(TextFunctions.minhashSignature(col("t"), 3, 32).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    def agree(x: Seq[Long], y: Seq[Long]) =
+      x.zip(y).count { case (p, q) => p == q } / 32.0
+    assert(agree(sigs(0), sigs(1)) > 0.5)
+    assert(agree(sigs(0), sigs(2)) < 0.3)
+  }
+
+  test("quality score stays in [0,1] and ranks prose above junk") {
+    val prose = "the cat sat on the mat and it was a fine day for all of them"
+    val junk = "@@@@ !!!! #### $$$$ %%%%"
+    val got = Seq(prose, junk).toDF("t")
+      .select(TextFunctions.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(got.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("langId picks marker language, und when nothing scores") {
+    val cases = Seq(
+      "the dog and the cat is here" -> "en",
+      "der Hund und die Katze ist hier" -> "de",
+      "le chien et la vache est ici" -> "fr",
+      "el perro que los gatos una casa es" -> "es",
+      "我 是 的" -> "zh",
+      "zzz qqq" -> "und")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextFunctions.langId(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/**
+ * Dedup operators on the sf0.001 documents table (50 docs, with planted
+ * near-duplicates at Jaccard >= 0.9 and all other pairs < 0.3) plus
+ * synthetic corner cases. True pair sets are computed with a plain-Scala
+ * shingle-Jaccard reference.
+ */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf0001).cache()
+
+  private def refShingles(s: String, k: Int = 3): Set[String] = {
+    val ts = s.trim.split("\\s+").toSeq
+    if (ts.size <= k) Set(ts.mkString(" "))
+    else ts.sliding(k).map(_.mkString(" ")).toSet
+  }
+
+  /** All pairs with true shingle-Jaccard >= t. */
+  private def truePairs(t: Double): Set[(Long, Long)] = {
+    val local = docs.select("doc_id", "text").as[(Long, String)].collect()
+    (for {
+      i <- local.indices; j <- (i + 1) until local.length
+      (ida, a) = local(i); (idb, b) = local(j)
+      sa = refShingles(a); sb = refShingles(b)
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= t
+    } yield (math.min(ida, idb), math.max(ida, idb))).toSet
+  }
+
+  test("exact and fingerprint dedup agree (and find no dups in distinct corpus)") {
+    val e = Dedup.exact(docs).orderBy("keep_id").collect().toSeq
+    val f = Dedup.exactByFingerprint(docs).orderBy("keep_id").collect().toSeq
+    assert(e == f)
+    assert(e.forall(_.getLong(1) == 1L)) // sf0.001 corpus is exactly distinct
+  }
+
+  test("exact dedup collapses planted duplicates, min doc_id survives") {
+    val dupped = docs.select("doc_id", "text")
+      .unionAll(docs.select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+    val out = Dedup.exact(dupped).collect()
+    assert(out.forall(_.getLong(1) == 2L))
+    assert(out.forall(_.getLong(0) < 1000L))
+    val outF = Dedup.exactByFingerprint(dupped).orderBy("keep_id").collect().toSeq
+    assert(outF == out.sortBy(_.getLong(0)).toSeq)
+  }
+
+  test("ngramJaccard: hashed-shingle scale path ≡ raw-string path") {
+    val raw = Dedup.ngramJaccard(docs, hashShingles = false)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val hashed = Dedup.ngramJaccard(docs, hashShingles = true)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(raw == hashed)
+  }
+
+  test("ngramJaccard finds exactly the true >=0.5 pairs with exact scores") {
+    val got = Dedup.ngramJaccard(docs, hashShingles = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == truePairs(0.5))
+    // spot-check one score against the reference ratio
+    got.headOption.foreach { case ((a, b), j) =>
+      val Seq(ta, tb) = docs.filter(col("doc_id").isin(a, b))
+        .orderBy("doc_id").select("text").as[String].collect().toSeq
+      val sa = refShingles(ta); val sb = refShingles(tb)
+      val inter = (sa & sb).size
+      assert(math.abs(j - inter.toDouble / (sa.size + sb.size - inter)) < 1e-12)
+    }
+  }
+
+  test("minhashLsh detects exactly the true near-dup pairs (clean separation)") {
+    val got = Dedup.minhashLsh(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truePairs(0.5))
+  }
+
+  test("simhashPairs detects exactly the true near-dup pairs") {
+    val got = Dedup.simhashPairs(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truePairs(0.5))
+  }
+
+  test("minhash hot-bucket cap drops boilerplate floods without skew windows") {
+    // 200 identical docs → one giant band bucket; cap at 50 → bucket dropped,
+    // so no candidate explosion and no pairs from the flood
+    val flood = (0L until 200L).map(i => (i, "same boilerplate text repeated " +
+      "in every document of the flood corpus again and again and again"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLsh(flood, maxBucketSize = 50)
+    assert(out.count() == 0L)
+    // with a generous cap the flood pairs all survive: C(200,2)
+    val uncapped = Dedup.minhashLsh(flood, maxBucketSize = 100000)
+    assert(uncapped.count() == 200L * 199L / 2L)
+  }
+
+  test("embedding near-dup LSH finds planted duplicate vectors, exact agrees") {
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val planted = emb.unionAll(
+      emb.select((col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+    val lsh = Dedup.embeddingNearDupLsh(planted, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingNearDupExact(planted, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.select("vec_id").as[Long].collect()
+      .map(id => (id, id + 1000L)).toSet
+    assert(exact == expected)
+    assert(lsh == expected) // identical vectors collide in every band
+  }
+}

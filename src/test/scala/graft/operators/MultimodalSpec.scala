@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+  import Multimodal._
+
+  private val rows = Seq(
+    MediaRow(1L, "image", Array[Byte](1, 2, 3, 4), 2, 2, 0),
+    MediaRow(2L, "audio", Array[Byte](9, 8, 7), 0, 0, 16000),
+    MediaRow(3L, "image", Array.emptyByteArray, 0, 0, 0))
+
+  test("decodeFake: deterministic per-partition batch decode, stable features") {
+    val ds = rows.toDS().repartition(2)
+    val a = decodeFake(ds, dim = 4).collect().sortBy(_.media_id)
+    val b = decodeFake(ds, dim = 4).collect().sortBy(_.media_id)
+    assert(a.map(_.checksum).toSeq == b.map(_.checksum).toSeq) // deterministic
+    assert(a.forall(_.features.length == 4))
+    assert(a.map(_.n_bytes).toSeq == Seq(4L, 3L, 0L))
+    assert(a.forall(_.features.forall(f => f >= 0.0f && f <= 1.0f)))
+    // checksum actually depends on payload bytes
+    assert(a(0).checksum != a(1).checksum)
+  }
+
+  test("payloadStats computes byte length + header hex columnar-only") {
+    val df = rows.toDS().toDF()
+    val got = payloadStats(df).select("media_id", "n_bytes", "header_hex")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 4L, "01020304"), (2L, 3L, "090807"), (3L, 0L, "")))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+    .select("vec_id", "embedding").cache()
+
+  private def refTopK(k: Int, queryIds: Set[Long]): Map[Long, Seq[(Long, Double)]] = {
+    val local = emb.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    local.filter(q => queryIds(q._1)).map { case (qid, qv) =>
+      qid -> local.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(k).toSeq
+    }.toMap
+  }
+
+  test("bruteForceTopK matches a plain-Scala exact top-k") {
+    val qids = Set(0L, 1L, 2L)
+    val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq)
+      .toMap
+    val ref = refTopK(4, qids).view
+      .mapValues(_.map { case (id, c) =>
+        (id, BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }).toMap
+    assert(got.keySet == qids)
+    for (q <- qids) assert(got(q) == ref(q), s"query $q")
+  }
+
+  test("lshTopK returns ranked, deduped, correctly-scored candidates") {
+    val out = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, k = 4,
+      nBits = 16, bands = 8).collect()
+    // ranks are 1..n per query, no self-pairs, scores within [-1,1]
+    val byQ = out.groupBy(_.getLong(0))
+    for ((_, rows) <- byQ) {
+      val ranks = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to ranks.size))
+      assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+      assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0))
+    }
+  }
+
+  test("lshTopK puts a planted identical vector at rank 1 with cosine 1") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val out = Similarity.lshTopK(q, emb, k = 3, nBits = 16, bands = 8).collect()
+    val rank1 = out.find(_.getLong(1) == 1L).get
+    assert(rank1.getLong(2) == 0L)
+    assert(rank1.getDouble(3) == 1.0)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import graft.SparkEntry
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/**
+ * Plan-shape assertions: the physical plans the 100 TB design depends on —
+ * filter/column pushdown into parquet scans, broadcast joins on dim tables,
+ * TakeOrderedAndProject for top-k (no global sort materialization), partial
+ * (map-side) aggregation, and NO per-key windows in the dedup paths.
+ */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    q(name).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  test("filter_contains pushes the substring predicate into the parquet scan") {
+    val p = plan("filter_contains")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("StringContains(p_name,bolt)"), p)
+  }
+
+  test("search_parity prunes the scan to the single needed column") {
+    val p = plan("search_parity")
+    assert(p.contains("ReadSchema: struct<p_name:string>"), p)
+  }
+
+  test("q1_agg pushes the shipdate range filter and aggregates partially") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    // two HashAggregate nodes = partial (map-side) + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin (no fact-side shuffle join)") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("join_multi broadcasts all three dimension joins") {
+    val p = plan("join_multi")
+    // formatted explain shows each node in the tree and again in the details
+    // section, so 3 joins appear ≥3 times
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("topk plans TakeOrderedAndProject (no global sort materialization)") {
+    val p = plan("topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("group_count aggregates partially before the shuffle") {
+    val p = plan("group_count")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("dedup candidate-generation paths contain no per-key Window") {
+    for (name <- Seq("dedup_minhash", "dedup_simhash", "ngram_jaccard",
+        "dedup_exact", "dedup_fingerprint", "dedup_embedding")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name plan has a Window:\n$p")
+    }
+  }
+
+  test("dedup_exact aggregates partially (map-side combine on the group key)") {
+    val p = plan("dedup_exact")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("ann_topk broadcasts the query side, never the corpus") {
+    val p = plan("ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}

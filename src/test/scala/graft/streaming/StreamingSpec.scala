@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** Structured Streaming twin of the batch events queries, driven end-to-end
+  * over MemoryStream. */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("hourlyByType aggregates tumbling event-time windows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsStreaming.hourlyByType(in.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        Ev(1, t(10, 5), "click", 1.0), Ev(2, t(10, 40), "click", 2.0),
+        Ev(3, t(10, 59), "view", 5.0), Ev(4, t(11, 1), "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(got == Set(
+        (t(10, 0), "click", 2L, 3.0),
+        (t(10, 0), "view", 1L, 5.0),
+        (t(11, 0), "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("hourlyByType batch/streaming parity: same transform on a static frame") {
+    val batch = Seq(
+      Ev(1, t(10, 5), "click", 1.0), Ev(2, t(10, 40), "click", 2.0),
+      Ev(3, t(11, 1), "view", 4.0)).toDF()
+    val got = EventsStreaming.hourlyByType(batch)
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got == Set((t(10, 0), "click", 2L, 3.0), (t(11, 0), "view", 1L, 4.0)))
+  }
+
+  test("dedupEvents drops duplicate event_ids within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsStreaming.dedupEvents(in.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, t(10, 0), "click", 1.0), Ev(1, t(10, 1), "click", 1.0),
+        Ev(2, t(10, 2), "view", 2.0), Ev(2, t(10, 2), "view", 2.0),
+        Ev(3, t(10, 3), "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
