@@ -137,55 +137,59 @@ object TextFunctions {
   // MinHash / SimHash signatures
   // ---------------------------------------------------------------------------
 
-  /** Universal-hash family h_i(x) = (a_i·x + b_i) mod M over shingle hashes;
-    * (a_i, b_i) derived from the index by fixed odd constants. a_i, x < M so
-    * the product stays < 2^62 — exact in Long. */
-  private def minhashOne(shingleHashes: Column, i: Int): Column = {
-    val a = (2L * i + 1L) * 0x9E3779B9L % M
-    val b = (i + 1L) * 0x85EBCA77L % M
-    array_min(transform(shingleHashes, x => pmod(lit(a) * x + lit(b), lit(M))))
-  }
-
   /**
    * MinHash signature (array<long> of length `numHashes`) over word
    * `k`-shingles. Jaccard(A,B) ≈ fraction of agreeing signature positions.
-   * One pass over the shingle array per hash function, all inside codegen.
+   *
+   * Performance shape (this is the hot loop of corpus dedup at 100 TB):
+   *  - each shingle is hashed ONCE with the codegen'd `xxhash64` (folded to
+   *    [0, M) so the affine universal-hash family below stays exact in
+   *    Long), instead of a per-character polynomial fold;
+   *  - ONE aggregate pass carries all `numHashes` running minima, updating
+   *    each with h_i(x) = (a_i·x + b_i) mod M. The naive form — numHashes
+   *    independent `array_min(transform(...))` passes — duplicates the
+   *    shingle-hash subtree numHashes× in the expression tree (no CSE
+   *    across interpreted higher-order functions), which measured ~14×
+   *    slower on the sf0.1 corpus.
    */
   def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val hs = transform(shingles(text, k), s => tokenHash(s))
-    array((0 until numHashes).map(i => minhashOne(hs, i)): _*)
+    val hs = transform(shingles(text, k), s => pmod(xxhash64(s), lit(M)))
+    aggregate(
+      hs,
+      array_repeat(lit(M), numHashes), // M > every hash value in [0, M)
+      (acc, x) => array((0 until numHashes).map { i =>
+        val a = (2L * i + 1L) * 0x9E3779B9L % M
+        val b = (i + 1L) * 0x85EBCA77L % M
+        least(element_at(acc, i + 1), pmod(lit(a) * x + lit(b), lit(M)))
+      }: _*))
   }
 
   /**
-   * 62-bit SimHash over word `k`-shingles: bits 0..30 from the mult-31
-   * shingle hash, bits 31..61 from an independent mult-37 hash. Per bit, sum
-   * ±1 votes across shingles, take the sign. Near-duplicate docs differ in
-   * few bits (Hamming distance over the signature).
+   * 62-bit SimHash over word `k`-shingles: each shingle votes ±1 per bit of
+   * its 64-bit `xxhash64`; the signature is the per-bit vote sign over bits
+   * 0..61. Near-duplicate docs differ in few bits (Hamming distance).
    *
    * Features are shingles, not single tokens, on purpose: token-level
    * simhash degenerates on corpora drawn from a small shared vocabulary
    * (every document votes with the same words, so all signatures collapse
    * toward each other), while k-word shingles are effectively unique across
    * unrelated documents — measured on the test corpus, shingle features
-   * separate planted near-dups (Hamming ≤ 9) from unrelated pairs
-   * (Hamming ≥ 14) where token features do not separate at all.
+   * separate planted near-dups from unrelated pairs where token features do
+   * not separate at all.
+   *
+   * Single-pass: each shingle is hashed ONCE (codegen'd xxhash64); one
+   * aggregate carries a 62-counter vote array; the finish lambda packs sign
+   * bits, so the aggregate subtree is never duplicated in the expression
+   * tree.
    */
   def simhash(text: Column, k: Int = 3): Column = {
-    // Per-shingle hashes computed ONCE (h1 = mult-31, h2 = mult-37), then a
-    // single aggregate pass carries a 62-counter vote array; the finish
-    // lambda packs sign bits. One traversal of the shingle array instead of
-    // 62 (each of which would re-run the char-level hash), and the vote array
-    // is a lambda variable in finish so the aggregate itself is never
-    // duplicated in the expression tree.
-    val hs = transform(shingles(text, k),
-      t => struct(tokenHashWith(t, 31L).as("h1"), tokenHashWith(t, 37L).as("h2")))
+    val hs = transform(shingles(text, k), s => xxhash64(s))
     aggregate(
       hs,
       array_repeat(lit(0L), 62),
       (acc, h) => array((0 until 62).map { b =>
-        val hh = if (b < 31) h.getField("h1") else h.getField("h2")
         element_at(acc, b + 1) +
-          when(shiftright(hh, b % 31).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+          when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
       }: _*),
       votes => (0 until 62).map { b =>
         when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L))

