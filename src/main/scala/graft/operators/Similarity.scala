@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions
 
 /**
@@ -22,11 +21,22 @@ import graft.functions.VectorFunctions
  */
 object Similarity {
 
+  /** Explode a per-query top-k struct array into ranked rows. */
+  private def explodeRanked(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.neighbor_id").as("neighbor_id"), round(col("s.cos"), 4).as("cos_sim"))
+
   /**
    * Exact top-k neighbors by cosine for each query vector. `queries` and
    * `corpus` both have (id, embedding). Self-pairs (same id) are excluded.
    * The queries side is broadcast (small by construction); ties broken by
    * neighbor id ascending for determinism.
+   *
+   * Top-k selection runs through [[TopKAggregator]] — partial-aggregated,
+   * so each partition ships at most k candidates per query instead of
+   * shuffling the full scored stream into a per-query sort window.
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -34,11 +44,9 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+    explodeRanked(
+      scored.groupBy("query_id")
+        .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn")))
   }
 
   /**
@@ -65,10 +73,8 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+    explodeRanked(
+      cand.groupBy("query_id")
+        .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn")))
   }
 }

@@ -105,6 +105,19 @@ object ParityQueries {
         .orderBy("n_nationkey")
     },
 
+    // S2 — the client's directory-listing scan (`Search.cpp:98-111`) feeding
+    // the full Search pipeline: list the SF directory's entries (including
+    // "." and ".." exactly as readdir yields them), search for "parquet",
+    // count per name, sort. Rows-only: DuckDB has no directory source, and
+    // the result is environment-dependent by nature.
+    QueryDef.rowsOnly("dir_search") { (s, dir) =>
+      implicit val spark: org.apache.spark.sql.SparkSession = s
+      import s.implicits._
+      val input = Tables.dirListing(s, Seq(dir))
+        .select("file_name").as[String].map((_, "parquet"))
+      graft.mr.MapReduce.searchPipeline(input).toDF("file_name", "cnt")
+    },
+
     // The typed MapReduce API (Layer A) driving the same Search pipeline —
     // proves MapReduce.run/runAlgebraic against the DuckDB oracle.
     QueryDef.of("mr_search",

@@ -100,13 +100,16 @@ object StarQueries {
         .orderBy("c_custkey")
     },
 
-    // Left-anti join (NOT EXISTS): customers with no orders at all.
+    // Left-anti join (NOT EXISTS): customers with no P-status order — a
+    // predicate that yields a non-empty result at every SF, so the oracle
+    // hash check is non-trivial (every customer has *some* order).
     QueryDef.of("anti_join",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       Tables.customer(s, dir)
-        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
