@@ -149,49 +149,94 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram (word k-shingle) Jaccard similarity for all pairs sharing at
-   * least one shingle, via an inverted shingle index: explode distinct
-   * shingle hashes, self-join on shingle, count shared shingles per pair,
-   * then |A∩B| / (|A|+|B|-|A∩B|). No text crosses the pair join — only
-   * shingle hashes and per-doc distinct counts.
+   * Exact n-gram (word k-shingle) Jaccard similarity: every pair with
+   * Jaccard >= `threshold`, scores exact. No text crosses the pair join —
+   * only shingle keys and per-doc distinct counts.
    *
-   * Scale note: the inverted-index join is the classic exact algorithm; its
-   * cost is Σ_s df(s)² over shingles. For 100 TB one first drops stop-
-   * shingles (df above a cutoff) — `maxShingleDf` does exactly that, which
-   * also bounds skew on the join key.
+   * Stop-shingles (document frequency > `maxShingleDf`) are removed from
+   * the shingle SETS up front (sets and set sizes both exclude them), which
+   * bounds join-key skew — one boilerplate shingle at 100 TB must not
+   * become one stuck task. The hot list is tiny by definition: collected
+   * via partial-aggregated groupBy.count and broadcast, never a window.
+   *
+   * `prefixFilter=true` runs the AllPairs/PPJoin prefix-filtered join:
+   * shingles are globally ordered by (df, shingle), each doc posts only its
+   * first n - ceil(t·n) + 1 shingles (any pair with Jaccard >= t must share
+   * a prefix shingle under a global order), candidates are verified exactly
+   * with array_intersect over the full sets. Candidate cost drops from
+   * Σ df² over ALL shingles to Σ df² over prefix postings — the win on
+   * real web corpora, whose shingle df is Zipfian (a few boilerplate
+   * shingles dominate Σ df²). `prefixFilter=false` (default) is the naive
+   * inverted-index join — same output (asserted in DedupSpec), and on
+   * corpora with benign/uniform df it measures FASTER (the df-join +
+   * per-doc prefix sort + set-verification overhead isn't bought back:
+   * 12.9 s vs 6.6 s at sf0.1, ~58 s either way on a 10× dup-heavy corpus
+   * whose candidates are true duplicates no filter can prune). Pick by
+   * corpus shape; both are exact.
    *
    * `hashShingles=true` (default, the scale path) posts 31-bit shingle
-   * hashes to the inverted index so the self-join key is a long, not a
-   * string. `hashShingles=false` posts the raw shingle strings — bit-exact
-   * (no hash-collision noise), used by the oracle-checked query surface;
-   * equality of the two variants on collision-free data is asserted in
-   * `DedupSpec`.
+   * hashes so join keys are longs; `hashShingles=false` posts raw shingle
+   * strings — bit-exact (no hash-collision noise), used by the
+   * oracle-checked query surface.
    */
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
-      maxShingleDf: Int = 1000, hashShingles: Boolean = true): DataFrame = {
+      maxShingleDf: Int = 1000, hashShingles: Boolean = true,
+      prefixFilter: Boolean = false): DataFrame = {
     val shingleKey: Column => Column =
       if (hashShingles) s => tokenHash(s) else identity
-    // Persisted: the shingle-set table feeds the df scan and both join legs.
-    val shSets = docs
+    val rawSets = docs
       .select(col("doc_id"),
-        array_distinct(transform(shingles(col("text"), k), s => shingleKey(s))).as("sh"))
+        array_distinct(transform(shingles(col("text"), k), s => shingleKey(s))).as("sh0"))
       .persist()
-    val sh = shSets
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    // Stop-shingle removal via groupBy.count (map-side partial agg) + a
-    // broadcast anti-join on the hot-shingle list. A count-over-window here
-    // would pull every posting of a hot shingle onto one partition — at
-    // 100 TB one boilerplate shingle = one stuck task.
-    val hotShingles = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf)
-      .select("s")
-    val filtered = sh.join(broadcast(hotShingles), Seq("s"), "left_anti")
-    val l = filtered.select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
-    val r = filtered.select(col("s"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
-    l.join(r, "s")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("inter"))
+    val post0 = rawSets.select(col("doc_id"), explode(col("sh0")).as("s"))
+    val dfTable = post0.groupBy("s").agg(count(lit(1)).as("df"))
+    // hot list as ONE broadcast array row → array_except strips stop-
+    // shingles from every set without a shuffle or a window
+    val hotArr = dfTable.filter(col("df") > maxShingleDf)
+      .agg(collect_list(col("s")).as("hot"))
+    val shSets = rawSets.crossJoin(broadcast(hotArr))
+      .select(col("doc_id"), array_except(col("sh0"), col("hot")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+      .persist()
+
+    val verified =
+      if (!prefixFilter) {
+        val sh = shSets.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+        val l = sh.select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+        val r = sh.select(col("s"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+        l.join(r, "s")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b", "n_a", "n_b")
+          .agg(count(lit(1)).as("inter"))
+      } else {
+        // global rare-first order: sort each doc's (df, shingle) pairs and
+        // keep the prefix. The per-doc collect is bounded by the doc's own
+        // shingle count — no cross-doc state.
+        val prefixLen = col("n_sh") - ceil(col("n_sh") * threshold).cast("int") + 1
+        val prefixes = shSets.select(col("doc_id"), explode(col("sh")).as("s"))
+          .join(dfTable, "s") // df per posting (shuffle join on the shingle key)
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+          .join(shSets.select("doc_id", "n_sh"), "doc_id")
+          .select(col("doc_id"),
+            explode(slice(transform(col("ordered"), o => o.getField("s")),
+              lit(1), prefixLen)).as("s"))
+        val l = prefixes.select(col("s"), col("doc_id").as("doc_a"))
+        val r = prefixes.select(col("s"), col("doc_id").as("doc_b"))
+        val cand = l.join(r, "s")
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+          .dropDuplicates("doc_a", "doc_b")
+        // exact verification on the full sets, candidates only
+        cand
+          .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+            col("n_sh").as("n_a")), "doc_a")
+          .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+            col("n_sh").as("n_b")), "doc_b")
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      }
+    verified
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -58,6 +58,24 @@ class DedupSpec extends SparkSpecBase {
     assert(raw == hashed)
   }
 
+  test("ngramJaccard: prefix-filtered join ≡ naive inverted-index join") {
+    val naive = Dedup.ngramJaccard(docs, prefixFilter = false)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val prefix = Dedup.ngramJaccard(docs, prefixFilter = true)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(prefix == naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("ngramJaccard: paths still agree when the stop-shingle cutoff binds") {
+    // cutoff 3 forces hot-shingle removal into the sets on this corpus
+    val naive = Dedup.ngramJaccard(docs, maxShingleDf = 3, prefixFilter = false)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val prefix = Dedup.ngramJaccard(docs, maxShingleDf = 3, prefixFilter = true)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(prefix == naive)
+  }
+
   test("ngramJaccard finds exactly the true >=0.5 pairs with exact scores") {
     val got = Dedup.ngramJaccard(docs, hashShingles = false).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
