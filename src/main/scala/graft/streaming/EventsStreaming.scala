@@ -41,4 +41,21 @@ object EventsStreaming {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /**
+   * Streaming CONTENT dedup: drop rows whose `textCol` payload was already
+   * seen inside the watermark horizon, keyed on the 31-bit rolling-hash
+   * fingerprint + exact length — the streaming twin of
+   * `Dedup.exactByFingerprint`. State per key is 16 bytes regardless of
+   * document size, which is what keeps the dedup state bounded when the
+   * stream carries full documents.
+   */
+  def dedupByContent(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text", watermarkDelay: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withColumn("fp_len", length(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp", "fp_len")
+      .drop("fp", "fp_len")
 }

@@ -42,6 +42,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Set((t(10, 0), "click", 2L, 3.0), (t(11, 0), "view", 1L, 4.0)))
   }
 
+  test("hourlyByType append mode: watermark closes windows, late data dropped") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsStreaming.hourlyByType(in.toDF(), watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("hourly_append")
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(1, t(10, 5), "click", 1.0), Ev(2, t(10, 30), "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far enough that the 10:00 window closes
+      in.addData(Ev(3, t(12, 0), "view", 9.0))
+      q.processAllAvailable()
+      // a late event for the closed 10:00 window must be DROPPED
+      in.addData(Ev(4, t(10, 45), "click", 100.0))
+      in.addData(Ev(5, t(12, 5), "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly_append")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      // only the closed 10:00 window is emitted, WITHOUT the late event
+      assert(got == Set((t(10, 0), "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dedupByContent drops same-text documents within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = EventsStreaming.dedupByContent(docs)
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, t(10, 0), "the same document text"),
+        (2L, t(10, 1), "the same document text"), // dup content, new id
+        (3L, t(10, 2), "a different document"))
+      q.processAllAvailable()
+      val ids = spark.table("content_dedup").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("dedupEvents drops duplicate event_ids within the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
