@@ -10,11 +10,19 @@ import org.apache.spark.sql.functions._
  * Everything is built from Spark SQL builtins + higher-order functions
  * (`transform`/`aggregate`/`filter`) so the whole pipeline stays inside
  * whole-stage codegen — no Scala/Python UDF round-trips, which is what makes
- * these viable over 100 TB of documents. Hashes are implemented as integer
- * arithmetic expressions (deterministic across runs/engines), not via
- * `hash()`/`xxhash64`, so results are stable engine contracts. All modular
- * arithmetic uses M = 2^31-1 (Mersenne prime): operands stay < 2^31, products
- * stay < 2^62, so 64-bit `Long` math is exact (no silent overflow).
+ * these viable over 100 TB of documents.
+ *
+ * Hashing policy, two tiers:
+ *  - `tokenHash`/`fingerprint` are pure integer polynomial expressions —
+ *    deterministic AND reproducible in any engine (the DuckDB oracle
+ *    replicates them in SQL lambdas); modular arithmetic uses M = 2^31-1
+ *    (Mersenne prime): operands stay < 2^31, products < 2^62, so 64-bit
+ *    `Long` math is exact.
+ *  - `minhashSignature`/`simhash` hash shingles with Spark's codegen'd
+ *    `xxhash64` for throughput — deterministic across runs/versions of this
+ *    engine, but NOT an engine-portable contract; their correctness checks
+ *    compare detected pair SETS against exact Jaccard, never raw signature
+ *    values.
  *
  * The reference's only string op is substring containment
  * (`Search.cpp:65`); this module is extension tier (SURVEY.md §7.3 tier B).

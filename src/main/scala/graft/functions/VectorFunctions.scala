@@ -93,8 +93,16 @@ object VectorFunctions {
         lit(0.0),
         (acc, x) => acc + x)
     }
-    (0 until nBits)
+    val sig = (0 until nBits)
       .map(b => when(proj(b) >= 0.0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
+    // Fail loudly on a dim mismatch: zip_with would null-pad, null the
+    // projections, and the when/otherwise above would silently emit
+    // signature 0 for EVERY row — collapsing all vectors into one LSH
+    // bucket and degenerating the candidate join to all-pairs.
+    coalesce(
+      assert_true(size(vec) === lit(dim),
+        lit(s"hyperplaneSignature: vector length != dim=$dim")).cast("long"),
+      sig)
   }
 }

@@ -213,7 +213,12 @@ object Dedup {
         // global rare-first order: sort each doc's (df, shingle) pairs and
         // keep the prefix. The per-doc collect is bounded by the doc's own
         // shingle count — no cross-doc state.
-        val prefixLen = col("n_sh") - ceil(col("n_sh") * threshold).cast("int") + 1
+        // ceil over an epsilon-nudged product: when t·n is a true integer,
+        // double rounding can land at n·t + 2^-52-scale error and ceil one
+        // too high — shortening the prefix and silently breaking exactness.
+        // The nudge is far above FP error and far below any real fraction.
+        val prefixLen =
+          col("n_sh") - ceil(col("n_sh") * threshold - lit(1e-9)).cast("int") + 1
         val prefixes = shSets.select(col("doc_id"), explode(col("sh")).as("s"))
           .join(dfTable, "s") // df per posting (shuffle join on the shingle key)
           .groupBy("doc_id")

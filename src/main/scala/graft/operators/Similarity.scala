@@ -44,6 +44,10 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+      // zero-norm/malformed embeddings cosine to null — they can never be a
+      // meaningful neighbor, and Scored.cos is a primitive (a null would
+      // throw in the aggregator's input encoder)
+      .filter(col("cos").isNotNull)
     explodeRanked(
       scored.groupBy("query_id")
         .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn")))
@@ -73,6 +77,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+      .filter(col("cos").isNotNull) // see bruteForceTopK
     explodeRanked(
       cand.groupBy("query_id")
         .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn")))

@@ -31,7 +31,14 @@ object Tables {
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a long
     * and convert ns → µs with exact integer division (`div`; a double
-    * division would lose precision — ns-since-epoch exceeds 2^53). */
+    * division would lose precision — ns-since-epoch exceeds 2^53).
+    *
+    * SIDE EFFECT, deliberate: `nanosAsLong` is a session-level SQL conf (no
+    * per-read option exists, and the conf is consulted again at execution,
+    * so set-read-restore would break the returned lazy frame). After this
+    * call every TIMESTAMP(NANOS) parquet column in the session reads as
+    * LongType. Sessions built via Verify/Bench/the test harness set it up
+    * front; this runtime set covers ad-hoc sessions. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")

@@ -44,18 +44,25 @@ object EventsStreaming {
 
   /**
    * Streaming CONTENT dedup: drop rows whose `textCol` payload was already
-   * seen inside the watermark horizon, keyed on the 31-bit rolling-hash
-   * fingerprint + exact length — the streaming twin of
-   * `Dedup.exactByFingerprint`. State per key is 16 bytes regardless of
-   * document size, which is what keeps the dedup state bounded when the
+   * seen inside the watermark horizon. Keyed on (xxhash64, 31-bit rolling
+   * fingerprint, exact length) — ~95 independent bits, so a false-positive
+   * drop needs a three-way collision (birthday bound ≪ 2^-40 even at
+   * billions of in-window documents). State per key is ~24 bytes regardless
+   * of document size, which is what keeps dedup state bounded when the
    * stream carries full documents.
+   *
+   * NOTE: probabilistic by design, unlike batch `Dedup.exactByFingerprint`
+   * (which verifies group-locally on the text). Exact streaming dedup would
+   * have to hold full payloads in state — key on the text column directly
+   * if that tradeoff is wanted.
    */
   def dedupByContent(docs: DataFrame, tsCol: String = "ts",
       textCol: String = "text", watermarkDelay: String = "2 hours"): DataFrame =
     docs
-      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withColumn("fp_x", xxhash64(col(textCol)))
+      .withColumn("fp_p", graft.functions.TextFunctions.fingerprint(col(textCol)))
       .withColumn("fp_len", length(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("fp", "fp_len")
-      .drop("fp", "fp_len")
+      .dropDuplicatesWithinWatermark("fp_x", "fp_p", "fp_len")
+      .drop("fp_x", "fp_p", "fp_len")
 }

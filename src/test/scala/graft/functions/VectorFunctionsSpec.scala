@@ -34,6 +34,15 @@ class VectorFunctionsSpec extends SparkSpecBase {
     assert(row.isNullAt(0))
   }
 
+  test("hyperplane signature fails loudly on a dim mismatch (no silent zero sigs)") {
+    val df = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("v")
+    val ex = intercept[Exception] {
+      df.select(VectorFunctions.hyperplaneSignature(col("v"), 8, 1L, dim = 64)).collect()
+    }
+    assert(ex.getMessage.contains("hyperplaneSignature") ||
+      Option(ex.getCause).exists(_.getMessage.contains("hyperplaneSignature")))
+  }
+
   test("hyperplane signature: deterministic, seed-sensitive, locality-preserving") {
     val close = a.map(x => x * 1.01f)
     val far = Array(-3.0f, 1.0f, -2.0f)

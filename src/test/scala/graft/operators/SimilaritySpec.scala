@@ -57,6 +57,15 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("zero-norm embeddings in the corpus are skipped, not a crash") {
+    val zero = Seq((9999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val corpus = emb.unionAll(zero)
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 2), corpus, k = 3)
+      .collect()
+    assert(out.length == 6) // 2 queries × 3 ranked neighbors, zero vector absent
+    assert(!out.exists(_.getLong(2) == 9999L))
+  }
+
   test("lshTopK puts a planted identical vector at rank 1 with cosine 1") {
     val q = emb.filter(col("vec_id") === 0)
       .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
