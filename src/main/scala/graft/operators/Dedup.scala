@@ -255,6 +255,58 @@ object Dedup {
    * `lshPairs` buckets by random-hyperplane signature first so only
    * bucket-colliding pairs are compared — the 100 TB path.
    */
+  /**
+   * Resolve near-dup PAIRS into duplicate CLUSTERS (connected components)
+   * and a canonical survivor per cluster — the final step of corpus dedup:
+   * pair detection says "a≈b, b≈c"; the pipeline needs "keep min(a,b,c),
+   * drop the rest".
+   *
+   * Distributed min-label propagation with pointer jumping: every node
+   * starts labeled with its own id; each round a node takes the min over
+   * its neighbors' labels AND its label's own label (label-of-label — the
+   * pointer-doubling step that turns O(diameter) convergence into
+   * O(log diameter), so a 10^6-long chain needs ~20 rounds, not 10^6).
+   * Each round is two shuffle joins + a partial-aggregated groupBy — no
+   * driver-side graph. `localCheckpoint` cuts lineage per round so the
+   * plan does not grow with iterations (the standard Spark
+   * iterative-algorithm pattern).
+   *
+   * Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster) for every doc
+   * that appears in some pair, cluster = min doc_id of its component.
+   */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy("src").agg(min("cluster").as("nmin"))
+        .withColumnRenamed("src", "doc_id")
+      val viaNeighbors = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      // pointer jumping: cluster ← min(cluster, cluster(cluster))
+      val updated = viaNeighbors
+        .join(viaNeighbors.select(col("doc_id").as("p"), col("cluster").as("pc")),
+          viaNeighbors("cluster") === col("p"), "left")
+        .select(viaNeighbors("doc_id"),
+          least(viaNeighbors("cluster"), coalesce(col("pc"), viaNeighbors("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   def embeddingNearDupExact(emb: DataFrame, threshold: Double): DataFrame = {
     val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))

@@ -134,6 +134,41 @@ object LlmQueries {
       Dedup.embeddingNearDupLsh(planted, threshold = 0.9).orderBy("id_a", "id_b")
     },
 
+    // Full dedup pipeline: near-dup pairs → connected components → keep the
+    // min doc_id per cluster, drop every other member. Oracle resolves
+    // components with a recursive reachability CTE (components are small,
+    // so the closure is cheap).
+    QueryDef.of("dedup_survivors",
+      shingleCte +
+        """,
+          |pr AS (
+          |  SELECT doc_a, doc_b FROM p
+          |  WHERE CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE) >= 0.5
+          |),
+          |edges AS (
+          |  SELECT doc_a AS s, doc_b AS d FROM pr
+          |  UNION ALL SELECT doc_b, doc_a FROM pr
+          |),
+          |reach AS (
+          |  WITH RECURSIVE r(src, node) AS (
+          |    SELECT DISTINCT s, s FROM edges
+          |    UNION
+          |    SELECT r.src, e.d FROM r JOIN edges e ON r.node = e.s
+          |  ) SELECT src, min(node) AS cluster FROM r GROUP BY src
+          |)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT src FROM reach WHERE cluster <> src)
+          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, k = 3, threshold = 0.5,
+        maxShingleDf = 1000, hashShingles = false).select("doc_a", "doc_b")
+      val losers = Dedup.duplicateClusters(pairs)
+        .filter(col("doc_id") =!= col("cluster"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // ----- similarity search --------------------------------------------
 
     // Exact ANN baseline: 10 query vectors (broadcast) against the corpus,

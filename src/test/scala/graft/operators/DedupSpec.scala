@@ -116,6 +116,23 @@ class DedupSpec extends SparkSpecBase {
     assert(expectedCopies.subsetOf(got)) // every exact copy pair found
   }
 
+  test("duplicateClusters resolves chains/triangles/singletons like union-find") {
+    // components: {1,2,3,4} chain, {10,11,12} triangle, {20,21} pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("duplicateClusters converges on a long chain (diameter > a few rounds)") {
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(chain).collect()
+    assert(got.forall(_.getLong(1) == 0L))
+    assert(got.length == 31)
+  }
+
   test("minhash hot-bucket cap drops boilerplate floods without skew windows") {
     // 200 identical docs → one giant band bucket; cap at 50 → bucket dropped,
     // so no candidate explosion and no pairs from the flood
