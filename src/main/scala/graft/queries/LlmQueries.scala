@@ -196,8 +196,10 @@ object LlmQueries {
     // machinery is covered by SimilaritySpec against the brute-force path.
     QueryDef.rowsOnly("ann_topk_lsh") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      // 8-bit bands (nBits=32/bands=4): each query scores ~bands·n/256
+      // candidates instead of flooding 2-bit buckets with the whole corpus
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-          nBits = 16, bands = 8)
+          nBits = 32, bands = 4)
         .orderBy("query_id", "rank")
     },
 
@@ -334,6 +336,31 @@ object LlmQueries {
     },
 
     // ----- multimodal ----------------------------------------------------
+
+    // The decode path end-to-end: binary payloads through the typed
+    // mapPartitions decoder (per-partition init, batch iteration — the real
+    // contract a codec/model decoder needs). The deterministic stand-in
+    // checksum is a byte fold replicated exactly in the oracle (ASCII text
+    // → utf8 bytes are the character codes).
+    QueryDef.of("multimodal_decode",
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      generate_series(1, length(text)),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) & 2147483647) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+          col("text").cast("binary").as("payload"),
+          lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeFake(media).toDF()
+        .select("media_id", "n_bytes", "checksum")
+        .orderBy("media_id")
+    },
 
     // Opaque-binary payload plumbing: byte length + header hex, computed as
     // Catalyst expressions over BinaryType (never deserialized row-by-row).
