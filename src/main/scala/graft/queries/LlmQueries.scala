@@ -263,6 +263,40 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // PII-style scrubbing: regex redaction as a pure columnar transform
+    // (the curation step that runs before anything else touches a crawl).
+    // Patterns kept to syntax shared by Java regex and RE2 so the oracle
+    // is exact.
+    QueryDef.of("text_scrub",
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9][0-9][0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+            "[0-9][0-9][0-9]+", "<NUM>").as("scrubbed"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus length histogram: 50-char buckets — the shape check every
+    // curation run starts with.
+    QueryDef.of("doc_length_hist",
+      """SELECT CAST(n_chars // 50 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy((col("n_chars") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min("n_chars").cast("long").as("min_chars"),
+          max("n_chars").cast("long").as("max_chars"))
+        .orderBy("bucket")
+    },
+
     // Language-ID distribution. Tie-break: highest score, then
     // lexicographically-later language (struct-max in Spark ≡ the
     // descending-lex CASE cascade in the oracle).
