@@ -32,19 +32,38 @@ object Dedup {
       .select("keep_id", "n_dups")
 
   /**
-   * Exact dedup at scale: group on (fingerprint, length) instead of the full
-   * text so the shuffle key is 16 bytes regardless of document size. At
-   * 100 TB this is the difference between shuffling the corpus and shuffling
-   * a long per doc. Collisions within a (fingerprint,length) group are
-   * resolved exactly by a second, group-local comparison on text.
+   * Exact dedup at scale, two-phase so document text only crosses a shuffle
+   * when it is actually a duplicate candidate:
+   *
+   *  1. Count groups on the strong content key (xxhash64 + 31-bit
+   *     polynomial fingerprint + length ≈ 95 bits) — the shuffle carries
+   *     ~24-byte rows regardless of document size. Singleton groups are
+   *     done: no other document shares the key, so none shares the text.
+   *  2. Only members of multi-document key groups (the true duplicates
+   *     plus astronomically-rare colliders) are re-grouped WITH the text —
+   *     exact verification, paid only for the duplicate mass.
+   *
+   * On a mostly-unique 100 TB corpus the payload never shuffles; on a
+   * dup-heavy corpus only the duplicates do — which is the inherent cost of
+   * an exact (not hash-trusting) answer.
    */
-  def exactByFingerprint(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"), length(col("text")).as("len"),
-        col("text"))
-      .groupBy("fp", "len", "text") // text only compared within fp+len buckets
+  def exactByFingerprint(docs: DataFrame): DataFrame = {
+    val withFp = docs.select(col("doc_id"), col("text"),
+      fingerprint(col("text")).as("fp"),
+      xxhash64(col("text")).as("fpx"),
+      length(col("text")).as("len"))
+      .persist()
+    val groups = withFp.select("doc_id", "fp", "fpx", "len") // no text
+      .groupBy("fp", "fpx", "len")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+    val singles = groups.filter(col("n_dups") === 1).select("keep_id", "n_dups")
+    val multiKeys = groups.filter(col("n_dups") > 1).select("fp", "fpx", "len")
+    val multis = withFp.join(multiKeys, Seq("fp", "fpx", "len"), "left_semi")
+      .groupBy("fp", "fpx", "len", "text") // exact: text compared in-group
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups")
+    singles.unionAll(multis)
+  }
 
   /**
    * MinHash + LSH near-dup candidate pairs. Signature of `numHashes` minima
