@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
  */
 object VectorFunctions {
 
+  /**
+   * Split a packed signature long into `bands` contiguous band values for
+   * LSH bucketing: `posexplode` over Scala-built shifts (exact integer
+   * arithmetic, codegen-friendly). Emits columns (band, band_val) when
+   * aliased via `.as(Seq("band", "band_val"))` by the caller.
+   */
+  def lshBands(sig: Column, bands: Int, bits: Int): Column = {
+    val mask = (1L << bits) - 1L
+    posexplode(array((0 until bands).map(b =>
+      shiftright(sig, b * bits).bitwiseAND(lit(mask))): _*))
+  }
+
   /** Elementwise product then sum — `aggregate(zip_with(a,b,*), 0.0, +)`. */
   def dot(a: Column, b: Column): Column =
     aggregate(

@@ -14,8 +14,8 @@ import graft.functions.VectorFunctions
  *  - Nothing here ever self-joins raw text. Candidate generation always goes
  *    through a compact key (fingerprint, LSH band hash, simhash band) so the
  *    shuffle carries longs, not documents.
- *  - All signatures are single-pass columnar expressions (codegen) computed
- *    before any shuffle → map-side work scales linearly.
+ *  - All signatures are single-pass columnar expressions computed before
+ *    any shuffle → map-side work scales linearly.
  *  - Pair explosion is bounded: band-bucket joins only materialize pairs that
  *    collide in a band, and candidate verification is O(signature), not
  *    O(text). Skewed buckets (boilerplate docs) can be capped via
@@ -145,13 +145,10 @@ object Dedup {
   def simhashPairs(docs: DataFrame, bands: Int = 4, maxHamming: Int = 3,
       k: Int = 3): DataFrame = {
     val bits = 64 / bands
-    val mask = (1L << bits) - 1L
     // Persisted: signature computed once, both join legs read the cache.
     val sig = docs.select(col("doc_id"), simhash(col("text"), k).as("sh")).persist()
     val banded = sig.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sh"), b * bits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "band_val")))
+      VectorFunctions.lshBands(col("sh"), bands, bits).as(Seq("band", "band_val")))
     val l = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val r = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     // Guaranteed-recall banding (bands > maxHamming) forces narrow bands, so
@@ -339,15 +336,12 @@ object Dedup {
   def embeddingNearDupLsh(emb: DataFrame, threshold: Double, nBits: Int = 32,
       bands: Int = 2, seed: Long = 42L, dim: Int = 64): DataFrame = {
     val bits = nBits / bands
-    val mask = (1L << bits) - 1L
     // Persisted: hyperplane signatures computed once for both join legs.
     val sig = emb.select(col("vec_id"), col("embedding"),
       VectorFunctions.hyperplaneSignature(col("embedding"), nBits, seed, dim).as("sig"))
       .persist()
     val banded = sig.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "band_val")))
+      VectorFunctions.lshBands(col("sig"), bands, bits).as(Seq("band", "band_val")))
     val l = banded.select(col("band"), col("band_val"),
       col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val r = banded.select(col("band"), col("band_val"),

@@ -63,14 +63,11 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nBits: Int = 16,
       bands: Int = 4, seed: Long = 42L, dim: Int = 64): DataFrame = {
     val bits = nBits / bands
-    val mask = (1L << bits) - 1L
     def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
           VectorFunctions.hyperplaneSignature(col("embedding"), nBits, seed, dim).as("sig"))
         .select(col(idAs), col(embAs),
-          posexplode(array((0 until bands).map(b =>
-            shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))): _*))
-            .as(Seq("band", "band_val")))
+          VectorFunctions.lshBands(col("sig"), bands, bits).as(Seq("band", "band_val")))
     val q = banded(queries, "query_id", "q_emb")
     val c = banded(corpus, "neighbor_id", "c_emb")
     val cand = c.join(q, Seq("band", "band_val"))

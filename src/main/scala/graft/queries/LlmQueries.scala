@@ -46,27 +46,26 @@ object LlmQueries {
       |  GROUP BY 1, 2, 3, 4
       |)""".stripMargin
 
+  /** Shared oracle for both exact-dedup variants: their contract is the
+    * same — grouping by content IS grouping by text. */
+  private val exactDedupOracle: String =
+    """SELECT keep_id, n_dups FROM (
+      |  SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+      |  FROM documents GROUP BY text
+      |) ORDER BY keep_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- deduplication -------------------------------------------------
 
-    QueryDef.of("dedup_exact",
-      """SELECT keep_id, n_dups FROM (
-        |  SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
-        |  FROM documents GROUP BY text
-        |) ORDER BY keep_id""".stripMargin) { (s, dir) =>
+    QueryDef.of("dedup_exact", exactDedupOracle) { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("keep_id")
     },
 
-    // Same answer as dedup_exact, but the shuffle key is a 16-byte
-    // (fingerprint, length) pair instead of the document text — the shape
-    // that survives 100 TB. Same oracle: grouping by (fp, len, text) is
-    // exactly grouping by text.
-    QueryDef.of("dedup_fingerprint",
-      """SELECT keep_id, n_dups FROM (
-        |  SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
-        |  FROM documents GROUP BY text
-        |) ORDER BY keep_id""".stripMargin) { (s, dir) =>
+    // Same answer as dedup_exact, but only duplicate candidates' text ever
+    // crosses a shuffle (two-phase strong-hash grouping) — the shape that
+    // survives 100 TB.
+    QueryDef.of("dedup_fingerprint", exactDedupOracle) { (s, dir) =>
       Dedup.exactByFingerprint(Tables.documents(s, dir)).orderBy("keep_id")
     },
 
