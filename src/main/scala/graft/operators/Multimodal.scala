@@ -66,4 +66,41 @@ object Multimodal {
   def payloadStats(df: DataFrame, payloadCol: String = "payload"): DataFrame =
     df.withColumn("n_bytes", length(col(payloadCol)).cast("long"))
       .withColumn("header_hex", substring(hex(col(payloadCol)), 1, 16))
+
+  /**
+   * STUB resize — a real implementation would decode, scale, re-encode via
+   * an image codec held per partition. The Spark-side contract is real:
+   * per-partition batching, output schema (payload + updated dims), and the
+   * deterministic fake (truncate the payload proportionally to the pixel
+   * reduction) keeps tests meaningful.
+   */
+  def resizeFake(rows: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // per-partition init site (codec in a real resizer)
+      it.map { r =>
+        val inPixels = math.max(1, r.width * r.height)
+        val ratio = math.min(1.0, (outW.toLong * outH).toDouble / inPixels)
+        val nBytes = math.max(0, math.ceil(r.payload.length * ratio).toInt)
+        r.copy(payload = r.payload.take(nBytes), width = outW, height = outH)
+      }
+    }
+  }
+
+  /**
+   * STUB frame sampling — a real implementation would demux the container
+   * and decode every Nth frame. Deterministic fake: split the payload into
+   * `frameCount` equal chunks and emit every `stride`-th chunk as one
+   * "frame" row (media_id, frame_no, frame payload) — the 1→N row shape a
+   * video pipeline actually produces.
+   */
+  def frameSampleFake(rows: Dataset[MediaRow], frameCount: Int, stride: Int): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.flatMap { r =>
+      val chunk = math.max(1, r.payload.length / math.max(1, frameCount))
+      (0 until frameCount by stride).map { f =>
+        (r.media_id, f, r.payload.slice(f * chunk, (f + 1) * chunk))
+      }
+    }.toDF("media_id", "frame_no", "frame_payload")
+  }
 }

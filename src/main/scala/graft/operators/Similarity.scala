@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import graft.functions.VectorFunctions
 
 /**
@@ -75,6 +77,52 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
       .filter(col("cos").isNotNull) // see bruteForceTopK
+    explodeRanked(
+      cand.groupBy("query_id")
+        .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn")))
+  }
+
+  /**
+   * IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+   * partitions the corpus into `nCells` cells; each query probes its
+   * `nProbe` nearest cells and exact-rescoring runs only over those cells'
+   * members — cost per query ≈ nProbe/nCells of the corpus instead of N.
+   *
+   * The centroid table is driver-side tiny (nCells × dim doubles) and is
+   * embedded as literals into the query-side probe expression, so probing
+   * is a narrow map — the only shuffle is the cell join, keyed by a small
+   * int. A query vector that exists in the corpus probes its own cell
+   * first (its nearest centroid IS its assigned centroid), so self-recall
+   * is guaranteed at any nProbe ≥ 1.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16,
+      nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    val featurize =
+      array_to_vector(transform(col("embedding"), x => x.cast("double")))
+    val corpusVec = corpus.select(col("vec_id"), col("embedding"),
+      featurize.as("features"))
+    val model = new KMeans()
+      .setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("cell"))
+    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+    // nProbe nearest centroids per query, centroid coordinates as literals
+    val cellDists: Seq[Column] = centroids.indices.map { c =>
+      struct(VectorFunctions.l2Sq(col("embedding"), typedLit(centroids(c))).as("d"),
+        lit(c).as("cell"))
+    }
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(slice(sort_array(array(cellDists: _*)), 1, nProbe)).as("probe"))
+      .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell"))
+    val cand = assigned.join(q, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+      .filter(col("cos").isNotNull)
     explodeRanked(
       cand.groupBy("query_id")
         .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn")))

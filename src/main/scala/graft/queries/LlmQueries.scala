@@ -202,6 +202,16 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF ANN (rows-only: KMeans cell boundaries make the result set
+    // approximate by construction; recall properties are asserted in
+    // SimilaritySpec against brute force).
+    QueryDef.rowsOnly("ann_topk_ivf") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+          nCells = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+
     // ----- text analysis -------------------------------------------------
 
     QueryDef.of("text_stats",

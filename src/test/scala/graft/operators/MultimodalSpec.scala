@@ -23,6 +23,23 @@ class MultimodalSpec extends SparkSpecBase {
     assert(a(0).checksum != a(1).checksum)
   }
 
+  test("resizeFake shrinks payload with the pixel ratio, updates dims") {
+    val img = MediaRow(7L, "image", Array.tabulate(100)(_.toByte), 10, 10, 0)
+    val out = resizeFake(Seq(img).toDS(), outW = 5, outH = 5).collect()(0)
+    assert(out.width == 5 && out.height == 5)
+    assert(out.payload.length == 25) // 100 bytes × (25/100 pixels)
+    assert(out.payload.toSeq == img.payload.take(25).toSeq) // deterministic
+  }
+
+  test("frameSampleFake emits every stride-th chunk as a frame row") {
+    val vid = MediaRow(8L, "video", Array.tabulate(40)(_.toByte), 0, 0, 0)
+    val out = frameSampleFake(Seq(vid).toDS(), frameCount = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+    assert(out.map(x => (x._1, x._2)).toSeq == Seq((8L, 0), (8L, 2)))
+    assert(out(0)._3 == (0 until 10).map(_.toByte).toSeq)
+    assert(out(1)._3 == (20 until 30).map(_.toByte).toSeq)
+  }
+
   test("payloadStats computes byte length + header hex columnar-only") {
     val df = rows.toDS().toDF()
     val got = payloadStats(df).select("media_id", "n_bytes", "header_hex")

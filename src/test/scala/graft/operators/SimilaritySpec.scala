@@ -66,6 +66,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!out.exists(_.getLong(2) == 9999L))
   }
 
+  test("ivfTopK: planted identical vector at rank 1; high recall vs brute force") {
+    val q = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(q, emb, k = 3, nCells = 8, nProbe = 4).collect()
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    for ((_, rows) <- byQ)
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length))
+    // self-copy query: its own cell is probed first → rank 1, cosine 1
+    val self = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val out = Similarity.ivfTopK(self, emb, k = 3, nCells = 8, nProbe = 1).collect()
+    val rank1 = out.find(_.getLong(1) == 1L).get
+    assert(rank1.getLong(2) == 0L && rank1.getDouble(3) == 1.0)
+    // probing every cell must reproduce brute force exactly
+    val full = Similarity.ivfTopK(q, emb, k = 3, nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bf = Similarity.bruteForceTopK(q, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == bf)
+  }
+
   test("lshTopK puts a planted identical vector at rank 1 with cosine 1") {
     val q = emb.filter(col("vec_id") === 0)
       .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
