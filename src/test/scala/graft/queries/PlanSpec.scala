@@ -64,7 +64,8 @@ class PlanSpec extends SparkSpecBase {
 
   test("dedup candidate-generation paths contain no per-key Window") {
     for (name <- Seq("dedup_minhash", "dedup_simhash", "ngram_jaccard",
-        "dedup_exact", "dedup_fingerprint", "dedup_embedding")) {
+        "dedup_exact", "dedup_fingerprint", "dedup_embedding", "ann_topk",
+        "ann_topk_lsh")) {
       val p = plan(name)
       assert(!p.contains("Window"), s"$name plan has a Window:\n$p")
     }
