@@ -48,17 +48,27 @@ object Dedup {
    * an exact (not hash-trusting) answer.
    */
   def exactByFingerprint(docs: DataFrame): DataFrame = {
-    val withFp = docs.select(col("doc_id"), col("text"),
+    def withFp = docs.select(col("doc_id"), col("text"),
       fingerprint(col("text")).as("fp"),
       xxhash64(col("text")).as("fpx"),
       length(col("text")).as("len"))
-      .persist()
-    val groups = withFp.select("doc_id", "fp", "fpx", "len") // no text
+    // Only the 24-byte key projection is cached — persisting withFp itself
+    // would materialize the full text payload into the cache, the exact
+    // thing the two-phase design avoids shipping. The multis leg re-derives
+    // the hashes from a second (column-pruned) scan instead.
+    val keyed = withFp.drop("text").persist()
+    val groups = keyed
       .groupBy("fp", "fpx", "len")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
     val singles = groups.filter(col("n_dups") === 1).select("keep_id", "n_dups")
-    val multiKeys = groups.filter(col("n_dups") > 1).select("fp", "fpx", "len")
-    val multis = withFp.join(multiKeys, Seq("fp", "fpx", "len"), "left_semi")
+    val multiKeys = groups.filter(col("n_dups") > 1)
+      .select(col("fp").as("m_fp"), col("fpx").as("m_fpx"), col("len").as("m_len"))
+    // null-safe (<=>) key equality: NULL-text docs hash to NULL keys, and a
+    // null-unsafe semi join would silently drop them (Dedup.exact groups
+    // null texts together, so this variant must too)
+    val multis = withFp.join(multiKeys,
+        col("fp") <=> col("m_fp") && col("fpx") <=> col("m_fpx") &&
+          col("len") <=> col("m_len"), "left_semi")
       .groupBy("fp", "fpx", "len", "text") // exact: text compared in-group
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups")
@@ -320,6 +330,13 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    // Unconverged labels are silently WRONG (docs would be kept as
+    // "survivors" while actually belonging to a duplicate cluster) — fail
+    // loudly instead. Pointer jumping converges in O(log diameter), so
+    // hitting this means maxIter was set far too low for the graph.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxIter rounds")
     labels
   }
 

@@ -79,7 +79,7 @@ object Multimodal {
     rows.mapPartitions { it =>
       // per-partition init site (codec in a real resizer)
       it.map { r =>
-        val inPixels = math.max(1, r.width * r.height)
+        val inPixels = math.max(1L, r.width.toLong * r.height)
         val ratio = math.min(1.0, (outW.toLong * outH).toDouble / inPixels)
         val nBytes = math.max(0, math.ceil(r.payload.length * ratio).toInt)
         r.copy(payload = r.payload.take(nBytes), width = outW, height = outH)

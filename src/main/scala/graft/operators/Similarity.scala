@@ -31,6 +31,22 @@ object Similarity {
         col("s.neighbor_id").as("neighbor_id"), round(col("s.cos"), 4).as("cos_sim"))
 
   /**
+   * Shared rescore tail: exclude self-pairs, exact cosine, drop null scores
+   * (zero-norm/malformed embeddings can never be a meaningful neighbor, and
+   * `Scored.cos` is a primitive — a null would throw in the aggregator's
+   * input encoder), then the partial-aggregated bounded top-k.
+   * `cand` columns: query_id, q_emb, neighbor_id, c_emb.
+   */
+  private def rescoreTopK(cand: DataFrame, k: Int): DataFrame =
+    explodeRanked(
+      cand
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+        .filter(col("cos").isNotNull)
+        .groupBy("query_id")
+        .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn")))
+
+  /**
    * Exact top-k neighbors by cosine for each query vector. `queries` and
    * `corpus` both have (id, embedding). Self-pairs (same id) are excluded.
    * The queries side is broadcast (small by construction); ties broken by
@@ -43,16 +59,7 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
-      // zero-norm/malformed embeddings cosine to null — they can never be a
-      // meaningful neighbor, and Scored.cos is a primitive (a null would
-      // throw in the aggregator's input encoder)
-      .filter(col("cos").isNotNull)
-    explodeRanked(
-      scored.groupBy("query_id")
-        .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn")))
+    rescoreTopK(c.crossJoin(broadcast(q)), k)
   }
 
   /**
@@ -72,14 +79,11 @@ object Similarity {
           VectorFunctions.lshBands(col("sig"), bands, bits).as(Seq("band", "band_val")))
     val q = banded(queries, "query_id", "q_emb")
     val c = banded(corpus, "neighbor_id", "c_emb")
+    // bands DO generate duplicate (query, neighbor) meetings — dedup before
+    // paying the rescore
     val cand = c.join(q, Seq("band", "band_val"))
-      .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
-      .filter(col("cos").isNotNull) // see bruteForceTopK
-    explodeRanked(
-      cand.groupBy("query_id")
-        .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn")))
+    rescoreTopK(cand, k)
   }
 
   /**
@@ -118,13 +122,9 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(slice(sort_array(array(cellDists: _*)), 1, nProbe)).as("probe"))
       .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell"))
-    val cand = assigned.join(q, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
-      .filter(col("cos").isNotNull)
-    explodeRanked(
-      cand.groupBy("query_id")
-        .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn")))
+    // no pair dedup needed: each corpus vector lives in exactly ONE cell
+    // and a query probes distinct cells, so (query, neighbor) meets at most
+    // once — a dropDuplicates here would be a pure extra shuffle
+    rescoreTopK(assigned.join(q, "cell"), k)
   }
 }

@@ -50,6 +50,15 @@ class DedupSpec extends SparkSpecBase {
     assert(outF == out.sortBy(_.getLong(0)).toSeq)
   }
 
+  test("exactByFingerprint groups NULL-text docs like exact (null-safe keys)") {
+    val withNulls = Seq((1L, "same"), (2L, "same"), (3L, null), (4L, null), (5L, "solo"))
+      .toDF("doc_id", "text")
+    val e = Dedup.exact(withNulls).orderBy("keep_id").collect().toSeq
+    val f = Dedup.exactByFingerprint(withNulls).orderBy("keep_id").collect().toSeq
+    assert(e == f)
+    assert(e.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L), (3L, 2L), (5L, 1L)))
+  }
+
   test("ngramJaccard: hashed-shingle scale path ≡ raw-string path") {
     val raw = Dedup.ngramJaccard(docs, hashShingles = false)
       .orderBy("doc_a", "doc_b").collect().toSeq
