@@ -50,6 +50,15 @@ object TextFunctions {
       lit(0L),
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(6.0)).cast("long")))
 
+  /**
+   * BPE-ish regex token count: letter runs, digit runs, and punctuation
+   * runs each count as one token (the GPT-2 pre-tokenizer shape, ASCII
+   * charset so the pattern means the same thing in Java regex and RE2 —
+   * which keeps the DuckDB oracle exact).
+   */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+")).cast("long")
+
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
     val n = length(text)

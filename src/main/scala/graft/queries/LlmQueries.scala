@@ -246,6 +246,22 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Token counting both ways the brief names: whitespace tokens and a
+    // BPE-ish regex pre-tokenizer (letter/digit/punct runs).
+    QueryDef.of("token_counts",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import TextFunctions._
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_ws"),
+          bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
     // Composite quality score per document — oracle mirrors the exact
     // weighted-sum formula (same term order, so doubles match bitwise;
     // deliberately unrounded, see TextFunctions.qualityScore).
