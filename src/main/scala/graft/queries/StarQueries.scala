@@ -215,6 +215,48 @@ object StarQueries {
         .orderBy("event_type")
     },
 
+    // Sessionization (batch form): per-user sessions split at >30-minute
+    // gaps — lag to mark boundaries, running sum to number sessions, then
+    // per-session aggregates. The window partitions by user_id (bounded by
+    // per-user activity, the natural sessionization key at any scale).
+    // Exact integer microseconds on both sides: Spark's µs timestamps and
+    // DuckDB's epoch_us agree bit-for-bit. The streaming twin with custom
+    // state + event-time timeout is graft.streaming.EventsStreaming
+    // .sessionize (agreement asserted in StreamingSpec).
+    QueryDef.of("events_sessions",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), m AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        |  SELECT user_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM m
+        |)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        |FROM s GROUP BY user_id, sess_no
+        |ORDER BY user_id, sess_no""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_no", sum("new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_no")
+        .agg(count(lit(1)).as("n_events"),
+          (max("us") - min("us")).as("duration_us"))
+        .orderBy("user_id", "sess_no")
+    },
+
     // Tumbling event-time window (batch form): hourly counts per event type.
     // The streaming form of the same aggregation lives in
     // graft.streaming.EventsStreaming (same logical plan under readStream).

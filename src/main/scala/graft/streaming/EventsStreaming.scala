@@ -1,7 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Open-session state for [[EventsStreaming.sessionize]]. */
+case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+
+/** One closed session. */
+case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long,
+    duration_us: Long)
 
 /**
  * Structured Streaming tier. The reference is strictly batch (SURVEY.md
@@ -65,4 +73,64 @@ object EventsStreaming {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp_x", "fp_p", "fp_len")
       .drop("fp_x", "fp_p", "fp_len")
+
+  /**
+   * Streaming sessionization — the custom-state tier the built-in operators
+   * can't express: per-user sessions split at `gapMinutes` of event-time
+   * silence, held open in `GroupState` and closed either by a later event
+   * beyond the gap or by an EVENT-TIME TIMEOUT once the watermark passes
+   * the open session's horizon (so state is bounded and sessions still
+   * emit for users who simply stop). Batch twin: the `events_sessions`
+   * query (same gap rule via lag/running-sum windows); agreement on a
+   * closed stream is asserted in StreamingSpec.
+   *
+   * Emits a [[SessionOut]] row per CLOSED session, append-mode.
+   */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+      watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      // the watermarked ts column must remain in the input schema for the
+      // event-time timeout to be allowed
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's gap horizon: close it
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(userId, s.startUs, s.nEvents, s.lastUs - s.startUs))
+          } else {
+            val sorted = rows.map(_._3).toArray.sorted
+            // fold events into (closed sessions, open session)
+            var open = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            for (us <- sorted) {
+              open match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  open = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  out += SessionOut(userId, s.startUs, s.nEvents, s.lastUs - s.startUs)
+                  open = Some(SessionState(us, us, 1L))
+                case None =>
+                  open = Some(SessionState(us, us, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close via timeout when the watermark passes last event + gap
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L) // ms
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -84,6 +84,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionize: gap-split sessions, timeout close, agrees with batch rule") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val events = in.toDF()
+    val q = EventsStreaming.sessionize(events.selectExpr("event_id AS user_id", "ts", "event_type", "value"),
+        gapMinutes = 30, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two sessions (gap 40 min); user 2: one session
+      in.addData(
+        Ev(1, t(10, 0), "c", 0), Ev(1, t(10, 10), "c", 0), // sess A: 2 events
+        Ev(1, t(10, 50), "c", 0), // > 30 min gap → sess B opens
+        Ev(2, t(10, 5), "c", 0))
+      q.processAllAvailable()
+      // advance watermark far past every open session's horizon
+      in.addData(Ev(9, t(14, 0), "c", 0))
+      q.processAllAvailable()
+      in.addData(Ev(9, t(15, 0), "c", 0)) // second advance so timeouts fire
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def us(h: Int, m: Int) = t(h, m).getTime * 1000L
+      assert(got.contains((1L, us(10, 0), 2L, 10L * 60 * 1000000)))
+      assert(got.contains((1L, us(10, 50), 1L, 0L)))
+      assert(got.contains((2L, us(10, 5), 1L, 0L)))
+    } finally q.stop()
+  }
+
   test("dedupEvents drops duplicate event_ids within the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
