@@ -112,6 +112,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionize agrees with the batch gap rule on randomized streams") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    // 5 users, ~80 events over 6 hours — gaps straddle the 30-min rule
+    val evs = (1 to 80).map { i =>
+      Ev(rnd.nextInt(5).toLong + 1L, t(9 + rnd.nextInt(6), rnd.nextInt(60)), "c", 0)
+    }
+    // in-memory reference of the batch rule (sorted per user, 30-min gaps)
+    val gapUs = 30L * 60 * 1000000
+    val expected = evs.groupBy(_.event_id).flatMap { case (u, es) =>
+      val us = es.map(_.ts.getTime * 1000L).sorted
+      val sessions = us.foldLeft(List.empty[List[Long]]) {
+        case (Nil, x) => List(List(x))
+        case (cur :: done, x) if x - cur.head <= gapUs => (x :: cur) :: done
+        case (acc, x) => List(x) :: acc
+      }
+      sessions.map(s => (u, s.min, s.size.toLong, s.max - s.min))
+    }.toSet
+    val in = MemoryStream[Ev]
+    val q = EventsStreaming.sessionize(
+        in.toDF().selectExpr("event_id AS user_id", "ts", "event_type", "value"),
+        gapMinutes = 30, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sessions_rand")
+      .outputMode("append").start()
+    try {
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      // two far-future sentinel batches so every open session times out
+      in.addData(Ev(99, t(20, 0), "c", 0)); q.processAllAvailable()
+      in.addData(Ev(99, t(22, 0), "c", 0)); q.processAllAvailable()
+      val got = spark.table("sessions_rand")
+        .as[(Long, Long, Long, Long)].collect().toSet
+        .filter(_._1 != 99L)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("dedupEvents drops duplicate event_ids within the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
