@@ -70,6 +70,26 @@ class TextFunctionsSpec extends SparkSpecBase {
       s"near ${ham(sigs(0), sigs(1))} !< far ${ham(sigs(0), sigs(2))}")
   }
 
+  test("randomized: tokens/tokenHash/fingerprint/shingles match references") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcXYZ019 .,!@#   " // printable ASCII incl. runs of spaces
+    val randoms = (1 to 40).map { _ =>
+      val n = rnd.nextInt(120)
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val got = randoms.toDF("t").select(
+      TextFunctions.tokens(col("t")),
+      TextFunctions.tokenHash(col("t")),
+      TextFunctions.fingerprint(col("t")),
+      TextFunctions.shingles(col("t"), 3)).collect()
+    randoms.zip(got).foreach { case (s, row) =>
+      assert(row.getSeq[String](0) == refTokens(s), s"tokens(${s.take(40)}...)")
+      assert(row.getLong(1) == refTokenHash(s, 31L), s"tokenHash(${s.take(40)})")
+      assert(row.getLong(2) == refFingerprint(s), s"fingerprint(${s.take(40)})")
+      assert(row.getSeq[String](3) == refShingles(s, 3), s"shingles(${s.take(40)})")
+    }
+  }
+
   test("hammingDistance is bit_count of xor") {
     val got = Seq((3L, 5L), (0L, 0L), (Long.MaxValue, 0L)).toDF("a", "b")
       .select(TextFunctions.hammingDistance(col("a"), col("b"))).collect()
