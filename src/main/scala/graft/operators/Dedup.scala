@@ -166,6 +166,9 @@ object Dedup {
     // popcount on two longs, codegen'd) and only shuffle the survivors into
     // the pair dedup. Deduplicating 10M raw candidates before filtering
     // measured ~10× slower than filtering 10M and deduplicating dozens.
+    // (Moving the ordering + hamming predicates into the join condition
+    // itself measured no better — Catalyst already pushes this filter
+    // against the join output inside the same codegen stage.)
     l.join(r, Seq("band", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
