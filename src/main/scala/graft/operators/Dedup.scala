@@ -304,8 +304,12 @@ object Dedup {
    * that appears in some pair, cluster = min doc_id of its component.
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Persist the input FIRST: edges references it twice (both directions),
+    // so an unpersisted pair-detection pipeline would execute twice in the
+    // first materialization.
+    val p = pairs.persist()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
