@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Manual key-salting for skewed equi-joins — the fallback when AQE's skew
+ * handling doesn't apply (e.g. the skewed side feeds a shuffled hash join
+ * whose one hot key pins a single task) and the dimension is too big to
+ * broadcast outright.
+ *
+ * `saltedJoin(fact, dim, key, buckets)`:
+ *  - fact rows get a deterministic pseudo-random salt in [0, buckets) —
+ *    spreading a hot key's rows over `buckets` shuffle partitions;
+ *  - dim rows are exploded ×buckets (one copy per salt value);
+ *  - the join key becomes (key, salt), so no single task owns a hot key.
+ *
+ * Inner-join semantics are IDENTICAL to `fact.join(dim, key)` (asserted in
+ * SaltSpec); cost is the dim-side ×buckets replication — use when
+ * |dim| · buckets ≪ |fact|'s hot-key mass. The salt derives from
+ * xxhash64 over the fact row's key plus a per-row uniquifier, so it is
+ * deterministic per run and needs no stored state.
+ */
+object Salt {
+
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      buckets: Int = 16): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets.toLong))
+        .cast("int"))
+    val exploded = dim.withColumn("_salt",
+      explode(typedLit((0 until buckets).toList)))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Convenience: salted join followed by an algebraic aggregation — the
+    * common shape (join skewed fact to dim, then aggregate). */
+  def saltedJoinAgg(fact: DataFrame, dim: DataFrame, key: String,
+      groupCols: Seq[String], aggs: Seq[Column], buckets: Int = 16): DataFrame =
+    saltedJoin(fact, dim, key, buckets)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+}
