@@ -178,15 +178,87 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram (word k-shingle) Jaccard similarity: every pair with
-   * Jaccard >= `threshold`, scores exact. No text crosses the pair join —
-   * only shingle keys and per-doc distinct counts.
+   * Word-k-shingle sets per document, stop-shingles stripped. Returns
+   * (shSets, dfTable): shSets has (doc_id, sh: array, n_sh), persisted —
+   * callers are expected to release it via `spark.catalog.clearCache()`
+   * after materializing their output (the Verify/Bench/test contract);
+   * dfTable has (s, df) document frequencies over the UNstripped postings.
    *
    * Stop-shingles (document frequency > `maxShingleDf`) are removed from
    * the shingle SETS up front (sets and set sizes both exclude them), which
    * bounds join-key skew — one boilerplate shingle at 100 TB must not
    * become one stuck task. The hot list is tiny by definition: collected
    * via partial-aggregated groupBy.count and broadcast, never a window.
+   */
+  private[operators] def shingleSets(docs: DataFrame, k: Int, maxShingleDf: Int,
+      hashShingles: Boolean): (DataFrame, DataFrame) = {
+    val shingleKey: Column => Column =
+      if (hashShingles) s => tokenHash(s) else identity
+    val rawSets = docs
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("text"), k), s => shingleKey(s))).as("sh0"))
+      .persist()
+    val post0 = rawSets.select(col("doc_id"), explode(col("sh0")).as("s"))
+    val dfTable = post0.groupBy("s").agg(count(lit(1)).as("df"))
+    // hot list as ONE broadcast array row → array_except strips stop-
+    // shingles from every set without a shuffle or a window
+    val hotArr = dfTable.filter(col("df") > maxShingleDf)
+      .agg(collect_list(col("s")).as("hot"))
+    val shSets = rawSets.crossJoin(broadcast(hotArr))
+      .select(col("doc_id"), array_except(col("sh0"), col("hot")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+      .persist()
+    (shSets, dfTable)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against full shingle
+    * sets: two compact joins on doc ids (the sets travel once per candidate
+    * pair, never per shingle posting), array_intersect in-row. Output
+    * (doc_a, doc_b, jaccard) filtered at `threshold`. */
+  private def verifyJaccard(cand: DataFrame, shSets: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /**
+   * The composed scale-path near-dup pipeline: MinHash-LSH candidate
+   * DISCOVERY (compact banded-signature join — cost ∝ true duplicate mass,
+   * not Σ df²) feeding exact n-gram Jaccard VERIFICATION of the candidates
+   * only (set intersection per candidate pair — O(candidates), not
+   * O(pairs)). This is the shape to run at 100 TB; [[ngramJaccard]] is
+   * the all-pairs exact engine kept as the test oracle for it.
+   *
+   * Same output contract as [[ngramJaccard]] (doc_a, doc_b, jaccard with
+   * EXACT scores) whenever LSH recall covers every >= threshold pair — which
+   * banding guarantees deterministically for well-separated corpora (the
+   * planted >= 0.9 pairs agree on >*threshold* of signature rows, and
+   * signatures are pure functions of the text, so recall is reproducible,
+   * not probabilistic-per-run). Asserted ≡ ngramJaccard in DedupSpec.
+   */
+  def minhashNgramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 32, bands: Int = 8, maxShingleDf: Int = 1000,
+      maxBucketSize: Int = 10000, hashShingles: Boolean = true): DataFrame = {
+    val cand = minhashLsh(docs, k, numHashes, bands, threshold, maxBucketSize)
+      .select("doc_a", "doc_b")
+    val (shSets, _) = shingleSets(docs, k, maxShingleDf, hashShingles)
+    verifyJaccard(cand, shSets, threshold)
+  }
+
+  /**
+   * Exact n-gram (word k-shingle) Jaccard similarity: every pair with
+   * Jaccard >= `threshold`, scores exact. No text crosses the pair join —
+   * only shingle keys and per-doc distinct counts. ALL-PAIRS engine (cost
+   * Σ df² over postings): at corpus scale prefer [[minhashNgramJaccard]],
+   * which discovers candidates by LSH and verifies only those.
    *
    * `prefixFilter=true` runs the AllPairs/PPJoin prefix-filtered join:
    * shingles are globally ordered by (df, shingle), each doc posts only its
@@ -205,29 +277,13 @@ object Dedup {
    *
    * `hashShingles=true` (default, the scale path) posts 31-bit shingle
    * hashes so join keys are longs; `hashShingles=false` posts raw shingle
-   * strings — bit-exact (no hash-collision noise), used by the
-   * oracle-checked query surface.
+   * strings (no hash-collision noise at all — the belt-and-braces test
+   * reference; DedupSpec asserts the two paths identical on the corpus).
    */
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Int = 1000, hashShingles: Boolean = true,
       prefixFilter: Boolean = false): DataFrame = {
-    val shingleKey: Column => Column =
-      if (hashShingles) s => tokenHash(s) else identity
-    val rawSets = docs
-      .select(col("doc_id"),
-        array_distinct(transform(shingles(col("text"), k), s => shingleKey(s))).as("sh0"))
-      .persist()
-    val post0 = rawSets.select(col("doc_id"), explode(col("sh0")).as("s"))
-    val dfTable = post0.groupBy("s").agg(count(lit(1)).as("df"))
-    // hot list as ONE broadcast array row → array_except strips stop-
-    // shingles from every set without a shuffle or a window
-    val hotArr = dfTable.filter(col("df") > maxShingleDf)
-      .agg(collect_list(col("s")).as("hot"))
-    val shSets = rawSets.crossJoin(broadcast(hotArr))
-      .select(col("doc_id"), array_except(col("sh0"), col("hot")).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .filter(col("n_sh") > 0)
-      .persist()
+    val (shSets, dfTable) = shingleSets(docs, k, maxShingleDf, hashShingles)
 
     val verified =
       if (!prefixFilter) {

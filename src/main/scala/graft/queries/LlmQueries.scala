@@ -69,9 +69,13 @@ object LlmQueries {
       Dedup.exactByFingerprint(Tables.documents(s, dir)).orderBy("keep_id")
     },
 
-    // Exact n-gram Jaccard near-dup pairs via the inverted shingle index
-    // (raw-string shingle variant → bit-exact against the DuckDB oracle;
-    // the hashed-key scale variant is asserted equal in DedupSpec).
+    // Exact n-gram Jaccard near-dup pairs via the SCALE pipeline:
+    // MinHash-LSH discovers candidates (compact banded-signature join, cost
+    // ∝ duplicate mass), exact Jaccard verifies candidates only. Scores stay
+    // bit-exact against the all-pairs DuckDB oracle: verification intersects
+    // the full hashed-shingle sets, and the 31-bit tokenHash is injective on
+    // this corpus (zero collisions at sf0.01/sf0.001 — asserted raw ≡ hashed
+    // in DedupSpec), so inter/union counts match the raw-string arithmetic.
     QueryDef.of("ngram_jaccard",
       shingleCte +
         """
@@ -80,8 +84,8 @@ object LlmQueries {
           |FROM p
           |WHERE CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE) >= 0.5
           |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      Dedup.ngramJaccard(Tables.documents(s, dir), k = 3, threshold = 0.5,
-          maxShingleDf = 1000, hashShingles = false)
+      Dedup.minhashNgramJaccard(Tables.documents(s, dir), k = 3, threshold = 0.5,
+          maxShingleDf = 1000, hashShingles = true)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
@@ -159,8 +163,10 @@ object LlmQueries {
           |WHERE doc_id NOT IN (SELECT src FROM reach WHERE cluster <> src)
           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.ngramJaccard(docs, k = 3, threshold = 0.5,
-        maxShingleDf = 1000, hashShingles = false).select("doc_a", "doc_b")
+      // scale-path pair detection: LSH discovery + candidate-only exact
+      // verification (same pair set as the all-pairs engine on this corpus)
+      val pairs = Dedup.minhashNgramJaccard(docs, k = 3, threshold = 0.5,
+        maxShingleDf = 1000, hashShingles = true).select("doc_a", "doc_b")
       val losers = Dedup.duplicateClusters(pairs)
         .filter(col("doc_id") =!= col("cluster"))
       docs.join(losers, Seq("doc_id"), "left_anti")

@@ -99,6 +99,15 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("minhashNgramJaccard (scale pipeline) ≡ all-pairs ngramJaccard, exact scores") {
+    val composed = Dedup.minhashNgramJaccard(docs, hashShingles = true)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val allPairs = Dedup.ngramJaccard(docs, hashShingles = false)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(composed == allPairs) // pair set AND bit-exact jaccard doubles
+    assert(composed.nonEmpty)
+  }
+
   test("minhashLsh detects exactly the true near-dup pairs (clean separation)") {
     val got = Dedup.minhashLsh(docs).select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
