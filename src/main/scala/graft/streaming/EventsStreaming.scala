@@ -126,8 +126,17 @@ object EventsStreaming {
             }
             open.foreach { s =>
               state.update(s)
-              // close via timeout when the watermark passes last event + gap
-              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L) // ms
+              // Close via timeout when the watermark passes last event + gap.
+              // CLAMPED to watermark+1: a legitimately-late event (inside the
+              // watermark delay but more than gapMinutes behind the watermark)
+              // has its gap horizon already below the current watermark, and
+              // setTimeoutTimestamp throws on that — crashing the query on
+              // valid input. Clamping defers the close to the next watermark
+              // advance, which also lets a boundary event arriving in the same
+              // trigger still extend the session (batch-rule agreement).
+              state.setTimeoutTimestamp(
+                math.max((s.lastUs + gapUs) / 1000L,
+                  state.getCurrentWatermarkMs() + 1L)) // ms
             }
             out.result().iterator
           }

@@ -112,6 +112,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionize survives a valid late event whose gap horizon is behind the watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // delay 2h, gap 30 min: an event inside the watermark delay but more
+    // than 30 min behind the watermark has lastUs+gap < watermark — the
+    // unclamped setTimeoutTimestamp throws IllegalArgumentException and
+    // kills the whole query on valid input.
+    val q = EventsStreaming.sessionize(
+        in.toDF().selectExpr("event_id AS user_id", "ts", "event_type", "value"),
+        gapMinutes = 30, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(2, t(12, 0), "c", 0)) // watermark → 10:00 after this batch
+      q.processAllAvailable()
+      // user 1 at 08:30: ≥ 10:00-2h so NOT dropped; 08:30+0:30 < 10:00
+      in.addData(Ev(1, t(8, 30), "c", 0))
+      q.processAllAvailable() // must not crash
+      // push the watermark forward twice so the clamped timeout fires
+      in.addData(Ev(9, t(16, 0), "c", 0)); q.processAllAvailable()
+      in.addData(Ev(9, t(18, 0), "c", 0)); q.processAllAvailable()
+      val got = spark.table("sessions_late")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def us(h: Int, m: Int) = t(h, m).getTime * 1000L
+      assert(got.contains((1L, us(8, 30), 1L, 0L))) // the late session closed
+      assert(got.contains((2L, us(12, 0), 1L, 0L)))
+    } finally q.stop()
+  }
+
   test("sessionize agrees with the batch gap rule on randomized streams") {
     implicit val ctx = spark.sqlContext
     val rnd = new scala.util.Random(11)
