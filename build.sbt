@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 40+ whole-stage-codegen queries in one JVM generate enough classes to
+  // fill the default 240m code cache; once full the JIT shuts off and
+  // expression-heavy queries run interpreted (~20x slower).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -36,7 +36,14 @@ object Bench {
         errors += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // release per-query persisted intermediates
+      // Release per-query persisted intermediates. clearCache() only drops
+      // SQL-cached datasets; localCheckpoint blocks (duplicateClusters'
+      // per-round lineage cuts) live as persisted RDDs in the BlockManager
+      // and would otherwise accumulate across all 40+ queries, polluting
+      // later measurements with eviction/GC pressure.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name took $dt%.2f s")
       name -> dt

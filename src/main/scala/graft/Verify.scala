@@ -24,8 +24,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // dedup operators persist signature intermediates for their own
-      // multi-use plans; release them between queries
+      // multi-use plans; release them between queries — including
+      // localCheckpoint RDD blocks, which clearCache() does not track
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

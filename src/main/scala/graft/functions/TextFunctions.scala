@@ -144,6 +144,19 @@ object TextFunctions {
           i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
   }
 
+  /**
+   * Native-loop twin of `transform(shingles(text, k), s => xxhash64(s))`
+   * via [[graft.expressions.ShingleHashes]] — identical values (asserted in
+   * ShingleHashesSpec), ~50× the throughput. The dedup operators' shingling
+   * entry point; the composable [[shingles]] remains the semantic reference
+   * and the raw-string path.
+   */
+  def shingleHashes(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.ShingleHashes(
+      ColumnBridge.expression(text), k))
+  }
+
   /** Character n-grams of the whole string (for n-gram Jaccard / lang-ID). */
   def charNgrams(text: Column, n: Int): Column =
     when(length(text) < n, array(text))
@@ -169,17 +182,69 @@ object TextFunctions {
    *    across interpreted higher-order functions), which measured ~14×
    *    slower on the sf0.1 corpus.
    */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val hs = transform(shingles(text, k), s => pmod(xxhash64(s), lit(M)))
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    minhashFromFeatures(transform(shingles(text, k), s => xxhash64(s)), numHashes)
+
+  /**
+   * MinHash signature over an already-extracted feature array (any longs —
+   * e.g. the tokenHash elements of [[graft.operators.Dedup.shingleSets]]'
+   * hashed shingle sets). Lets a pipeline that has materialized hashed
+   * shingle sets derive signatures from them directly: one shingling pass
+   * feeds both LSH discovery and exact verification, and both measure
+   * similarity of the SAME (stop-shingle-stripped) sets. Elements are
+   * mixed through the codegen'd `xxhash64` before the affine family —
+   * tokenHash values are polynomial and nearby shingles produce correlated
+   * low bits, which would bias per-row minima.
+   */
+  def minhashFromFeatures(features: Column, numHashes: Int): Column =
     aggregate(
-      hs,
+      transform(features, x => pmod(xxhash64(x), lit(M))),
       array_repeat(lit(M), numHashes), // M > every hash value in [0, M)
-      (acc, x) => array((0 until numHashes).map { i =>
-        val a = (2L * i + 1L) * 0x9E3779B9L % M
-        val b = (i + 1L) * 0x85EBCA77L % M
-        least(element_at(acc, i + 1), pmod(lit(a) * x + lit(b), lit(M)))
-      }: _*))
+      (acc, x) => array((0 until numHashes).map(i =>
+        least(element_at(acc, i + 1), minhashLane(i, x))): _*))
+
+  /** Affine universal-hash lane i over x in [0, M): (a_i·x + b_i) mod M. */
+  private def minhashLane(i: Int, x: Column): Column = {
+    val a = (2L * i + 1L) * 0x9E3779B9L % M
+    val b = (i + 1L) * 0x85EBCA77L % M
+    pmod(lit(a) * x + lit(b), lit(M))
   }
+
+  /**
+   * MinHash signature as an AGGREGATE expression over one-feature-per-row
+   * input: `exploded.groupBy("doc_id").agg(minhashAgg(xxhash64($"s"), 32))`.
+   *
+   * This is the throughput path for signature computation: Spark's
+   * higher-order `aggregate` (used by [[minhashFromFeatures]]) is an
+   * interpreted expression — every shingle pays a boxed 32-element array
+   * rebuild outside codegen. As a groupBy aggregate the 32 per-lane `min`s
+   * run inside whole-stage codegen over primitive longs WITH map-side
+   * partial aggregation, so the shuffle still carries one row per doc.
+   * Produces identical signatures to the column variants (asserted in
+   * TextFunctionsSpec): pass `xxhash64(shingle)` as the feature to match
+   * [[minhashSignature]], or the stored shingle-hash long to match
+   * [[minhashFromFeatures]].
+   */
+  def minhashAgg(feature: Column, numHashes: Int): Column = {
+    val x = pmod(xxhash64(feature), lit(M))
+    array((0 until numHashes).map(i => min(minhashLane(i, x))): _*)
+  }
+
+  /**
+   * SimHash signature as an AGGREGATE expression over one-shingle-HASH-per-
+   * row input (pass `xxhash64(shingle)` or a [[shingleHashes]] element) —
+   * same motivation as [[minhashAgg]]: the 62-counter vote array of the
+   * column-level [[simhash]] is an interpreted per-shingle array rebuild,
+   * while 62 codegen'd `sum`s partial-aggregate map-side. Votes on the bits
+   * of `h` directly, so it is bit-identical to [[simhash]] over the same
+   * shingles (asserted in TextFunctionsSpec).
+   */
+  def simhashAgg(h: Column): Column =
+    (0 until 62).map { b =>
+      val vote = when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))
+      when(sum(vote) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
 
   /**
    * 62-bit SimHash over word `k`-shingles: each shingle votes ±1 per bit of

@@ -88,23 +88,51 @@ object Dedup {
    */
   def minhashLsh(docs: DataFrame, k: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
-    val rows = numHashes / bands
     // Persisted: the signature table feeds the hot-bucket scan AND both
     // self-join legs — without persist the (expensive) signature pipeline
     // runs three times. At 100 TB the signature table is ~1000× smaller than
-    // the corpus; caching it is the standard move.
-    val sig = docs.select(col("doc_id"), minhashSignature(col("text"), k, numHashes).as("sig"))
+    // the corpus; caching it is the standard move. Computed via the
+    // codegen'd aggregate path (explode + partial-aggregated per-lane mins),
+    // not the interpreted column HOF — identical signatures, ~whole-stage
+    // throughput (see TextFunctions.minhashAgg).
+    val sig = docs
+      .select(col("doc_id"), explode(shingleHashes(col("text"), k)).as("f"))
+      .groupBy("doc_id")
+      .agg(minhashAgg(col("f"), numHashes).as("sig"))
       .persist()
+    val cand = bandedCandidates(sig, numHashes, bands, maxBucketSize, keepSigs = true)
+    cand
+      .withColumn("jaccard_est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("jaccard_est") >= threshold)
+      .select("doc_a", "doc_b", "jaccard_est")
+  }
+
+  /**
+   * Banded-LSH candidate pairs from a signature table (doc_id, sig:
+   * array<long> of length numHashes). Docs collide when any band's rows
+   * hash identically. Output (doc_a, doc_b[, sig_a, sig_b]), doc_a < doc_b,
+   * deduplicated across bands.
+   *
+   * Shuffle profile: explode is bands× (small constant), join key is
+   * (band index, band hash) — compact and well-distributed.
+   */
+  private def bandedCandidates(sig: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int, keepSigs: Boolean): DataFrame = {
+    val rows = numHashes / bands
     // band hash = polynomial combine of the band's rows (exact Long math).
     // The band array is built at Scala level (bands is a compile-time-ish
     // constant), keeping b*rows exact integer arithmetic and the expression
     // codegen-friendly.
+    val sigCols = if (keepSigs) Seq(col("doc_id"), col("sig")) else Seq(col("doc_id"))
     val banded = sig.select(
-      col("doc_id"), col("sig"),
-      posexplode(array((0 until bands).map { b =>
-        aggregate(slice(col("sig"), b * rows + 1, rows), lit(7L),
-          (acc, h) => pmod(acc * lit(1000003L) + h, lit(2147483647L)))
-      }: _*)).as(Seq("band", "band_hash")))
+      sigCols :+
+        posexplode(array((0 until bands).map { b =>
+          aggregate(slice(col("sig"), b * rows + 1, rows), lit(7L),
+            (acc, h) => pmod(acc * lit(1000003L) + h, lit(2147483647L)))
+        }: _*)).as(Seq("band", "band_hash")): _*)
     // Drop pathological buckets (e.g. empty/boilerplate docs all colliding).
     // Scale-safe: bucket sizes via partial-aggregated groupBy.count, hot-key
     // list broadcast back as an anti-join — NOT a per-key window, which would
@@ -115,21 +143,16 @@ object Dedup {
       .filter(col("bucket_n") > maxBucketSize)
       .select("band", "band_hash")
     val capped = banded.join(broadcast(hotBuckets), Seq("band", "band_hash"), "left_anti")
-    val l = capped.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = capped.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    val cand = l.join(r, Seq("band", "band_hash"))
+    def leg(side: String) = {
+      val cols = Seq(col("band"), col("band_hash"), col("doc_id").as(s"doc_$side")) ++
+        (if (keepSigs) Seq(col("sig").as(s"sig_$side")) else Nil)
+      capped.select(cols: _*)
+    }
+    val pairCols = Seq("doc_a", "doc_b") ++ (if (keepSigs) Seq("sig_a", "sig_b") else Nil)
+    leg("a").join(leg("b"), Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .select(pairCols.head, pairCols.tail: _*)
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .withColumn("jaccard_est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
-      .filter(col("jaccard_est") >= threshold)
-      .select("doc_a", "doc_b", "jaccard_est")
   }
 
   /**
@@ -156,7 +179,11 @@ object Dedup {
       k: Int = 3): DataFrame = {
     val bits = 64 / bands
     // Persisted: signature computed once, both join legs read the cache.
-    val sig = docs.select(col("doc_id"), simhash(col("text"), k).as("sh")).persist()
+    val sig = docs
+      .select(col("doc_id"), explode(shingleHashes(col("text"), k)).as("h"))
+      .groupBy("doc_id")
+      .agg(simhashAgg(col("h")).as("sh"))
+      .persist()
     val banded = sig.select(col("doc_id"), col("sh"),
       VectorFunctions.lshBands(col("sh"), bands, bits).as(Seq("band", "band_val")))
     val l = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -192,11 +219,16 @@ object Dedup {
    */
   private[operators] def shingleSets(docs: DataFrame, k: Int, maxShingleDf: Int,
       hashShingles: Boolean): (DataFrame, DataFrame) = {
-    val shingleKey: Column => Column =
-      if (hashShingles) s => tokenHash(s) else identity
+    // Hashed mode posts 64-bit xxhash64 shingle hashes, via the native
+    // ShingleHashes loop (the HOF shingling pass measured ~2/3 of the whole
+    // pipeline). Shingle hashes never need engine-portable mirroring: the
+    // DuckDB oracle intersects RAW shingle strings, and equality of
+    // distinct/intersection counts only needs the hash to be injective on
+    // the corpus (64-bit: collision odds ~n²/2^64).
     val rawSets = docs
       .select(col("doc_id"),
-        array_distinct(transform(shingles(col("text"), k), s => shingleKey(s))).as("sh0"))
+        (if (hashShingles) array_distinct(shingleHashes(col("text"), k))
+         else array_distinct(shingles(col("text"), k))).as("sh0"))
       .persist()
     val post0 = rawSets.select(col("doc_id"), explode(col("sh0")).as("s"))
     val dfTable = post0.groupBy("s").agg(count(lit(1)).as("df"))
@@ -237,19 +269,40 @@ object Dedup {
    * O(pairs)). This is the shape to run at 100 TB; [[ngramJaccard]] is
    * the all-pairs exact engine kept as the test oracle for it.
    *
+   * ONE shingling pass: the stripped hashed shingle sets are materialized
+   * once and feed both the minhash signatures (via
+   * [[graft.functions.TextFunctions.minhashFromFeatures]]) and the exact
+   * verification — so discovery and verification measure the SAME
+   * similarity, and the corpus is scanned/shingled once, not twice.
+   * Discovery applies NO signature-estimate threshold (the exact
+   * verification is the only thresholding): a 32-hash Jaccard estimate is
+   * a near coin-flip around the cutoff, and filtering on it before exact
+   * verification would silently drop banding-discovered true pairs.
+   *
    * Same output contract as [[ngramJaccard]] (doc_a, doc_b, jaccard with
-   * EXACT scores) whenever LSH recall covers every >= threshold pair — which
-   * banding guarantees deterministically for well-separated corpora (the
-   * planted >= 0.9 pairs agree on >*threshold* of signature rows, and
-   * signatures are pure functions of the text, so recall is reproducible,
-   * not probabilistic-per-run). Asserted ≡ ngramJaccard in DedupSpec.
+   * EXACT scores) whenever banding recall covers every >= threshold pair.
+   * Recall is verified empirically on this corpus and reproducible
+   * (signatures are pure functions of the text) — it is NOT a structural
+   * guarantee; re-verify after any corpus/threshold/hash change
+   * (asserted ≡ ngramJaccard on the test corpora in DedupSpec).
    */
   def minhashNgramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8, maxShingleDf: Int = 1000,
       maxBucketSize: Int = 10000, hashShingles: Boolean = true): DataFrame = {
-    val cand = minhashLsh(docs, k, numHashes, bands, threshold, maxBucketSize)
-      .select("doc_a", "doc_b")
+    require(hashShingles, "the composed scale path derives signatures from " +
+      "hashed shingle sets; use ngramJaccard(hashShingles=false) for the " +
+      "raw-string reference path")
     val (shSets, _) = shingleSets(docs, k, maxShingleDf, hashShingles)
+    // Persisted: the banding self-join reads the signature table twice (once
+    // per leg); without persist the signature aggregate would run twice.
+    // Signatures only — (doc_id, 32 longs) — never the sets or the text.
+    // Codegen'd aggregate path over the already-hashed set elements.
+    val sig = shSets
+      .select(col("doc_id"), explode(col("sh")).as("f"))
+      .groupBy("doc_id")
+      .agg(minhashAgg(col("f"), numHashes).as("sig"))
+      .persist()
+    val cand = bandedCandidates(sig, numHashes, bands, maxBucketSize, keepSigs = false)
     verifyJaccard(cand, shSets, threshold)
   }
 
@@ -275,10 +328,11 @@ object Dedup {
    * whose candidates are true duplicates no filter can prune). Pick by
    * corpus shape; both are exact.
    *
-   * `hashShingles=true` (default, the scale path) posts 31-bit shingle
-   * hashes so join keys are longs; `hashShingles=false` posts raw shingle
-   * strings (no hash-collision noise at all — the belt-and-braces test
-   * reference; DedupSpec asserts the two paths identical on the corpus).
+   * `hashShingles=true` (default, the scale path) posts 64-bit xxhash64
+   * shingle hashes so join keys are longs; `hashShingles=false` posts raw
+   * shingle strings (no hash-collision noise at all — the belt-and-braces
+   * test reference; DedupSpec asserts the two paths identical on the
+   * corpus).
    */
   def ngramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Int = 1000, hashShingles: Boolean = true,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, ShingleHashes}
 
 /**
  * Session extensions registering the engine's native expressions with the
@@ -20,6 +20,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_sim expects exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "shingle_hashes expects (text, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes: k must be an integer literal, got $other")
+        }
+        ShingleHashes(children.head, k)
       }))
   }
 }

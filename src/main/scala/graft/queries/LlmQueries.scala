@@ -73,9 +73,9 @@ object LlmQueries {
     // MinHash-LSH discovers candidates (compact banded-signature join, cost
     // ∝ duplicate mass), exact Jaccard verifies candidates only. Scores stay
     // bit-exact against the all-pairs DuckDB oracle: verification intersects
-    // the full hashed-shingle sets, and the 31-bit tokenHash is injective on
-    // this corpus (zero collisions at sf0.01/sf0.001 — asserted raw ≡ hashed
-    // in DedupSpec), so inter/union counts match the raw-string arithmetic.
+    // the full hashed-shingle sets, and the 64-bit xxhash64 shingle hash is
+    // injective on any realistic corpus (collision odds ~n²/2^64; raw ≡
+    // hashed asserted in DedupSpec on sf0.001, hash-green Verify at sf0.01).
     QueryDef.of("ngram_jaccard",
       shingleCte +
         """

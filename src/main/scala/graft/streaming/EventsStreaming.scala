@@ -127,13 +127,13 @@ object EventsStreaming {
             open.foreach { s =>
               state.update(s)
               // Close via timeout when the watermark passes last event + gap.
-              // CLAMPED to watermark+1: a legitimately-late event (inside the
-              // watermark delay but more than gapMinutes behind the watermark)
-              // has its gap horizon already below the current watermark, and
-              // setTimeoutTimestamp throws on that — crashing the query on
-              // valid input. Clamping defers the close to the next watermark
-              // advance, which also lets a boundary event arriving in the same
-              // trigger still extend the session (batch-rule agreement).
+              // CLAMPED to watermark+1, defensively: the operator filters
+              // input rows behind the current watermark before this function
+              // sees them (asserted in StreamingSpec), so lastUs + gap
+              // normally exceeds the watermark — but setTimeoutTimestamp
+              // THROWS (killing the whole query) if it ever isn't, and the
+              // boundary case (row exactly at the watermark, state restored
+              // from a prior run) is cheap to guard against.
               state.setTimeoutTimestamp(
                 math.max((s.lastUs + gapUs) / 1000L,
                   state.getCurrentWatermarkMs() + 1L)) // ms

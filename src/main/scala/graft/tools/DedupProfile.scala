@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+
+/** Dev-only stage profiler for the dedup pipelines (not part of the driver
+  * contract): times each stage of the composed near-dup pipeline at the
+  * given sf dir so regressions can be localized. */
+object DedupProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = Tables.documents(spark, sfDir)
+    time("warmup count")(docs.count())
+
+    val shingled = docs.select(col("doc_id"), shingles(col("text"), 3).as("shs"))
+    time("shingles (HOF, reference)")(shingled.write.format("noop").mode("overwrite").save())
+
+    val native = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh0"))
+    time("shingle_hashes (native)")(native.write.format("noop").mode("overwrite").save())
+
+    val hashed = docs.select(col("doc_id"),
+      array_distinct(shingleHashes(col("text"), 3)).as("sh0"))
+    time("native distinct sets")(hashed.write.format("noop").mode("overwrite").save())
+
+    val exploded = docs.select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("f"))
+    val sig = exploded.groupBy("doc_id").agg(minhashAgg(col("f"), 32).as("sig"))
+    time("minhash sig (agg path)")(sig.write.format("noop").mode("overwrite").save())
+
+    val cand = Dedup.minhashLsh(docs, 3, 32, 8, 0.5)
+    time("minhashLsh pairs")(cand.write.format("noop").mode("overwrite").save())
+    spark.catalog.clearCache()
+
+    val full = Dedup.minhashNgramJaccard(docs, 3, 0.5, 32, 8, 1000)
+    time("composed pipeline")(full.write.format("noop").mode("overwrite").save())
+    spark.catalog.clearCache()
+
+    println(s"[profile] candidate pairs: ${Dedup.minhashLsh(docs, 3, 32, 8, 0.5).count()}")
+    spark.stop()
+  }
+}

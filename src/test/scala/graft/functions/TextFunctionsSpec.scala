@@ -109,6 +109,27 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(agree(sigs(0), sigs(2)) < 0.3)
   }
 
+  test("aggregate-path signatures are identical to the column references") {
+    // the operators compute signatures via explode + groupBy (codegen'd
+    // partial aggregation); these must equal the column HOF references
+    // bit-for-bit or every pair-set correctness argument silently shifts
+    val docs = (samples ++ Seq("x", "one two three")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val exploded = docs.select(col("doc_id"),
+      explode(TextFunctions.shingles(col("t"), 3)).as("s"))
+    val aggMin = exploded.groupBy("doc_id")
+      .agg(TextFunctions.minhashAgg(xxhash64(col("s")), 32).as("sig"))
+    val colMin = docs.select(col("doc_id"),
+      TextFunctions.minhashSignature(col("t"), 3, 32).as("sig"))
+    assert(aggMin.orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq ==
+      colMin.orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq)
+    val aggSim = exploded.groupBy("doc_id")
+      .agg(TextFunctions.simhashAgg(xxhash64(col("s"))).as("sh"))
+    val colSim = docs.select(col("doc_id"), TextFunctions.simhash(col("t"), 3).as("sh"))
+    assert(aggSim.orderBy("doc_id").collect().map(_.getLong(1)).toSeq ==
+      colSim.orderBy("doc_id").collect().map(_.getLong(1)).toSeq)
+  }
+
   test("quality score stays in [0,1] and ranks prose above junk") {
     val prose = "the cat sat on the mat and it was a fine day for all of them"
     val junk = "@@@@ !!!! #### $$$$ %%%%"

@@ -112,13 +112,17 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
-  test("sessionize survives a valid late event whose gap horizon is behind the watermark") {
+  test("sessionize drops an event behind the watermark without crashing") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
-    // delay 2h, gap 30 min: an event inside the watermark delay but more
-    // than 30 min behind the watermark has lastUs+gap < watermark — the
-    // unclamped setTimeoutTimestamp throws IllegalArgumentException and
-    // kills the whole query on valid input.
+    // delay 2h, gap 30 min. FlatMapGroupsWithStateExec filters input rows
+    // whose event time is behind the CURRENT watermark before the state
+    // function sees them — so an 08:30 event against a 10:00 watermark
+    // must silently disappear (no session, no state) and, critically, must
+    // not crash the query (the state function never sees a row whose gap
+    // horizon could sit at/behind the watermark; sessionize's timeout clamp
+    // additionally guards the setTimeoutTimestamp > watermark contract at
+    // the boundary).
     val q = EventsStreaming.sessionize(
         in.toDF().selectExpr("event_id AS user_id", "ts", "event_type", "value"),
         gapMinutes = 30, watermarkDelay = "2 hours")
@@ -127,17 +131,16 @@ class StreamingSpec extends SparkSpecBase {
     try {
       in.addData(Ev(2, t(12, 0), "c", 0)) // watermark → 10:00 after this batch
       q.processAllAvailable()
-      // user 1 at 08:30: ≥ 10:00-2h so NOT dropped; 08:30+0:30 < 10:00
-      in.addData(Ev(1, t(8, 30), "c", 0))
+      in.addData(Ev(1, t(8, 30), "c", 0)) // behind the 10:00 watermark
       q.processAllAvailable() // must not crash
-      // push the watermark forward twice so the clamped timeout fires
+      // advance the watermark twice so every surviving session times out
       in.addData(Ev(9, t(16, 0), "c", 0)); q.processAllAvailable()
       in.addData(Ev(9, t(18, 0), "c", 0)); q.processAllAvailable()
       val got = spark.table("sessions_late")
         .as[(Long, Long, Long, Long)].collect().toSet
       def us(h: Int, m: Int) = t(h, m).getTime * 1000L
-      assert(got.contains((1L, us(8, 30), 1L, 0L))) // the late session closed
       assert(got.contains((2L, us(12, 0), 1L, 0L)))
+      assert(!got.exists(_._1 == 1L), s"late event must be dropped, got $got")
     } finally q.stop()
   }
 
