@@ -37,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * call costs nothing measurable and the surrounding projection stays in
  * whole-stage codegen.
  */
-case class ShingleHashes(child: Expression, k: Int)
+case class ShingleHashes(child: Expression, k: Int, portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(k >= 1, s"shingle_hashes: k must be >= 1, got $k")
@@ -52,8 +52,36 @@ case class ShingleHashes(child: Expression, k: Int)
 
   @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
 
+  /** Mersenne prime 2^31-1 — matches TextFunctions.tokenHashWith. */
+  private val M = 2147483647L
+
+  /** Codepoint polynomial fold, h = (h·mult + cp) mod M from 17 — the
+    * engine-portable hash family (ascii()/length()/substr() in any SQL
+    * engine iterate codepoints, as this does; exact in Long: h·37+cp <
+    * 2^37). */
+  private def polyHash(s: String, mult: Long): Long = {
+    var h = 17L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * mult + cp) % M
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /**
+   * `portable=false`: xxhash64 (Spark's, seed 42) — the throughput default.
+   * `portable=true`: a 62-bit ENGINE-PORTABLE hash, `poly31 | poly37 << 31`
+   * — two independent codepoint polynomial folds mod 2^31-1, replicable
+   * op-for-op in any SQL engine's lambda functions. Exists so signature
+   * pipelines built on shingle hashes (e.g. the scale-point SimHash query)
+   * can have an oracle that computes the SAME signatures exactly, instead
+   * of leaning on corpus-separation arguments.
+   */
   private def hashOf(s: String): Long =
-    XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+    if (portable) polyHash(s, 31L) | (polyHash(s, 37L) << 31)
+    else XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
 
   override def nullSafeEval(input: Any): Any = {
     val trimmed = input.asInstanceOf[UTF8String].trim().toString

@@ -151,10 +151,10 @@ object TextFunctions {
    * entry point; the composable [[shingles]] remains the semantic reference
    * and the raw-string path.
    */
-  def shingleHashes(text: Column, k: Int): Column = {
+  def shingleHashes(text: Column, k: Int, portable: Boolean = false): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.expressions.ShingleHashes(
-      ColumnBridge.expression(text), k))
+      ColumnBridge.expression(text), k, portable))
   }
 
   /** Character n-grams of the whole string (for n-gram Jaccard / lang-ID). */

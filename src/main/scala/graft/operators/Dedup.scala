@@ -176,11 +176,14 @@ object Dedup {
    *    SimHash for small-radius fingerprinting.
    */
   def simhashPairs(docs: DataFrame, bands: Int = 4, maxHamming: Int = 3,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, portableHash: Boolean = false): DataFrame = {
     val bits = 64 / bands
     // Persisted: signature computed once, both join legs read the cache.
+    // portableHash swaps xxhash64 shingle hashing for the engine-portable
+    // polynomial (see ShingleHashes) so a SQL oracle can recompute the
+    // SIGNATURES exactly — the dedup_simhash_scale contract.
     val sig = docs
-      .select(col("doc_id"), explode(shingleHashes(col("text"), k)).as("h"))
+      .select(col("doc_id"), explode(shingleHashes(col("text"), k, portableHash)).as("h"))
       .groupBy("doc_id")
       .agg(simhashAgg(col("h")).as("sh"))
       .persist()

@@ -46,6 +46,50 @@ object LlmQueries {
       |  GROUP BY 1, 2, 3, 4
       |)""".stripMargin
 
+  /**
+   * Oracle for the SCALE-point SimHash query: recomputes the ENTIRE
+   * signature pipeline in DuckDB — word 3-shingles (non-distinct: votes are
+   * multiplicity-weighted), the engine-portable 62-bit shingle hash
+   * (`poly31 | poly37 << 31`, mirroring ShingleHashes portable=true
+   * op-for-op), per-bit ±1 votes, sign packing, then the exact
+   * hamming <= 3 pair set via bit_count(xor). Because the oracle computes
+   * the same signatures bit-for-bit, NO corpus-separation argument is
+   * needed; and because hamming 3 < 4 bands, banding recall is structural
+   * (pigeonhole), so the Spark side finds exactly this set.
+   */
+  private val simhashScaleOracle: String = {
+    def fold(mult: Int) =
+      s"""list_reduce(list_prepend(CAST(17 AS BIGINT),
+         |      list_transform(generate_series(1, length(t)),
+         |                     i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+         |      (h, c) -> (h * $mult + c) % 2147483647)""".stripMargin
+    val bitTerms = (0 until 62).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hl, h -> CASE WHEN ((h >> $b) & 1) = 1" +
+        s" THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" |\n    ") // operator at line END: stripMargin eats leading '|'
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+       |), shl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+       |         ELSE list_transform(generate_series(1, len(ts) - 2),
+       |                             i -> array_to_string(ts[i:i+2], ' ')) END AS s
+       |  FROM toks
+       |), hs AS (
+       |  SELECT doc_id, list_transform(s, t ->
+       |    ${fold(31)}
+       |    | (${fold(37)} << 31)) AS hl
+       |  FROM shl
+       |), sig AS (
+       |  SELECT doc_id, ($bitTerms) AS sh62 FROM hs
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh62, b.sh62)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh62, b.sh62)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Shared oracle for both exact-dedup variants: their contract is the
     * same — grouping by content IS grouping by text. */
   private val exactDedupOracle: String =
@@ -120,6 +164,19 @@ object LlmQueries {
           |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), bands = 16, maxHamming = 12)
         .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash at the SCALE operating point (bands=4 → 16-bit band values,
+    // maxHamming=3): the configuration to run on a real corpus, where
+    // random band collisions stay ∝ n²/2^16 and recall for hamming <= 3 is
+    // structural (3 < 4 bands ⇒ pigeonhole). The oracle recomputes the
+    // portable signatures themselves (see simhashScaleOracle), so this row
+    // certifies the scale point with zero separation assumptions.
+    QueryDef.of("dedup_simhash_scale", simhashScaleOracle) { (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), bands = 4, maxHamming = 3,
+          portableHash = true)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -425,6 +482,26 @@ object LlmQueries {
       Multimodal.decodeFake(media).toDF()
         .select("media_id", "n_bytes", "checksum")
         .orderBy("media_id")
+    },
+
+    // Real binary-file INGEST: spark.read.format("binaryFile") over the sf
+    // directory's own files (the natural media-corpus source — one row per
+    // file with the payload as a binary column, scanned distributed, never
+    // driver-side). Output sticks to byte-content facts that are invariant
+    // across scale factors (parquet magic "PAR1" at head AND foot) so one
+    // static oracle covers every sf dir; file SIZES differ per sf and are
+    // deliberately excluded.
+    QueryDef.of("multimodal_scan",
+      "SELECT file_name, '50415231' AS magic_hex, 'PAR1' AS footer FROM (VALUES " +
+        graft.sources.Tables.names.sorted
+          .map(n => s"('$n.parquet')").mkString(", ") +
+        ") t(file_name) ORDER BY file_name") { (s, dir) =>
+      s.read.format("binaryFile").load(dir + "/*.parquet")
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+          hex(substring(col("content"), 1, 4)).as("magic_hex"),
+          substring(col("content"), -4, 4).cast("string").as("footer"))
+        .orderBy("file_name")
     },
 
     // Opaque-binary payload plumbing: byte length + header hex, computed as

@@ -108,9 +108,15 @@ object ParityQueries {
     // S2 — the client's directory-listing scan (`Search.cpp:98-111`) feeding
     // the full Search pipeline: list the SF directory's entries (including
     // "." and ".." exactly as readdir yields them), search for "parquet",
-    // count per name, sort. Rows-only: DuckDB has no directory source, and
-    // the result is environment-dependent by nature.
-    QueryDef.rowsOnly("dir_search") { (s, dir) =>
+    // count per name, sort. DuckDB has no directory source, but every sf
+    // directory deterministically contains exactly the ten known tables
+    // (TESTDATA.md / Tables.names) — so a VALUES oracle pins the full
+    // result: each matching name once, "."/".." filtered by the search.
+    QueryDef.of("dir_search",
+      "SELECT file_name, CAST(1 AS BIGINT) AS cnt FROM (VALUES " +
+        graft.sources.Tables.names.sorted
+          .map(n => s"('$n.parquet')").mkString(", ") +
+        ") t(file_name) ORDER BY file_name") { (s, dir) =>
       implicit val spark: org.apache.spark.sql.SparkSession = s
       import s.implicits._
       val input = Tables.dirListing(s, Seq(dir))

@@ -49,6 +49,23 @@ object DedupProfile {
     spark.catalog.clearCache()
 
     println(s"[profile] candidate pairs: ${Dedup.minhashLsh(docs, 3, 32, 8, 0.5).count()}")
+    spark.catalog.clearCache()
+
+    // simhash separation margins: min hamming over NON-identical-text pairs
+    // (the dedup_simhash_scale oracle is exact only while this stays > 3)
+    val ssig = docs
+      .select(col("doc_id"), col("text"),
+        explode(shingleHashes(col("text"), 3)).as("h"))
+      .groupBy("doc_id", "text").agg(simhashAgg(col("h")).as("sh"))
+      .persist()
+    val l = ssig.select(col("doc_id").as("a"), col("text").as("ta"), col("sh").as("sa"))
+    val r = ssig.select(col("doc_id").as("b"), col("text").as("tb"), col("sh").as("sb"))
+    val ham = l.crossJoin(r).filter(col("a") < col("b"))
+      .filter(col("ta") =!= col("tb"))
+      .select(hammingDistance(col("sa"), col("sb")).as("d"))
+    val hist = ham.groupBy("d").count().orderBy("d").limit(8).collect()
+    println(s"[profile] non-identical hamming (lowest): " +
+      hist.map(r0 => s"${r0.getInt(0)}x${r0.getLong(1)}").mkString(", "))
     spark.stop()
   }
 }

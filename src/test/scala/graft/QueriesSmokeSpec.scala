@@ -12,9 +12,10 @@ class QueriesSmokeSpec extends SparkSpecBase {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
-    // rows-only queries are the documented exceptions
+    // rows-only queries are the documented exceptions (approximate-by-
+    // construction ANN operating points whose output no SQL characterizes)
     val rowsOnly = q.diff(o)
-    assert(rowsOnly == Set("dir_search", "ann_topk_lsh", "ann_topk_ivf"),
+    assert(rowsOnly == Set("ann_topk_lsh", "ann_topk_ivf"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -134,6 +134,30 @@ class DedupSpec extends SparkSpecBase {
     assert(expectedCopies.subsetOf(got)) // every exact copy pair found
   }
 
+  test("simhashPairs portable scale point ≡ brute-force hamming<=3 (pigeonhole recall)") {
+    // banding at (bands=4, maxHamming=3) must find EXACTLY the hamming<=3
+    // pair set: recall is structural (3 < 4 ⇒ some band identical),
+    // precision comes from the post-join hamming filter. Reference:
+    // all-pairs cross join over the same portable signatures.
+    val sig = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingleHashes(col("text"), 3,
+          portable = true)).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.TextFunctions.simhashAgg(col("h")).as("sh"))
+      .cache()
+    val l = sig.select(col("doc_id").as("a"), col("sh").as("sa"))
+    val r = sig.select(col("doc_id").as("b"), col("sh").as("sb"))
+    val ref = l.crossJoin(r).filter(col("a") < col("b"))
+      .filter(graft.functions.TextFunctions.hammingDistance(col("sa"), col("sb")) <= 3)
+      .select("a", "b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = Dedup.simhashPairs(docs, bands = 4, maxHamming = 3, portableHash = true)
+      .select("doc_a", "doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == ref)
+  }
+
   test("duplicateClusters resolves chains/triangles/singletons like union-find") {
     // components: {1,2,3,4} chain, {10,11,12} triangle, {20,21} pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
