@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Per-round benchmark harness: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is forced with a
@@ -36,15 +37,19 @@ object Bench {
         errors += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      // Release per-query persisted intermediates. clearCache() only drops
-      // SQL-cached datasets; localCheckpoint blocks (duplicateClusters'
-      // per-round lineage cuts) live as persisted RDDs in the BlockManager
-      // and would otherwise accumulate across all 40+ queries, polluting
-      // later measurements with eviction/GC pressure.
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Cleanup OUTSIDE the timed region — measure the query, not the
+      // harness. clearCache() only drops SQL-cached datasets;
+      // localCheckpoint blocks (duplicateClusters' per-round lineage cuts)
+      // live as persisted RDDs in the BlockManager, and broadcast
+      // variables (every broadcast join leaves one) are reclaimed by
+      // ContextCleaner only after GC — without both, 45+ queries of block
+      // buildup taxes the late-alphabet iterative queries with per-job
+      // scheduler/GC overhead.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      val dt = (System.nanoTime() - t0) / 1e9
+      System.gc()
       System.err.println(f"[bench] $name took $dt%.2f s")
       name -> dt
     }
@@ -55,6 +60,73 @@ object Bench {
     // a failed query's partial time must not read as a speedup: errors are
     // carried in the JSON so round-over-round comparison can see them
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    if (sys.env.get("SPARK_GRAFT_STRESS").contains("1")) stress(spark, sfDir)
     spark.stop()
+  }
+
+  /**
+   * SPARK_GRAFT_STRESS=1: a second, reproducible measurement at 10× the
+   * duplicate/hot-key mass — the corpus shape where the scale-path designs
+   * are supposed to earn their keep (the per-round driver bench never sets
+   * the flag, so its output stays one JSON line). Each table is the sf
+   * input unioned 10× with shifted ids: every document gains 9 exact
+   * copies (dup-heavy dedup), every lineitem hot key gains 10× the rows
+   * (skew join).
+   */
+  private def stress(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.{Dedup, Salt}
+    import graft.sources.Tables
+
+    def dup10(df: DataFrame, idCol: String, shift: Long): DataFrame =
+      (0 until 10).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * shift))).reduce(_ unionAll _)
+
+    val docs10 = dup10(Tables.documents(spark, sfDir).select("doc_id", "text"),
+      "doc_id", 10000000L)
+    val fact10 = dup10(Tables.lineitem(spark, sfDir), "l_orderkey", 100000000L)
+      .select(
+        when(pmod(col("l_orderkey"), lit(2)) === 0, lit(0L))
+          .otherwise(pmod(col("l_partkey"), lit(200L))).as("skew_key"),
+        col("l_quantity").cast("long").as("qty"))
+    val dim = Tables.part(spark, sfDir)
+      .groupBy(pmod(col("p_partkey"), lit(200L)).as("skew_key"))
+      .agg(max("p_name").as("dim_name"))
+    val aggs = Seq(count(lit(1)).as("cnt"), sum("qty").as("sum_qty"))
+
+    def plainSkewJoin() =
+      fact10.join(dim.hint("merge"), "skew_key").groupBy("skew_key")
+        .agg(aggs.head, aggs.tail: _*)
+
+    // (name, disable AQE skew-join split for this case, plan). The _noaqe
+    // case measures what the unsalted join costs WITHOUT runtime skew
+    // mitigation — the situation manual salting exists for (AQE's split
+    // covers skewed sort-merge joins, but not every skewed shape).
+    val cases: Seq[(String, Boolean, () => DataFrame)] = Seq(
+      ("dedup_composed_10x", false, () =>
+        Dedup.minhashNgramJaccard(docs10, k = 3, threshold = 0.5)),
+      ("dedup_simhash_scale_10x", false, () => Dedup.simhashPairs(docs10)),
+      ("join_skew_plain_10x", false, () => plainSkewJoin()),
+      ("join_skew_noaqe_10x", true, () => plainSkewJoin()),
+      ("join_skew_salted_noaqe_10x", true, () =>
+        Salt.saltedJoinAgg(fact10, dim.hint("merge"), "skew_key",
+          Seq("skew_key"), aggs)))
+
+    val skewConf = "spark.sql.adaptive.skewJoin.enabled"
+    val results = cases.map { case (name, noAqeSkew, mk) =>
+      System.err.println(s"[stress] running $name")
+      if (noAqeSkew) spark.conf.set(skewConf, "false")
+      val t0 = System.nanoTime()
+      try mk().write.format("noop").mode("overwrite").save()
+      finally if (noAqeSkew) spark.conf.set(skewConf, "true")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[stress] $name took $dt%.2f s")
+      name -> dt
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

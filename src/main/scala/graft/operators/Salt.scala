@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
  *
  * Inner-join semantics are IDENTICAL to `fact.join(dim, key)` (asserted in
  * SaltSpec); cost is the dim-side ×buckets replication — use when
- * |dim| · buckets ≪ |fact|'s hot-key mass. The salt derives from
- * xxhash64 over the fact row's key plus a per-row uniquifier, so it is
- * deterministic per run and needs no stored state.
+ * |dim| · buckets ≪ |fact|'s hot-key mass. The salt is `xxhash64` over the
+ * ENTIRE fact row — a pure function of row content, so a task retry or a
+ * recomputed shuffle block re-derives the SAME salt (a row-position salt
+ * like `monotonically_increasing_id` is only stable within one run and can
+ * re-salt differently under recomputation). Identical duplicate rows share
+ * a salt; a hot KEY spreads as long as its rows differ in any attribute,
+ * which is what fact tables look like.
  */
 object Salt {
 
@@ -27,7 +31,7 @@ object Salt {
       buckets: Int = 16): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val salted = fact.withColumn("_salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets.toLong))
+      pmod(xxhash64(fact.columns.map(col): _*), lit(buckets.toLong))
         .cast("int"))
     val exploded = dim.withColumn("_salt",
       explode(typedLit((0 until buckets).toList)))

@@ -17,6 +17,36 @@ import graft.sources.Tables
  */
 object StarQueries {
 
+  /** Deliberately-skewed fact: every even orderkey maps to skew_key 0 (50%
+    * of lineitem — 300k rows at sf0.1 on one key), the rest spread over
+    * 1..199. qty is exact (l_quantity is integer-valued; summed as BIGINT
+    * so no double-order sensitivity). */
+  private def skewFact(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.lineitem(s, dir).select(
+      when(pmod(col("l_orderkey"), lit(2)) === 0, lit(0L))
+        .otherwise(pmod(col("l_partkey"), lit(200L))).as("skew_key"),
+      col("l_quantity").cast("long").as("qty"))
+
+  private def skewDim(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.part(s, dir)
+      .groupBy(pmod(col("p_partkey"), lit(200L)).as("skew_key"))
+      .agg(max("p_name").as("dim_name"))
+
+  private val skewOracle: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN CAST(0 AS BIGINT)
+      |              ELSE l_partkey % 200 END AS skew_key,
+      |         CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem
+      |), d AS (
+      |  SELECT p_partkey % 200 AS skew_key, max(p_name) AS dim_name
+      |  FROM part GROUP BY 1
+      |)
+      |SELECT f.skew_key, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(f.qty) AS BIGINT) AS sum_qty, max(d.dim_name) AS dim_name
+      |FROM f JOIN d USING (skew_key)
+      |GROUP BY f.skew_key ORDER BY skew_key""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // TPC-H Q1 shape: multi-aggregate groupBy with arithmetic expressions.
@@ -198,6 +228,32 @@ object StarQueries {
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
+    },
+
+    // Skewed join, UNSALTED baseline: 50% of the fact lands on one key
+    // (every even orderkey → skew_key 0), dim joined via sort-merge (hinted
+    // — at real dim sizes broadcast is off the table, which is exactly when
+    // skew bites). One task owns the hot key's 300k rows. Same oracle as
+    // join_skew_salted: the two must be value-identical.
+    QueryDef.of("join_skew_plain", skewOracle) { (s, dir) =>
+      skewFact(s, dir).join(skewDim(s, dir).hint("merge"), "skew_key")
+        .groupBy("skew_key")
+        .agg(count(lit(1)).as("cnt"),
+          sum("qty").as("sum_qty"), max("dim_name").as("dim_name"))
+        .orderBy("skew_key")
+    },
+
+    // The same skewed join through Salt.saltedJoinAgg: fact rows get a
+    // content-derived salt in [0,16), the dim replicates ×16, the join key
+    // becomes (key, salt) — the hot key's rows spread over 16 tasks instead
+    // of pinning one. Oracle-checked equal to the unsalted baseline.
+    QueryDef.of("join_skew_salted", skewOracle) { (s, dir) =>
+      graft.operators.Salt.saltedJoinAgg(
+          skewFact(s, dir), skewDim(s, dir).hint("merge"), "skew_key",
+          Seq("skew_key"),
+          Seq(count(lit(1)).as("cnt"),
+            sum("qty").as("sum_qty"), max("dim_name").as("dim_name")))
+        .orderBy("skew_key")
     },
 
     // JSON extraction from the events props column + aggregate per type.
