@@ -74,12 +74,13 @@ object Bench {
    * (skew join).
    */
   private def stress(spark: SparkSession, sfDir: String): Unit = {
-    import graft.operators.{Dedup, Salt}
+    import graft.operators.{Dedup, Salt, Similarity}
     import graft.sources.Tables
 
-    def dup10(df: DataFrame, idCol: String, shift: Long): DataFrame =
-      (0 until 10).map(i =>
+    def dupN(n: Int)(df: DataFrame, idCol: String, shift: Long): DataFrame =
+      (0 until n).map(i =>
         df.withColumn(idCol, col(idCol) + lit(i * shift))).reduce(_ unionAll _)
+    def dup10 = dupN(10) _
 
     val docs10 = dup10(Tables.documents(spark, sfDir).select("doc_id", "text"),
       "doc_id", 10000000L)
@@ -92,36 +93,63 @@ object Bench {
       .groupBy(pmod(col("p_partkey"), lit(200L)).as("skew_key"))
       .agg(max("p_name").as("dim_name"))
     val aggs = Seq(count(lit(1)).as("cnt"), sum("qty").as("sum_qty"))
+    // 100×: the Q·N brute-force product needs ~10^7+ candidate scorings
+    // before it loses to the bucketed paths' fixed overheads
+    val emb100 = dupN(100)(Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding"), "vec_id", 10000000L)
 
     def plainSkewJoin() =
       fact10.join(dim.hint("merge"), "skew_key").groupBy("skew_key")
         .agg(aggs.head, aggs.tail: _*)
 
-    // (name, disable AQE skew-join split for this case, plan). The _noaqe
-    // case measures what the unsalted join costs WITHOUT runtime skew
-    // mitigation — the situation manual salting exists for (AQE's split
-    // covers skewed sort-merge joins, but not every skewed shape).
-    val cases: Seq[(String, Boolean, () => DataFrame)] = Seq(
-      ("dedup_composed_10x", false, () =>
+    // The IVF index is built ONCE and probed in a separate timed case —
+    // the operator's actual contract (assignment is O(N·nCells·dim); a
+    // service amortizes it over many query batches, so folding it into
+    // every query's time would mis-measure both).
+    var ivfIndex: Similarity.IvfIndex = null
+
+    // (name, disable AQE skew-join split, keep caches after case, plan).
+    // The _noaqe case measures what the unsalted join costs WITHOUT runtime
+    // skew mitigation — the situation manual salting exists for (AQE's
+    // split covers skewed sort-merge joins, but not every skewed shape).
+    val cases: Seq[(String, Boolean, Boolean, () => DataFrame)] = Seq(
+      ("dedup_composed_10x", false, false, () =>
         Dedup.minhashNgramJaccard(docs10, k = 3, threshold = 0.5)),
-      ("dedup_simhash_scale_10x", false, () => Dedup.simhashPairs(docs10)),
-      ("join_skew_plain_10x", false, () => plainSkewJoin()),
-      ("join_skew_noaqe_10x", true, () => plainSkewJoin()),
-      ("join_skew_salted_noaqe_10x", true, () =>
+      ("dedup_simhash_scale_10x", false, false, () => Dedup.simhashPairs(docs10)),
+      ("join_skew_plain_10x", false, false, () => plainSkewJoin()),
+      ("join_skew_noaqe_10x", true, false, () => plainSkewJoin()),
+      ("join_skew_salted_noaqe_10x", true, false, () =>
         Salt.saltedJoinAgg(fact10, dim.hint("merge"), "skew_key",
-          Seq("skew_key"), aggs)))
+          Seq("skew_key"), aggs)),
+      // ANN crossover: 100 queries against a 100× corpus (500k vectors at
+      // sf0.1) — where the bucketed paths beat the Q×N brute-force product
+      ("ann_brute_100x", false, false, () =>
+        Similarity.bruteForceTopK(emb100.filter(col("vec_id") < 100), emb100, k = 5)),
+      ("ann_lsh_100x", false, false, () =>
+        Similarity.lshTopK(emb100.filter(col("vec_id") < 100), emb100, k = 5,
+          nBits = 32, bands = 4)),
+      ("ann_ivf_build_100x", false, true, () => {
+        ivfIndex = Similarity.buildIvfIndex(emb100, nCells = 64)
+        ivfIndex.assigned // the write below materializes the assignment
+      }),
+      ("ann_ivf_probe_100x", false, false, () =>
+        Similarity.ivfTopK(emb100.filter(col("vec_id") < 100), ivfIndex, k = 5,
+          nProbe = 8)))
 
     val skewConf = "spark.sql.adaptive.skewJoin.enabled"
-    val results = cases.map { case (name, noAqeSkew, mk) =>
+    val results = cases.map { case (name, noAqeSkew, keepCaches, mk) =>
       System.err.println(s"[stress] running $name")
       if (noAqeSkew) spark.conf.set(skewConf, "false")
       val t0 = System.nanoTime()
       try mk().write.format("noop").mode("overwrite").save()
       finally if (noAqeSkew) spark.conf.set(skewConf, "true")
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
       val dt = (System.nanoTime() - t0) / 1e9
+      if (!keepCaches) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
       System.err.println(f"[stress] $name took $dt%.2f s")
       name -> dt
     }

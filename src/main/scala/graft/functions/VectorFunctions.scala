@@ -83,23 +83,43 @@ object VectorFunctions {
    * measured ~10× slower: the hash arithmetic re-ran for every element of
    * every row.)
    */
+  /** Pseudo-random ±1 weight for (bit b, dim i): low bit of a splitmix64
+    * finalizer over (seed, b, i). A full-avalanche mix matters: the low bit
+    * of a LINEAR hash (a·i+c mod p) is just the parity of a±i — every
+    * hyperplane degenerates to the same alternating pattern and all
+    * signatures collapse into a handful of buckets (measured: 20k vectors
+    * → 8 distinct band values). */
+  private def hyperplaneWeight(seed: Long, b: Int, i: Int): Double = {
+    var z = seed + b.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) -1.0 else 1.0
+  }
+
+  private def hyperplaneWeights(nBits: Int, seed: Long, dim: Int): Seq[Seq[Double]] =
+    (0 until nBits).map(b => (0 until dim).map(i => hyperplaneWeight(seed, b, i)))
+
+  /**
+   * Hyperplane signature via the native fused-loop Catalyst expression
+   * [[graft.expressions.HyperplaneSignature]] — bit-identical to
+   * [[hyperplaneSignatureHof]] (asserted in HyperplaneSignatureSpec) at one
+   * nBits × dim multiply-add loop per row instead of nBits interpreted
+   * `aggregate(zip_with(...))` passes. This is what the LSH ANN and
+   * embedding-dedup operators use.
+   */
   def hyperplaneSignature(vec: Column, nBits: Int, seed: Long, dim: Int): Column = {
-    // pseudo-random ±1 weight for (bit b, dim i): low bit of a splitmix64
-    // finalizer over (seed, b, i). A full-avalanche mix matters: the low bit
-    // of a LINEAR hash (a·i+c mod p) is just the parity of a±i — every
-    // hyperplane degenerates to the same alternating pattern and all
-    // signatures collapse into a handful of buckets (measured: 20k vectors
-    // → 8 distinct band values).
-    def weight(b: Int, i: Int): Double = {
-      var z = seed + b.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      if ((z & 1L) == 0L) -1.0 else 1.0
-    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.HyperplaneSignature(
+      ColumnBridge.expression(vec), hyperplaneWeights(nBits, seed, dim)))
+  }
+
+  /** Composable HOF reference twin of [[hyperplaneSignature]] (the semantic
+    * spec the native expression is asserted against). */
+  def hyperplaneSignatureHof(vec: Column, nBits: Int, seed: Long, dim: Int): Column = {
     // projection of vec onto hyperplane b: sum_i w(b,i) * vec[i]
     def proj(b: Int): Column = {
-      val w = typedLit((0 until dim).map(i => weight(b, i)))
+      val w = typedLit((0 until dim).map(i => hyperplaneWeight(seed, b, i)))
       aggregate(
         zip_with(vec, w, (x, wi) => x.cast("double") * wi),
         lit(0.0),

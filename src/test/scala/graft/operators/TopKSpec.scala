@@ -40,6 +40,22 @@ class TopKSpec extends AnyFunSuite {
     assert(a.merge(xs, ys) == a.merge(ys, xs))
   }
 
+  test("duplicate neighbor meetings collapse to one entry (best score kept)") {
+    val a = agg(3)
+    val buf = Seq(s(1, 0.9), s(1, 0.9), s(2, 0.8), s(1, 0.95), s(2, 0.7))
+      .foldLeft(a.zero)(a.reduce)
+    assert(buf == Seq(s(1, 0.95), s(2, 0.8)))
+  }
+
+  test("merge collapses ids seen in both partials, keeping the better score") {
+    val a = agg(3)
+    val xs = Seq(s(1, 0.9), s(2, 0.5)).foldLeft(a.zero)(a.reduce)
+    val ys = Seq(s(1, 0.7), s(3, 0.8)).foldLeft(a.zero)(a.reduce)
+    val m = a.merge(xs, ys)
+    assert(m == Seq(s(1, 0.9), s(3, 0.8), s(2, 0.5)))
+    assert(m == a.merge(ys, xs))
+  }
+
   test("k=1 keeps only the single best") {
     val a = agg(1)
     val buf = Seq(s(1, 0.1), s(2, 0.9), s(3, 0.5)).foldLeft(a.zero)(a.reduce)
