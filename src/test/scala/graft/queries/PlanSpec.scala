@@ -63,9 +63,9 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("dedup candidate-generation paths contain no per-key Window") {
-    for (name <- Seq("dedup_minhash", "dedup_simhash", "ngram_jaccard",
-        "dedup_exact", "dedup_fingerprint", "dedup_embedding", "ann_topk",
-        "ann_topk_lsh")) {
+    for (name <- Seq("dedup_minhash", "dedup_simhash", "dedup_simhash_scale",
+        "ngram_jaccard", "dedup_exact", "dedup_fingerprint", "dedup_embedding",
+        "ann_topk", "ann_topk_lsh", "join_skew_salted")) {
       val p = plan(name)
       assert(!p.contains("Window"), s"$name plan has a Window:\n$p")
     }
@@ -79,5 +79,29 @@ class PlanSpec extends SparkSpecBase {
   test("ann_topk broadcasts the query side, never the corpus") {
     val p = plan("ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ann_topk_lsh streams the banded corpus through a broadcast join, no pair-dedup shuffle") {
+    val p = plan("ann_topk_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the distinct-neighbor TopKAggregator replaced dropDuplicates: the only
+    // exchange after the bucket join is the bounded top-k aggregation
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("multimodal_scan reads through the binaryFile source") {
+    val p = plan("multimodal_scan")
+    assert(p.toLowerCase.contains("binaryfile"), p)
+  }
+
+  test("signature pipelines aggregate partially (map-side combine per doc)") {
+    // minhash/simhash signatures are explode + groupBy aggregates — partial
+    // + final HashAggregate/ObjectHashAggregate pairs, one row per doc
+    // crossing the shuffle
+    for (name <- Seq("dedup_minhash", "dedup_simhash_scale")) {
+      val p = plan(name)
+      assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"$name lacks partial aggregation:\n$p")
+    }
   }
 }
