@@ -391,13 +391,6 @@ object Dedup {
   }
 
   /**
-   * Embedding-cosine near-duplicate pairs over `embeddings(vec_id, embedding)`:
-   * all pairs with cosine >= `threshold`. `exactPairs` compares all pairs
-   * (correctness baseline, O(n²) — fine up to ~10^4 rows per group);
-   * `lshPairs` buckets by random-hyperplane signature first so only
-   * bucket-colliding pairs are compared — the 100 TB path.
-   */
-  /**
    * Resolve near-dup PAIRS into duplicate CLUSTERS (connected components)
    * and a canonical survivor per cluster — the final step of corpus dedup:
    * pair detection says "a≈b, b≈c"; the pipeline needs "keep min(a,b,c),
@@ -435,19 +428,24 @@ object Dedup {
         .groupBy("src").agg(min("cluster").as("nmin"))
         .withColumnRenamed("src", "doc_id")
       val viaNeighbors = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-      // pointer jumping: cluster ← min(cluster, cluster(cluster))
+      // pointer jumping: cluster ← min(cluster, cluster(cluster)).
+      // The convergence flag rides along in the checkpointed frame, so the
+      // check below is a cached-scan filter — NOT an extra per-round
+      // shuffle join against the previous labels.
       val updated = viaNeighbors
         .join(viaNeighbors.select(col("doc_id").as("p"), col("cluster").as("pc")),
           viaNeighbors("cluster") === col("p"), "left")
         .select(viaNeighbors("doc_id"),
           least(viaNeighbors("cluster"), coalesce(col("pc"), viaNeighbors("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          viaNeighbors("old"))
+        .withColumn("changed", col("cluster") =!= col("old"))
+        .drop("old")
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.drop("changed")
       iter += 1
     }
     // Unconverged labels are silently WRONG (docs would be kept as
@@ -460,6 +458,13 @@ object Dedup {
     labels
   }
 
+  /**
+   * Embedding-cosine near-duplicate pairs over `embeddings(vec_id, embedding)`:
+   * all pairs with cosine >= `threshold`. [[embeddingNearDupExact]] compares
+   * all pairs (correctness baseline, O(n²) — fine up to ~10^4 rows);
+   * [[embeddingNearDupLsh]] buckets by random-hyperplane signature first so
+   * only bucket-colliding pairs are compared — the 100 TB path.
+   */
   def embeddingNearDupExact(emb: DataFrame, threshold: Double): DataFrame = {
     val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
