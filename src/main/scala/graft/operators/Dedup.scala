@@ -410,42 +410,65 @@ object Dedup {
    * that appears in some pair, cluster = min doc_id of its component.
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // Persist the input FIRST: edges references it twice (both directions),
-    // so an unpersisted pair-detection pipeline would execute twice in the
-    // first materialization.
-    val p = pairs.persist()
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-      .localCheckpoint()
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // Persist the input FIRST: the edge build reads it twice (both
+    // directions), so an unpersisted pair-detection pipeline would execute
+    // twice in the first materialization.
+    val p = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].persist()
+    // The LOOP runs on RDDs, deliberately — the one place this engine
+    // steps off Dataset/Catalyst. An iterative algorithm re-plans,
+    // re-optimizes, and re-compiles ~4 fresh DataFrame plans EVERY round
+    // (lineage must be cut per round, so nothing is reused); measured
+    // ~5 s of pure driver-side planning for a 500-node graph. On
+    // co-partitioned RDD[(Long, Long)] every per-round join is narrow,
+    // there is no per-round codegen, and the payload is primitive longs —
+    // the classic Pregel-style shape (GraphX itself is RDD-based).
+    //
+    // Partitions are sized to the GRAPH, not the corpus: only docs that
+    // appear in some pair carry rows here — usually orders of magnitude
+    // smaller than the corpus — and the cap at the session setting keeps
+    // full parallelism for genuinely huge pair graphs.
+    val nPairs = p.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L, math.min(sessionParts.toLong,
+      nPairs / 50000L + 1L)).toInt
+    val part = new org.apache.spark.HashPartitioner(loopParts)
+    val edges = p.rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).persist()
+    // dedup node ids and key-partition them in ONE shuffle
+    var labels = edges.mapValues(_ => ())
+      .reduceByKey(part, (a, _) => a)
+      .map { case (n, _) => (n, n) }
+      .partitionBy(part).persist()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy("src").agg(min("cluster").as("nmin"))
-        .withColumnRenamed("src", "doc_id")
-      val viaNeighbors = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster").as("old"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-      // pointer jumping: cluster ← min(cluster, cluster(cluster)).
-      // The convergence flag rides along in the checkpointed frame, so the
-      // check below is a cached-scan filter — NOT an extra per-round
-      // shuffle join against the previous labels.
-      val updated = viaNeighbors
-        .join(viaNeighbors.select(col("doc_id").as("p"), col("cluster").as("pc")),
-          viaNeighbors("cluster") === col("p"), "left")
-        .select(viaNeighbors("doc_id"),
-          least(viaNeighbors("cluster"), coalesce(col("pc"), viaNeighbors("cluster")))
-            .as("cluster"),
-          viaNeighbors("old"))
-        .withColumn("changed", col("cluster") =!= col("old"))
-        .drop("old")
-        .localCheckpoint()
-      converged = updated.filter(col("changed")).isEmpty
-      labels = updated.drop("changed")
+      // min over neighbors' labels: edges ⋈ labels is narrow (co-
+      // partitioned); the reduceByKey re-keys by neighbor — the round's
+      // one unavoidable value shuffle
+      val nmin = edges.join(labels)
+        .map { case (_, (nbr, c)) => (nbr, c) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val via = labels.leftOuterJoin(nmin)
+        .mapValues { case (c, o) => math.min(c, o.getOrElse(c)) }
+      // pointer jumping: cluster ← min(cluster, cluster(cluster)) — the
+      // doubling step that makes convergence O(log diameter), not
+      // O(diameter)
+      val updated = via
+        .map { case (n, c) => (c, n) }
+        .leftOuterJoin(via)
+        .map { case (c, (n, cc)) => (n, math.min(c, cc.getOrElse(c))) }
+        .partitionBy(part).persist()
+      // count (not isEmpty): also fully materializes updated's cache
+      converged = updated.join(labels)
+        .filter { case (_, (nc, oc)) => nc != oc }
+        .count() == 0L
+      labels.unpersist(blocking = false)
+      labels = updated
       iter += 1
     }
     // Unconverged labels are silently WRONG (docs would be kept as
@@ -455,7 +478,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge within $maxIter rounds")
-    labels
+    labels.toDF("doc_id", "cluster")
   }
 
   /**

@@ -48,6 +48,24 @@ object DedupProfile {
     time("composed pipeline")(full.write.format("noop").mode("overwrite").save())
     spark.catalog.clearCache()
 
+    val pairs = Dedup.minhashNgramJaccard(docs, 3, 0.5, 32, 8, 1000)
+      .select("doc_a", "doc_b")
+    // duplicateClusters runs its loop EAGERLY, so the call itself is the
+    // work — NOTE this timing includes re-executing the upstream pair
+    // pipeline (its first action materializes it)
+    val clusters = time("pairs -> clusters (loop)")(Dedup.duplicateClusters(pairs))
+
+    // pure loop overhead: in-memory pairs, no upstream pipeline
+    import spark.implicits._
+    val memPairs = (0L until 250L).map(i => (i * 2, i * 2 + 1))
+      .toDF("doc_a", "doc_b")
+    time("clusters loop (in-memory pairs)")(Dedup.duplicateClusters(memPairs))
+    val survivors = docs.join(
+        clusters.filter(col("doc_id") =!= col("cluster")), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    time("clusters -> survivors")(survivors.write.format("noop").mode("overwrite").save())
+    spark.catalog.clearCache()
+
     println(s"[profile] candidate pairs: ${Dedup.minhashLsh(docs, 3, 32, 8, 0.5).count()}")
     spark.catalog.clearCache()
 
