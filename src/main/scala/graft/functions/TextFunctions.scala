@@ -127,8 +127,20 @@ object TextFunctions {
    * normalization-insensitive (hashes tokens, not raw bytes). Used for
    * exact-dup detection without carrying full text through shuffles at
    * 100 TB — fingerprint+length collisions are then verified exactly.
+   *
+   * Runs as the native per-row loop [[graft.expressions.DocFingerprint]];
+   * [[fingerprintHof]] is the composable reference twin (both pinned to
+   * the same plain-Scala fold in TextFunctionsSpec — the HOF form pays an
+   * interpreted substr/ascii/pmod expression per CHARACTER).
    */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.DocFingerprint(
+      ColumnBridge.expression(text)))
+  }
+
+  /** Composable HOF reference twin of [[fingerprint]]. */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       tokens(text),
       lit(0L),

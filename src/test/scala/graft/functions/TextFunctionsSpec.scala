@@ -81,12 +81,14 @@ class TextFunctionsSpec extends SparkSpecBase {
       TextFunctions.tokens(col("t")),
       TextFunctions.tokenHash(col("t")),
       TextFunctions.fingerprint(col("t")),
-      TextFunctions.shingles(col("t"), 3)).collect()
+      TextFunctions.shingles(col("t"), 3),
+      TextFunctions.fingerprintHof(col("t"))).collect()
     randoms.zip(got).foreach { case (s, row) =>
       assert(row.getSeq[String](0) == refTokens(s), s"tokens(${s.take(40)}...)")
       assert(row.getLong(1) == refTokenHash(s, 31L), s"tokenHash(${s.take(40)})")
       assert(row.getLong(2) == refFingerprint(s), s"fingerprint(${s.take(40)})")
       assert(row.getSeq[String](3) == refShingles(s, 3), s"shingles(${s.take(40)})")
+      assert(row.getLong(4) == refFingerprint(s), s"fingerprintHof(${s.take(40)})")
     }
   }
 
