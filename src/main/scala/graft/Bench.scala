@@ -116,6 +116,15 @@ object Bench {
       ("dedup_composed_10x", false, false, () =>
         Dedup.minhashNgramJaccard(docs10, k = 3, threshold = 0.5)),
       ("dedup_simhash_scale_10x", false, false, () => Dedup.simhashPairs(docs10)),
+      // the COMPLETE dedup pipeline at 10× dup mass: discovery →
+      // verification → connected components (50k-node graph) → survivors
+      ("dedup_survivors_10x", false, false, () => {
+        val pairs = Dedup.minhashNgramJaccard(docs10, k = 3, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        val losers = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster"))
+        docs10.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
+      }),
       ("join_skew_plain_10x", false, false, () => plainSkewJoin()),
       ("join_skew_noaqe_10x", true, false, () => plainSkewJoin()),
       ("join_skew_salted_noaqe_10x", true, false, () =>
