@@ -37,7 +37,18 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** One-pass native token counters (see [[graft.expressions.TokenStats]]):
+    * every metric below is a field/ratio of this struct, so a document is
+    * tokenized ONCE natively instead of once per metric through interpreted
+    * HOF lambdas. The double arithmetic stays here, cast-for-cast identical
+    * to the composable forms the DuckDB oracles mirror. */
+  private def tokenStatsStruct(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.TokenStats(
+      ColumnBridge.expression(text), stopwords))
+  }
+
+  def tokenCount(text: Column): Column = tokenStatsStruct(text).getField("n_tokens")
 
   /**
    * BPE-ish subword count estimate: one unit per 6 characters of each token,
@@ -45,10 +56,7 @@ object TextFunctions {
    * byte-pair encodings; ~6 chars/unit is the classic English rule of thumb).
    */
   def subwordCountEstimate(text: Column): Column =
-    aggregate(
-      tokens(text),
-      lit(0L),
-      (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(6.0)).cast("long")))
+    tokenStatsStruct(text).getField("n_subwords")
 
   /**
    * BPE-ish regex token count: letter runs, digit runs, and punctuation
@@ -61,9 +69,10 @@ object TextFunctions {
 
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
-    val n = length(text)
-    val p = length(regexp_replace(text, "[^\\p{Punct}]", ""))
-    when(n === 0, lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+    val st = tokenStatsStruct(text)
+    val n = st.getField("n_chars")
+    when(n === 0, lit(0.0))
+      .otherwise(st.getField("n_punct").cast("double") / n.cast("double"))
   }
 
   /** English stopword list used by the quality heuristics (tiny, embedded). */
@@ -74,17 +83,17 @@ object TextFunctions {
   /** Fraction of tokens that are stopwords — high values indicate natural
     * prose, near-zero indicates tables/code/boilerplate. */
   def stopwordRatio(text: Column): Column = {
-    val ts = tokens(text)
-    val sw = filter(ts, t => t.isInCollection(stopwords))
-    when(size(ts) === 0, lit(0.0))
-      .otherwise(size(sw).cast("double") / size(ts).cast("double"))
+    val st = tokenStatsStruct(text)
+    val n = st.getField("n_tokens")
+    when(n === 0, lit(0.0))
+      .otherwise(st.getField("n_stopwords").cast("double") / n.cast("double"))
   }
 
   def meanTokenLength(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) === 0, lit(0.0))
-      .otherwise(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double")
-        / size(ts).cast("double"))
+    val st = tokenStatsStruct(text)
+    val n = st.getField("n_tokens")
+    when(n === 0, lit(0.0))
+      .otherwise(st.getField("sum_tok_len").cast("double") / n.cast("double"))
   }
 
   /**

@@ -132,6 +132,38 @@ class TextFunctionsSpec extends SparkSpecBase {
       colSim.orderBy("doc_id").collect().map(_.getLong(1)).toSeq)
   }
 
+  test("token metrics (native TokenStats path) match plain-Scala references") {
+    val stop = TextFunctions.stopwords.toSet
+    def punct(c: Char) = (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+    // Spark-trim semantics: ' ' only (Scala's .trim also strips tabs —
+    // wrong reference for tab-edged strings), split keeps empty tokens at
+    // non-space whitespace edges (limit -1)
+    def sparkTokens(s: String): Seq[String] = {
+      val t = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      if (t.isEmpty) Seq.empty else t.split("\\s+", -1).toSeq
+    }
+    val all = samples ++ Seq("", "   ", "\ta b\t", "a-b c!d e.f the of")
+    val got = all.toDF("t").select(
+      TextFunctions.tokenCount(col("t")),
+      TextFunctions.subwordCountEstimate(col("t")),
+      TextFunctions.meanTokenLength(col("t")),
+      TextFunctions.punctRatio(col("t")),
+      TextFunctions.stopwordRatio(col("t"))).collect()
+    all.zip(got).foreach { case (s, row) =>
+      val ts = sparkTokens(s)
+      assert(row.getInt(0) == ts.size, s"tokenCount($s)")
+      val subw = ts.map(t => math.max(1L, math.ceil(t.length / 6.0).toLong)).sum
+      assert(row.getLong(1) == subw, s"subwords($s)")
+      val mean = if (ts.isEmpty) 0.0 else ts.map(_.length).sum.toDouble / ts.size
+      assert(row.getDouble(2) == mean, s"meanTokLen($s)")
+      val pr = if (s.isEmpty) 0.0 else s.count(punct).toDouble / s.length
+      assert(row.getDouble(3) == pr, s"punctRatio($s)")
+      val sr = if (ts.isEmpty) 0.0 else ts.count(stop).toDouble / ts.size
+      assert(row.getDouble(4) == sr, s"stopwordRatio($s)")
+    }
+  }
+
   test("quality score stays in [0,1] and ranks prose above junk") {
     val prose = "the cat sat on the mat and it was a fine day for all of them"
     val junk = "@@@@ !!!! #### $$$$ %%%%"
