@@ -48,6 +48,36 @@ class ShingleHashesSpec extends SparkSpecBase {
     }
   }
 
+  test("portable mode matches the plain-Scala poly31|poly37 fold (incl. unicode)") {
+    val M = 2147483647L
+    def poly(s: String, mult: Long): Long = {
+      var h = 17L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * mult + cp) % M
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    def refPortable(s: String, k: Int): Seq[Long] = {
+      val t = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+", -1)
+      val sh = if (toks.length <= k) Seq(toks.mkString(" "))
+               else toks.sliding(k).map(_.mkString(" ")).toSeq
+      sh.map(x => poly(x, 31L) | (poly(x, 37L) << 31))
+    }
+    val cases = edgeCases :+ "日本語 テキスト の 文書 🎉 emoji beyond bmp"
+    for (k <- Seq(1, 3)) {
+      val rows = cases.toDF("t")
+        .select(TextFunctions.shingleHashes(col("t"), k, portable = true))
+        .collect()
+      cases.zip(rows).foreach { case (s, r) =>
+        assert(r.getSeq[Long](0) == refPortable(s, k),
+          s"k=$k ${s.replace("\t", "\\t").take(40)}")
+      }
+    }
+  }
+
   test("null text yields null; SQL registration works") {
     val r = Seq[Option[String]](None, Some("a b c d"))
       .toDF("t").select(TextFunctions.shingleHashes(col("t"), 3)).collect()
