@@ -235,12 +235,22 @@ object Dedup {
       .persist()
     val post0 = rawSets.select(col("doc_id"), explode(col("sh0")).as("s"))
     val dfTable = post0.groupBy("s").agg(count(lit(1)).as("df"))
-    // hot list as ONE broadcast array row → array_except strips stop-
-    // shingles from every set without a shuffle or a window
-    val hotArr = dfTable.filter(col("df") > maxShingleDf)
-      .agg(collect_list(col("s")).as("hot"))
-    val shSets = rawSets.crossJoin(broadcast(hotArr))
-      .select(col("doc_id"), array_except(col("sh0"), col("hot")).as("sh"))
+    // The hot list is tiny BY DEFINITION (|hot| <= total postings /
+    // maxShingleDf), so probing whether it is empty is one cheap partial-
+    // aggregated action — and on a clean corpus (no shingle above the
+    // cutoff, the common case) that skips an entire array-rewrite pass
+    // over every document's shingle set.
+    val anyHot = !dfTable.filter(col("df") > maxShingleDf).isEmpty
+    val shSets = (if (anyHot) {
+      // hot list as ONE broadcast array row → array_except strips stop-
+      // shingles from every set without a shuffle or a window
+      val hotArr = dfTable.filter(col("df") > maxShingleDf)
+        .agg(collect_list(col("s")).as("hot"))
+      rawSets.crossJoin(broadcast(hotArr))
+        .select(col("doc_id"), array_except(col("sh0"), col("hot")).as("sh"))
+    } else {
+      rawSets.select(col("doc_id"), col("sh0").as("sh"))
+    })
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
       .persist()
