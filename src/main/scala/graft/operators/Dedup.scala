@@ -292,12 +292,18 @@ object Dedup {
    * a near coin-flip around the cutoff, and filtering on it before exact
    * verification would silently drop banding-discovered true pairs.
    *
-   * Same output contract as [[ngramJaccard]] (doc_a, doc_b, jaccard with
-   * EXACT scores) whenever banding recall covers every >= threshold pair.
-   * Recall is verified empirically on this corpus and reproducible
-   * (signatures are pure functions of the text) — it is NOT a structural
-   * guarantee; re-verify after any corpus/threshold/hash change
-   * (asserted ≡ ngramJaccard on the test corpora in DedupSpec).
+   * Output shape matches [[ngramJaccard]] (doc_a, doc_b, jaccard with
+   * EXACT scores for every pair it emits), but RECALL is probabilistic
+   * near the threshold: a pair at true Jaccard J is discovered with
+   * probability 1-(1-J^rows)^bands (defaults: ~0.9998 at J=0.9 but only
+   * ~0.40 at J=0.5) — measured: one borderline pair lost at sf0.1. Use
+   * [[ngramJaccard]] (prefixFilter=true) when the contract is the exact
+   * pair set; use THIS when duplicate mass is dominated by
+   * well-above-threshold duplicates (the web-scale case) and discovery
+   * cost ∝ duplicate mass matters more than borderline recall.
+   * Equality with the exact engine is asserted on the SEPARATED test
+   * corpora in DedupSpec (planted pairs >= 0.9; reproducible, signatures
+   * are pure functions of the text).
    */
   def minhashNgramJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8, maxShingleDf: Int = 1000,

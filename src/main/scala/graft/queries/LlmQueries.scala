@@ -113,13 +113,20 @@ object LlmQueries {
       Dedup.exactByFingerprint(Tables.documents(s, dir)).orderBy("keep_id")
     },
 
-    // Exact n-gram Jaccard near-dup pairs via the SCALE pipeline:
-    // MinHash-LSH discovers candidates (compact banded-signature join, cost
-    // ∝ duplicate mass), exact Jaccard verifies candidates only. Scores stay
-    // bit-exact against the all-pairs DuckDB oracle: verification intersects
-    // the full hashed-shingle sets, and the 64-bit xxhash64 shingle hash is
-    // injective on any realistic corpus (collision odds ~n²/2^64; raw ≡
-    // hashed asserted in DedupSpec on sf0.001, hash-green Verify at sf0.01).
+    // Exact n-gram Jaccard near-dup pairs via the prefix-filtered
+    // (AllPairs/PPJoin) join — EXACT ON ANY CORPUS, which is what an
+    // oracle-checked row must be: MinHash-LSH discovery misses
+    // near-threshold pairs with probability (1-t^r)^b (~60% at t=0.5 with
+    // 8×4 banding — measured: one true pair lost at sf0.1, where the
+    // corpus has borderline pairs). Prefix filtering is the canonical
+    // scalable EXACT algorithm: each doc posts only its rarest
+    // n−⌈t·n⌉+1 shingles, so candidate cost is Σ df² over PREFIX postings
+    // (Zipf-robust), then full-set verification. Scores stay bit-exact:
+    // verification intersects full hashed-shingle sets and the 64-bit
+    // xxhash64 shingle hash is injective on any realistic corpus
+    // (collision odds ~n²/2^64; raw ≡ hashed asserted in DedupSpec).
+    // The MinHash→verify composed pipeline remains the higher-throughput
+    // approximate-recall option (Dedup.minhashNgramJaccard, stress bench).
     QueryDef.of("ngram_jaccard",
       shingleCte +
         """
@@ -128,8 +135,8 @@ object LlmQueries {
           |FROM p
           |WHERE CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE) >= 0.5
           |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      Dedup.minhashNgramJaccard(Tables.documents(s, dir), k = 3, threshold = 0.5,
-          maxShingleDf = 1000, hashShingles = true)
+      Dedup.ngramJaccard(Tables.documents(s, dir), k = 3, threshold = 0.5,
+          maxShingleDf = 1000, hashShingles = true, prefixFilter = true)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
@@ -220,10 +227,12 @@ object LlmQueries {
           |WHERE doc_id NOT IN (SELECT src FROM reach WHERE cluster <> src)
           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      // scale-path pair detection: LSH discovery + candidate-only exact
-      // verification (same pair set as the all-pairs engine on this corpus)
-      val pairs = Dedup.minhashNgramJaccard(docs, k = 3, threshold = 0.5,
-        maxShingleDf = 1000, hashShingles = true).select("doc_a", "doc_b")
+      // exact pair detection (prefix-filtered join — see ngram_jaccard's
+      // rationale): survivors are an exactness contract, so the detector
+      // must be exact on any corpus, not recall-probabilistic
+      val pairs = Dedup.ngramJaccard(docs, k = 3, threshold = 0.5,
+        maxShingleDf = 1000, hashShingles = true, prefixFilter = true)
+        .select("doc_a", "doc_b")
       val losers = Dedup.duplicateClusters(pairs)
         .filter(col("doc_id") =!= col("cluster"))
       docs.join(losers, Seq("doc_id"), "left_anti")

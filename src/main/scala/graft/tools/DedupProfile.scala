@@ -48,6 +48,15 @@ object DedupProfile {
     time("composed pipeline")(full.write.format("noop").mode("overwrite").save())
     spark.catalog.clearCache()
 
+    val prefix = Dedup.ngramJaccard(docs, 3, 0.5, 1000, hashShingles = true,
+      prefixFilter = true)
+    time("prefix-filter exact")(prefix.write.format("noop").mode("overwrite").save())
+    spark.catalog.clearCache()
+
+    val naive = Dedup.ngramJaccard(docs, 3, 0.5, 1000, hashShingles = true)
+    time("naive inverted-index exact")(naive.write.format("noop").mode("overwrite").save())
+    spark.catalog.clearCache()
+
     val pairs = Dedup.minhashNgramJaccard(docs, 3, 0.5, 32, 8, 1000)
       .select("doc_a", "doc_b")
     // duplicateClusters runs its loop EAGERLY, so the call itself is the
