@@ -143,7 +143,17 @@ object Bench {
       }),
       ("ann_ivf_probe_100x", false, false, () =>
         Similarity.ivfTopK(emb100.filter(col("vec_id") < 100), ivfIndex, k = 5,
-          nProbe = 8)))
+          nProbe = 8)),
+      // LAST (dominates stress wall-clock): the EXACT prefix-filtered
+      // engine on the dup-heavy corpus — measured ~155 s vs ~11 s for the
+      // composed pipeline, because with 10 exact copies of every doc a
+      // t=0.5 prefix is half of every shingle set and prunes nothing.
+      // The inverse of the clean-corpus case (prefix exact 3.4 s, wins on
+      // exactness): engine choice is a corpus-shape decision, which is why
+      // both are first-class (see README scale notes).
+      ("dedup_exact_prefix_10x", false, false, () =>
+        Dedup.ngramJaccard(docs10, k = 3, threshold = 0.5,
+          hashShingles = true, prefixFilter = true)))
 
     val skewConf = "spark.sql.adaptive.skewJoin.enabled"
     val results = cases.map { case (name, noAqeSkew, keepCaches, mk) =>
