@@ -375,13 +375,14 @@ object Dedup {
         // double rounding can land at n·t + 2^-52-scale error and ceil one
         // too high — shortening the prefix and silently breaking exactness.
         // The nudge is far above FP error and far below any real fraction.
-        val prefixLen =
-          col("n_sh") - ceil(col("n_sh") * threshold - lit(1e-9)).cast("int") + 1
+        // n_sh = size(ordered): the collect gathers exactly the doc's
+        // shingle set, so no join back to shSets is needed for the length
+        val nSh = size(col("ordered"))
+        val prefixLen = nSh - ceil(nSh * threshold - lit(1e-9)).cast("int") + 1
         val prefixes = shSets.select(col("doc_id"), explode(col("sh")).as("s"))
           .join(dfTable, "s") // df per posting (shuffle join on the shingle key)
           .groupBy("doc_id")
           .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
-          .join(shSets.select("doc_id", "n_sh"), "doc_id")
           .select(col("doc_id"),
             explode(slice(transform(col("ordered"), o => o.getField("s")),
               lit(1), prefixLen)).as("s"))
