@@ -6,11 +6,40 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is forced with a
   * `noop`-format write — a full materialization of every output row through
   * the real plan — because `count()` would let Catalyst prune projections
-  * and aggregate-count shortcuts would skip the actual work. */
+  * and aggregate-count shortcuts would skip the actual work.
+  *
+  * Each query runs SPARK_GRAFT_REPS times (default 3) and reports the
+  * MEDIAN; per-run times ship in the JSON (`runs`) for variance
+  * visibility. Rationale: a 47-query single-pass run measured heavy
+  * queries 2-2.7× slower than the same query isolated (accumulated
+  * broadcast/codegen/GC state the inter-query cleanup cannot fully
+  * drain) — medians over repeated runs keep one noisy execution from
+  * manufacturing a phantom round-over-round regression. */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  /** Inter-query cleanup, OUTSIDE the timed region — measure the query,
+    * not the harness. clearCache() only drops SQL-cached datasets;
+    * localCheckpoint blocks (duplicateClusters' per-round lineage cuts)
+    * live as persisted RDDs in the BlockManager, and broadcast variables
+    * (every broadcast join leaves one) are reclaimed by ContextCleaner
+    * only after GC — without both, 45+ queries of block buildup taxes the
+    * late-alphabet iterative queries with per-job scheduler/GC overhead.
+    * The post-GC sleep gives the (asynchronous) ContextCleaner a beat to
+    * actually process the reference queue before the next timed run. */
+  private def drain(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+    Thread.sleep(200)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,36 +59,33 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
-      System.err.println(s"[bench] running $name")
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      System.err.println(s"[bench] running $name ×$reps")
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          if (!errors.contains(name)) errors += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        drain(spark)
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Cleanup OUTSIDE the timed region — measure the query, not the
-      // harness. clearCache() only drops SQL-cached datasets;
-      // localCheckpoint blocks (duplicateClusters' per-round lineage cuts)
-      // live as persisted RDDs in the BlockManager, and broadcast
-      // variables (every broadcast join leaves one) are reclaimed by
-      // ContextCleaner only after GC — without both, 45+ queries of block
-      // buildup taxes the late-alphabet iterative queries with per-job
-      // scheduler/GC overhead.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
-      System.err.println(f"[bench] $name took $dt%.2f s")
-      name -> dt
+      val med = median(runs)
+      System.err.println(
+        f"[bench] $name median $med%.2f s (runs ${runs.map(r => f"$r%.2f").mkString("/")})")
+      (name, med, runs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val rs = results.map { case (k, _, runs) =>
+      "\"" + k + "\":" + runs.map(r => f"$r%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // a failed query's partial time must not read as a speedup: errors are
     // carried in the JSON so round-over-round comparison can see them
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
     if (sys.env.get("SPARK_GRAFT_STRESS").contains("1")) stress(spark, sfDir)
     spark.stop()
   }
@@ -71,7 +97,9 @@ object Bench {
    * the flag, so its output stays one JSON line). Each table is the sf
    * input unioned 10× with shifted ids: every document gains 9 exact
    * copies (dup-heavy dedup), every lineitem hot key gains 10× the rows
-   * (skew join).
+   * (skew join). Besides times, the ANN cases emit measured recall@5 vs
+   * brute force at the same operating points, so the approximate paths'
+   * quality claim is a reproducible artifact, not test-only.
    */
   private def stress(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.{Dedup, Salt, Similarity}
@@ -88,7 +116,8 @@ object Bench {
       .select(
         when(pmod(col("l_orderkey"), lit(2)) === 0, lit(0L))
           .otherwise(pmod(col("l_partkey"), lit(200L))).as("skew_key"),
-        col("l_quantity").cast("long").as("qty"))
+        col("l_quantity").cast("long").as("qty"),
+        col("l_orderkey"), col("l_linenumber"))
     val dim = Tables.part(spark, sfDir)
       .groupBy(pmod(col("p_partkey"), lit(200L)).as("skew_key"))
       .agg(max("p_name").as("dim_name"))
@@ -97,9 +126,11 @@ object Bench {
     // before it loses to the bucketed paths' fixed overheads
     val emb100 = dupN(100)(Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding"), "vec_id", 10000000L)
+    val annQ = emb100.filter(col("vec_id") < 100)
 
     def plainSkewJoin() =
-      fact10.join(dim.hint("merge"), "skew_key").groupBy("skew_key")
+      fact10.drop("l_orderkey", "l_linenumber")
+        .join(dim.hint("merge"), "skew_key").groupBy("skew_key")
         .agg(aggs.head, aggs.tail: _*)
 
     // The IVF index is built ONCE and probed in a separate timed case —
@@ -107,6 +138,9 @@ object Bench {
     // service amortizes it over many query batches, so folding it into
     // every query's time would mis-measure both).
     var ivfIndex: Similarity.IvfIndex = null
+
+    def lshPlan() = Similarity.lshTopK(annQ, emb100, k = 5, nBits = 32, bands = 4)
+    def ivfPlan() = Similarity.ivfTopK(annQ, ivfIndex, k = 5, nProbe = 8)
 
     // (name, disable AQE skew-join split, keep caches after case, plan).
     // The _noaqe case measures what the unsalted join costs WITHOUT runtime
@@ -133,17 +167,16 @@ object Bench {
       // ANN crossover: 100 queries against a 100× corpus (500k vectors at
       // sf0.1) — where the bucketed paths beat the Q×N brute-force product
       ("ann_brute_100x", false, false, () =>
-        Similarity.bruteForceTopK(emb100.filter(col("vec_id") < 100), emb100, k = 5)),
-      ("ann_lsh_100x", false, false, () =>
-        Similarity.lshTopK(emb100.filter(col("vec_id") < 100), emb100, k = 5,
-          nBits = 32, bands = 4)),
+        Similarity.bruteForceTopK(annQ, emb100, k = 5)),
+      ("ann_lsh_100x", false, false, () => lshPlan()),
       ("ann_ivf_build_100x", false, true, () => {
         ivfIndex = Similarity.buildIvfIndex(emb100, nCells = 64)
         ivfIndex.assigned // the write below materializes the assignment
       }),
-      ("ann_ivf_probe_100x", false, false, () =>
-        Similarity.ivfTopK(emb100.filter(col("vec_id") < 100), ivfIndex, k = 5,
-          nProbe = 8)),
+      ("ann_ivf_probe_100x", false, true, () => {
+        require(ivfIndex != null, "ivf build case failed; no index to probe")
+        ivfPlan()
+      }),
       // LAST (dominates stress wall-clock): the EXACT prefix-filtered
       // engine on the dup-heavy corpus — measured ~155 s vs ~11 s for the
       // composed pipeline, because with 10 exact copies of every doc a
@@ -156,11 +189,19 @@ object Bench {
           hashShingles = true, prefixFilter = true)))
 
     val skewConf = "spark.sql.adaptive.skewJoin.enabled"
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // one failing case must not lose the completed timings or skip
+    // spark.stop(): each case is caught, carried in `errors`, timed as the
+    // partial cost it burned
     val results = cases.map { case (name, noAqeSkew, keepCaches, mk) =>
       System.err.println(s"[stress] running $name")
       if (noAqeSkew) spark.conf.set(skewConf, "false")
       val t0 = System.nanoTime()
       try mk().write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        errors += name
+        System.err.println(s"[stress] $name failed: ${e.getMessage}")
+      }
       finally if (noAqeSkew) spark.conf.set(skewConf, "true")
       val dt = (System.nanoTime() - t0) / 1e9
       if (!keepCaches) {
@@ -172,8 +213,34 @@ object Bench {
       System.err.println(f"[stress] $name took $dt%.2f s")
       name -> dt
     }
+
+    // recall@5 vs brute force at the SAME stress operating points, computed
+    // OUTSIDE the timed cases (ground truth + re-executions are
+    // measurement infrastructure, not the thing being measured)
+    val recalls = {
+      val truth = Similarity.bruteForceTopK(annQ, emb100, k = 5)
+        .select("query_id", "neighbor_id").persist()
+      val denom = truth.count().toDouble
+      def recallOf(name: String, plan: () => DataFrame): Option[(String, Double)] =
+        try {
+          val hits = plan().select("query_id", "neighbor_id")
+            .join(truth, Seq("query_id", "neighbor_id")).count()
+          Some(name -> hits / denom)
+        } catch { case e: Throwable =>
+          System.err.println(s"[stress] recall($name) failed: ${e.getMessage}")
+          None
+        }
+      val out = recallOf("lsh", () => lshPlan()).toSeq ++
+        (if (ivfIndex != null) recallOf("ivf", () => ivfPlan()).toSeq else Nil)
+      truth.unpersist(blocking = false)
+      out
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rec = recalls.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"recall_at_5":$rec,"errors":$errs,"sf":"$sfDir"}""")
   }
 }

@@ -42,6 +42,11 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]],
       s"nearest_cells expects array<float|double>, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // nullSafeEval returns null for dim-mismatched or null-element vectors even
+  // when the input column is non-nullable — without this override a
+  // non-nullable input would make consumers skip the null check entirely
+  // (same contract as HyperplaneSignature)
+  override def nullable: Boolean = true
   override def prettyName: String = "nearest_cells"
 
   // flattened row-major copy so eval touches a primitive array, not Seq boxing

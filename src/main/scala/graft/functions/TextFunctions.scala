@@ -310,7 +310,7 @@ object TextFunctions {
     * trained n-gram profiles; the classifier shape (score per language over
     * char n-gram hits, argmax with deterministic tie-break) is the real
     * contract and is fully columnar. */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" the ", " and ", " of ", "ing ", " is "),
     "de" -> Seq(" der ", " und ", " die ", "sch", " ist "),
     "fr" -> Seq(" le ", " la ", " et ", " les ", " est "),
@@ -318,9 +318,19 @@ object TextFunctions {
     "zh" -> Seq("的", "了", "是", "我", "不"))
 
   /** Predicted language code; "und" when nothing scores. Ties break toward
-    * the lexicographically-later language via the (score, lang) struct
-    * ordering — deterministic. */
+    * the lexicographically-later language — deterministic. Runs as the
+    * native one-pass loop [[graft.expressions.LangId]]; [[langIdHof]] is
+    * the composable reference twin (which re-lowers the text inside each
+    * contains term and pays interpreted struct-greatest per row — measured
+    * ~0.5 ms/doc; equality asserted in TextFunctionsSpec). */
   def langId(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.LangId(
+      ColumnBridge.expression(text), langMarkers))
+  }
+
+  /** Composable reference twin of [[langId]] (see scaladoc there). */
+  def langIdHof(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     val scored = langMarkers.map { case (lang, marks) =>
       val score = marks.map(m => when(padded.contains(m), 1).otherwise(0))

@@ -101,11 +101,16 @@ object Dedup {
       .agg(minhashAgg(col("f"), numHashes).as("sig"))
       .persist()
     val cand = bandedCandidates(sig, numHashes, bands, maxBucketSize, keepSigs = true)
+    // signature agreement as an UNROLLED codegen'd sum (numHashes is a small
+    // plan-time constant) — the zip_with+aggregate HOF form is semantically
+    // identical but runs interpreted, the known trap on a candidate-heavy
+    // corpus where this comparison is the per-candidate hot loop
+    val agree = (0 until numHashes).map { i =>
+      when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1),
+        1).otherwise(0)
+    }.reduce(_ + _)
     cand
-      .withColumn("jaccard_est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .withColumn("jaccard_est", agree.cast("double") / numHashes)
       .filter(col("jaccard_est") >= threshold)
       .select("doc_a", "doc_b", "jaccard_est")
   }
@@ -122,17 +127,20 @@ object Dedup {
   private def bandedCandidates(sig: DataFrame, numHashes: Int, bands: Int,
       maxBucketSize: Int, keepSigs: Boolean): DataFrame = {
     val rows = numHashes / bands
-    // band hash = polynomial combine of the band's rows (exact Long math).
-    // The band array is built at Scala level (bands is a compile-time-ish
-    // constant), keeping b*rows exact integer arithmetic and the expression
-    // codegen-friendly.
+    // band hash = polynomial combine of the band's rows (exact Long math),
+    // UNROLLED at Scala level into plain codegen'd arithmetic — bands and
+    // rows are small plan-time constants, so the fold is a handful of
+    // pmod/multiply terms per band instead of an interpreted aggregate HOF.
+    def bandHash(b: Int): Column =
+      (0 until rows).foldLeft(lit(7L): Column) { (acc, i) =>
+        pmod(acc * lit(1000003L) + element_at(col("sig"), b * rows + i + 1),
+          lit(2147483647L))
+      }
     val sigCols = if (keepSigs) Seq(col("doc_id"), col("sig")) else Seq(col("doc_id"))
     val banded = sig.select(
       sigCols :+
-        posexplode(array((0 until bands).map { b =>
-          aggregate(slice(col("sig"), b * rows + 1, rows), lit(7L),
-            (acc, h) => pmod(acc * lit(1000003L) + h, lit(2147483647L)))
-        }: _*)).as(Seq("band", "band_hash")): _*)
+        posexplode(array((0 until bands).map(bandHash): _*))
+          .as(Seq("band", "band_hash")): _*)
     // Drop pathological buckets (e.g. empty/boilerplate docs all colliding).
     // Scale-safe: bucket sizes via partial-aggregated groupBy.count, hot-key
     // list broadcast back as an anti-join — NOT a per-key window, which would
@@ -236,18 +244,22 @@ object Dedup {
     val post0 = rawSets.select(col("doc_id"), explode(col("sh0")).as("s"))
     val dfTable = post0.groupBy("s").agg(count(lit(1)).as("df"))
     // The hot list is tiny BY DEFINITION (|hot| <= total postings /
-    // maxShingleDf), so probing whether it is empty is one cheap partial-
-    // aggregated action — and on a clean corpus (no shingle above the
-    // cutoff, the common case) that skips an entire array-rewrite pass
-    // over every document's shingle set.
-    val anyHot = !dfTable.filter(col("df") > maxShingleDf).isEmpty
-    val shSets = (if (anyHot) {
-      // hot list as ONE broadcast array row → array_except strips stop-
-      // shingles from every set without a shuffle or a window
-      val hotArr = dfTable.filter(col("df") > maxShingleDf)
-        .agg(collect_list(col("s")).as("hot"))
-      rawSets.crossJoin(broadcast(hotArr))
-        .select(col("doc_id"), array_except(col("sh0"), col("hot")).as("sh"))
+    // maxShingleDf), so COLLECT it in one cheap partial-aggregated action:
+    // the collected list both answers "is anything hot?" (on a clean
+    // corpus — the common case — that skips an entire array-rewrite pass
+    // over every document's shingle set) and serves as the strip list,
+    // baked into the plan as a single array literal. One eager job at
+    // operator-construction time (a documented trade-off: these builders
+    // are not pure plan constructors), where the previous isEmpty probe +
+    // broadcast-join shape ran TWO dfTable jobs when a hot shingle existed.
+    val hotList: Seq[Any] = dfTable.filter(col("df") > maxShingleDf)
+      .agg(collect_list(col("s")).as("hot"))
+      .first().getSeq[Any](0)
+    val shSets = (if (hotList.nonEmpty) {
+      val hotArr: Column =
+        if (hashShingles) typedlit(hotList.asInstanceOf[Seq[Long]])
+        else typedlit(hotList.asInstanceOf[Seq[String]])
+      rawSets.select(col("doc_id"), array_except(col("sh0"), hotArr).as("sh"))
     } else {
       rawSets.select(col("doc_id"), col("sh0").as("sh"))
     })

@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
  * re-salt differently under recomputation). Identical duplicate rows share
  * a salt; a hot KEY spreads as long as its rows differ in any attribute,
  * which is what fact tables look like.
+ *
+ * CALLER CONTRACT — salt BEFORE projecting away discriminating columns:
+ * because the salt is a content hash, a fact projected down to
+ * low-cardinality columns (e.g. just (key, qty)) collapses the hot key's
+ * rows onto at most |distinct projected rows| salt values — and fully
+ * duplicated rows onto ONE, making the salt a no-op exactly where it is
+ * needed. Pass the fact with its natural key (or any high-cardinality
+ * attributes) still present and project after the join; Catalyst prunes
+ * the extra columns the moment the salt has been computed.
  */
 object Salt {
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import graft.expressions.NearestCells
@@ -203,4 +203,37 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16,
       nProbe: Int = 4, seed: Long = 42L): DataFrame =
     ivfTopK(queries, buildIvfIndex(corpus, nCells), k, nProbe)
+
+  /**
+   * Persist a fitted [[IvfIndex]]: centroids (tiny — nCells rows) and the
+   * materialized corpus assignment, both as parquet under `path`. With
+   * [[loadIvfIndex]] this makes build-once/probe-many survive a session
+   * restart — the real ANN-service contract: fit and assign once on the
+   * 100 TB corpus, then any number of later jobs probe the saved
+   * assignment without re-running the quantizer or the assignment scan.
+   */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .repartition(1) // nCells rows — one tiny file
+      .write.mode("overwrite").parquet(path + "/centroids")
+    index.assigned.write.mode("overwrite").parquet(path + "/assignment")
+  }
+
+  /** Load an index written by [[saveIvfIndex]]. The assignment comes back
+    * persisted (the probe-side contract); centroids are collected
+    * driver-side (nCells × dim doubles — the same plan-time constant the
+    * build path bakes in). Probe results are identical to the in-memory
+    * index's (round-trip asserted in SimilaritySpec). */
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val centroids: Seq[Seq[Double]] = spark.read.parquet(path + "/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid"))).toSeq
+    require(centroids.nonEmpty, s"loadIvfIndex: no centroids at $path")
+    val assigned = spark.read.parquet(path + "/assignment").persist()
+    IvfIndex(centroids, assigned)
+  }
 }

@@ -28,10 +28,14 @@ object LlmQueries {
     TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Shared DuckDB CTE: tokenization + word-3-shingle sets per document,
-    * mirroring TextFunctions.tokens/shingles. */
+    * mirroring TextFunctions.tokens/shingles. Whitespace is spelled as the
+    * explicit class `[ \t\n\x0B\f\r]+` in every oracle here because Java's
+    * `\s` (the Spark-side tokenizer) includes vertical tab U+000B while
+    * DuckDB/RE2's `\s` does not — the explicit class means the same thing
+    * in both engines. (Both engines' `trim` strips ' ' only.) */
   private val shingleCte: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts FROM documents
       |), sh AS (
       |  SELECT doc_id, list_distinct(
       |    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
@@ -68,7 +72,7 @@ object LlmQueries {
         s" THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" |\n    ") // operator at line END: stripMargin eats leading '|'
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+       |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ts FROM documents
        |), shl AS (
        |  SELECT doc_id,
        |    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
@@ -89,6 +93,49 @@ object LlmQueries {
        |WHERE bit_count(xor(a.sh62, b.sh62)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Shared oracle for both survivors queries (exact-engine and composed
+    * scale-engine detection — on the separated Verify corpora their pair
+    * sets are provably equal, so one oracle certifies both): resolve
+    * components with a recursive reachability CTE, keep min-id per
+    * component. */
+  private val survivorsOracle: String =
+    shingleCte +
+      """,
+        |pr AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  WHERE CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM pr
+        |  UNION ALL SELECT doc_b, doc_a FROM pr
+        |),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT DISTINCT s, s FROM edges
+        |    UNION
+        |    SELECT r.src, e.d FROM r JOIN edges e ON r.node = e.s
+        |  ) SELECT src, min(node) AS cluster FROM r GROUP BY src
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT src FROM reach WHERE cluster <> src)
+        |ORDER BY doc_id""".stripMargin
+
+  /** Shared oracle for the exact-ANN rows (brute force and IVF at the
+    * exhaustive nProbe = nCells operating point, which is ≡ brute force):
+    * per-query cosine top-5, ties by neighbor id. */
+  private val annTopkOracle: String =
+    """SELECT query_id, rank, neighbor_id, cos_sim FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id) AS BIGINT) AS rank
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+      |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Shared oracle for both exact-dedup variants: their contract is the
     * same — grouping by content IS grouping by text. */
@@ -205,27 +252,7 @@ object LlmQueries {
     // min doc_id per cluster, drop every other member. Oracle resolves
     // components with a recursive reachability CTE (components are small,
     // so the closure is cheap).
-    QueryDef.of("dedup_survivors",
-      shingleCte +
-        """,
-          |pr AS (
-          |  SELECT doc_a, doc_b FROM p
-          |  WHERE CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE) >= 0.5
-          |),
-          |edges AS (
-          |  SELECT doc_a AS s, doc_b AS d FROM pr
-          |  UNION ALL SELECT doc_b, doc_a FROM pr
-          |),
-          |reach AS (
-          |  WITH RECURSIVE r(src, node) AS (
-          |    SELECT DISTINCT s, s FROM edges
-          |    UNION
-          |    SELECT r.src, e.d FROM r JOIN edges e ON r.node = e.s
-          |  ) SELECT src, min(node) AS cluster FROM r GROUP BY src
-          |)
-          |SELECT doc_id FROM documents
-          |WHERE doc_id NOT IN (SELECT src FROM reach WHERE cluster <> src)
-          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    QueryDef.of("dedup_survivors", survivorsOracle) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       // exact pair detection (prefix-filtered join — see ngram_jaccard's
       // rationale): survivors are an exactness contract, so the detector
@@ -240,23 +267,33 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // The SAME survivors pipeline through the composed SCALE engine
+    // (MinHash-LSH candidate discovery → exact Jaccard verification of
+    // candidates only — discovery cost ∝ duplicate mass, the engine you'd
+    // run on a 100 TB crawl). On the separated Verify corpora (planted
+    // pairs ≥ 0.9 true Jaccard, everything else < 0.3) LSH discovery at
+    // J ≥ 0.9 succeeds with p ≈ 0.9998 per pair and the exact verification
+    // thresholds identically, so the pair set — and therefore the survivor
+    // set — provably equals the exact engine's (asserted corpus-wide in
+    // DedupSpec). This row gives the scale engine its own driver-visible
+    // certification instead of test-suite-only coverage.
+    QueryDef.of("dedup_survivors_composed", survivorsOracle) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNgramJaccard(docs, k = 3, threshold = 0.5)
+        .select("doc_a", "doc_b")
+      val losers = Dedup.duplicateClusters(pairs)
+        .filter(col("doc_id") =!= col("cluster"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // ----- similarity search --------------------------------------------
 
     // Exact ANN baseline: 10 query vectors (broadcast) against the corpus,
     // cosine top-5 each. Scales as |corpus| × |queries| with the queries
     // broadcast — linear in the corpus, no all-pairs product.
-    QueryDef.of("ann_topk",
-      """SELECT query_id, rank, neighbor_id, cos_sim FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                 CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
-        |    CAST(row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                      CAST(c.embedding AS DOUBLE[])) DESC,
-        |               c.vec_id) AS BIGINT) AS rank
-        |  FROM embeddings q JOIN embeddings c
-        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
-        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    QueryDef.of("ann_topk", annTopkOracle) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
         .orderBy("query_id", "rank")
@@ -284,6 +321,20 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF at the EXACT operating point: nProbe = nCells probes every cell,
+    // so the candidate set is the whole corpus and the result is ≡ brute
+    // force (SimilaritySpec asserts this structurally) — which makes the
+    // IVF machinery (sample-fit quantizer, native cell assignment, cell
+    // join, partial-agg top-k) certifiable against the same DuckDB oracle
+    // as ann_topk. The approximate operating point above stays benched for
+    // the speedup claim; this row certifies the engine's plumbing end-to-end.
+    QueryDef.of("ann_topk_ivf_exact", annTopkOracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+          nCells = 16, nProbe = 16)
+        .orderBy("query_id", "rank")
+    },
+
     // ----- text analysis -------------------------------------------------
 
     QueryDef.of("text_stats",
@@ -303,7 +354,7 @@ object LlmQueries {
         stopwordsSqlList +
         """, t))) AS DOUBLE)
           |             / CAST(len(ts) AS DOUBLE) END, 4) AS stopword_ratio
-          |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ts
+          |FROM (SELECT doc_id, text, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
           |      FROM documents)
           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import TextFunctions._
@@ -323,7 +374,7 @@ object LlmQueries {
     QueryDef.of("token_counts",
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws,
+        |       ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS BIGINT) AS n_ws,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import TextFunctions._
@@ -352,7 +403,7 @@ object LlmQueries {
           |    + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
           |        ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
           |             / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.2 AS quality
-          |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ts
+          |FROM (SELECT doc_id, text, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
           |      FROM documents)
           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
@@ -452,7 +503,7 @@ object LlmQueries {
         |  CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE list_reduce(
         |    list_prepend(CAST(0 AS BIGINT), list_transform(
-        |      string_split_regex(trim(text), '\s+'),
+        |      string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
         |      t -> list_reduce(
         |             list_prepend(CAST(17 AS BIGINT), list_transform(
         |               generate_series(1, length(t)),

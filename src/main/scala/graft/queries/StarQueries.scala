@@ -27,6 +27,21 @@ object StarQueries {
         .otherwise(pmod(col("l_partkey"), lit(200L))).as("skew_key"),
       col("l_quantity").cast("long").as("qty"))
 
+  /** Salt-ready variant of [[skewFact]]: carries the fact's natural key
+    * (l_orderkey, l_linenumber) through to the salted join so the
+    * content-derived salt hashes a HIGH-CARDINALITY row. Salting the
+    * projected (skew_key, qty) pair would collapse the hot key's 300k rows
+    * onto ~50 distinct hash inputs (qty has ~50 values) — the degenerate
+    * case Salt's scaladoc warns about: salt BEFORE projecting away the
+    * discriminating columns. The extra columns are pruned right after the
+    * salt is computed (they feed nothing downstream). */
+  private def skewFactSaltable(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.lineitem(s, dir).select(
+      when(pmod(col("l_orderkey"), lit(2)) === 0, lit(0L))
+        .otherwise(pmod(col("l_partkey"), lit(200L))).as("skew_key"),
+      col("l_quantity").cast("long").as("qty"),
+      col("l_orderkey"), col("l_linenumber"))
+
   private def skewDim(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.part(s, dir)
       .groupBy(pmod(col("p_partkey"), lit(200L)).as("skew_key"))
@@ -249,7 +264,7 @@ object StarQueries {
     // of pinning one. Oracle-checked equal to the unsalted baseline.
     QueryDef.of("join_skew_salted", skewOracle) { (s, dir) =>
       graft.operators.Salt.saltedJoinAgg(
-          skewFact(s, dir), skewDim(s, dir).hint("merge"), "skew_key",
+          skewFactSaltable(s, dir), skewDim(s, dir).hint("merge"), "skew_key",
           Seq("skew_key"),
           Seq(count(lit(1)).as("cnt"),
             sum("qty").as("sum_qty"), max("dim_name").as("dim_name")))

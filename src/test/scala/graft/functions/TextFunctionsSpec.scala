@@ -185,4 +185,22 @@ class TextFunctionsSpec extends SparkSpecBase {
       .select(TextFunctions.langId(col("t"))).collect().map(_.getString(0))
     assert(got.toSeq == cases.map(_._2))
   }
+
+  test("native langId ≡ composable twin (ties, empty, null, mixed markers)") {
+    // ties exercise the lexicographically-later tie-break ('sch' + ' est ':
+    // de vs fr both score), empties/nulls the "und" collapse
+    val tricky: Seq[String] = samples ++ Seq(
+      "", "   ", null,
+      "sch est",                       // de=1 fr=1 tie → fr
+      " the und der le el 的 ",        // multi-language marker soup
+      "ing  is  est  es ",             // en/fr/es partial ties
+      "DER HUND UND DIE KATZE IST")    // upper-case → lower() path
+    val df = tricky.toDF("t")
+      .select(TextFunctions.langId(col("t")).as("native"),
+        TextFunctions.langIdHof(col("t")).as("hof"))
+    val rows = df.collect()
+    tricky.zip(rows).foreach { case (s, r) =>
+      assert(r.getString(0) == r.getString(1), s"langId($s)")
+    }
+  }
 }

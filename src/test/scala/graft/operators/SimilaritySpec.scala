@@ -95,4 +95,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rank1.getLong(2) == 0L)
     assert(rank1.getDouble(3) == 1.0)
   }
+
+  test("IvfIndex save/load round-trip: probe results identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
+      val built = Similarity.buildIvfIndex(emb, nCells = 8)
+      Similarity.saveIvfIndex(built, dir)
+      val loaded = Similarity.loadIvfIndex(spark, dir)
+      assert(loaded.centroids == built.centroids) // exact doubles — parquet round-trip
+      val q = emb.filter(col("vec_id") < 5)
+      def probe(ix: Similarity.IvfIndex) =
+        Similarity.ivfTopK(q, ix, k = 3, nProbe = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+      assert(probe(loaded) == probe(built))
+      built.assigned.unpersist()
+      loaded.assigned.unpersist()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
