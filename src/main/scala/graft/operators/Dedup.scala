@@ -388,16 +388,21 @@ object Dedup {
         // too high — shortening the prefix and silently breaking exactness.
         // The nudge is far above FP error and far below any real fraction.
         // n_sh = size(ordered): the collect gathers exactly the doc's
-        // shingle set, so no join back to shSets is needed for the length
+        // shingle set, so no join back to shSets is needed for the length.
+        // Prefix extraction is posexplode + a codegen'd position filter —
+        // NOT transform(...).slice(...), which would run an interpreted
+        // lambda over EVERY element of every ordered set just to drop most
+        // of them.
         val nSh = size(col("ordered"))
         val prefixLen = nSh - ceil(nSh * threshold - lit(1e-9)).cast("int") + 1
         val prefixes = shSets.select(col("doc_id"), explode(col("sh")).as("s"))
           .join(dfTable, "s") // df per posting (shuffle join on the shingle key)
           .groupBy("doc_id")
           .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
-          .select(col("doc_id"),
-            explode(slice(transform(col("ordered"), o => o.getField("s")),
-              lit(1), prefixLen)).as("s"))
+          .select(col("doc_id"), prefixLen.as("plen"),
+            posexplode(col("ordered")).as(Seq("pos", "o")))
+          .filter(col("pos") < col("plen"))
+          .select(col("doc_id"), col("o").getField("s").as("s"))
         val l = prefixes.select(col("s"), col("doc_id").as("doc_a"))
         val r = prefixes.select(col("s"), col("doc_id").as("doc_b"))
         val cand = l.join(r, "s")

@@ -104,4 +104,21 @@ class PlanSpec extends SparkSpecBase {
         s"$name lacks partial aggregation:\n$p")
     }
   }
+
+  test("no interpreted higher-order function in any wired dedup/ANN plan") {
+    // Every HOF lambda (transform/aggregate/zip_with/filter) renders as
+    // `lambdafunction` in the plan. These run INTERPRETED — per-element
+    // virtual dispatch outside whole-stage codegen — which is the known
+    // 10-50× trap on candidate-heavy hot paths. All wired signature math
+    // runs through native expressions or unrolled plan-time-constant
+    // arithmetic; this pin keeps it that way.
+    for (name <- Seq("dedup_minhash", "dedup_simhash", "dedup_simhash_scale",
+        "ngram_jaccard", "dedup_exact", "dedup_fingerprint", "dedup_embedding",
+        "dedup_survivors", "dedup_survivors_composed",
+        "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_exact")) {
+      val p = plan(name)
+      assert(!p.contains("lambdafunction"),
+        s"$name plan has an interpreted HOF:\n$p")
+    }
+  }
 }
