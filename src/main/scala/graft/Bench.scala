@@ -123,9 +123,24 @@ object Bench {
       .agg(max("p_name").as("dim_name"))
     val aggs = Seq(count(lit(1)).as("cnt"), sum("qty").as("sum_qty"))
     // 100×: the Q·N brute-force product needs ~10^7+ candidate scorings
-    // before it loses to the bucketed paths' fixed overheads
+    // before it loses to the bucketed paths' fixed overheads.
+    // Persisted + materialized (untimed) at the first ANN case — NOT at
+    // creation, because the earlier cases' clearCache cleanup would
+    // unregister it. Rationale (profiled in AnnProfile): the 100-branch
+    // union is test-corpus synthesis costing ~3 s per scan plus ~200
+    // per-branch codegen compilations, and the LSH path scans the corpus
+    // on BOTH join sides — unmaterialized, the harness charged LSH ~2× the
+    // synthesis overhead of brute force and synthesis dominated the
+    // algorithm (measured: lsh 12.4 s → 1.4 s cached, brute 7.7 s → 1.7 s
+    // cached, cached scan itself 0.17 s). A real corpus is one table, not
+    // a 100-way union; every ANN case reads the one materialized table.
+    // The repartition collapses the union's 100 × sessionParts output
+    // partitions to sessionParts — cached as 3200 batches, every ANN scan
+    // becomes a 3200-task stage whose scheduling overhead swamps the work.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val emb100 = dupN(100)(Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding"), "vec_id", 10000000L)
+      .repartition(sessionParts)
     val annQ = emb100.filter(col("vec_id") < 100)
 
     def plainSkewJoin() =
@@ -164,11 +179,23 @@ object Bench {
       ("join_skew_salted_noaqe_10x", true, false, () =>
         Salt.saltedJoinAgg(fact10, dim.hint("merge"), "skew_key",
           Seq("skew_key"), aggs)),
-      // ANN crossover: 100 queries against a 100× corpus (500k vectors at
-      // sf0.1) — where the bucketed paths beat the Q×N brute-force product
-      ("ann_brute_100x", false, false, () =>
+      // The EXACT prefix-filtered engine on the dup-heavy corpus —
+      // measured ~98 s vs ~12 s for the composed pipeline, because with
+      // 10 exact copies of every doc a t=0.5 prefix is half of every
+      // shingle set and prunes nothing. The inverse of the clean-corpus
+      // case (prefix exact ~4 s, wins on exactness): engine choice is a
+      // corpus-shape decision, which is why both are first-class (see
+      // README scale notes).
+      ("dedup_exact_prefix_10x", false, false, () =>
+        Dedup.ngramJaccard(docs10, k = 3, threshold = 0.5,
+          hashShingles = true, prefixFilter = true)),
+      // ANN crossover LAST, all keepCaches=true: every case (and the
+      // recall pass after the loop) reads the one materialized emb100 —
+      // inter-case clearCache would silently re-charge corpus synthesis
+      // to whichever case runs next
+      ("ann_brute_100x", false, true, () =>
         Similarity.bruteForceTopK(annQ, emb100, k = 5)),
-      ("ann_lsh_100x", false, false, () => lshPlan()),
+      ("ann_lsh_100x", false, true, () => lshPlan()),
       ("ann_ivf_build_100x", false, true, () => {
         ivfIndex = Similarity.buildIvfIndex(emb100, nCells = 64)
         ivfIndex.assigned // the write below materializes the assignment
@@ -176,17 +203,7 @@ object Bench {
       ("ann_ivf_probe_100x", false, true, () => {
         require(ivfIndex != null, "ivf build case failed; no index to probe")
         ivfPlan()
-      }),
-      // LAST (dominates stress wall-clock): the EXACT prefix-filtered
-      // engine on the dup-heavy corpus — measured ~155 s vs ~11 s for the
-      // composed pipeline, because with 10 exact copies of every doc a
-      // t=0.5 prefix is half of every shingle set and prunes nothing.
-      // The inverse of the clean-corpus case (prefix exact 3.4 s, wins on
-      // exactness): engine choice is a corpus-shape decision, which is why
-      // both are first-class (see README scale notes).
-      ("dedup_exact_prefix_10x", false, false, () =>
-        Dedup.ngramJaccard(docs10, k = 3, threshold = 0.5,
-          hashShingles = true, prefixFilter = true)))
+      }))
 
     val skewConf = "spark.sql.adaptive.skewJoin.enabled"
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -195,6 +212,13 @@ object Bench {
     // partial cost it burned
     val results = cases.map { case (name, noAqeSkew, keepCaches, mk) =>
       System.err.println(s"[stress] running $name")
+      // untimed: persist + materialize the synthetic ANN corpus once (all
+      // cache-clearing cases are behind us), so ANN case times measure the
+      // engines, not corpus synthesis
+      if (name == "ann_brute_100x") {
+        emb100.persist()
+        emb100.write.format("noop").mode("overwrite").save()
+      }
       if (noAqeSkew) spark.conf.set(skewConf, "false")
       val t0 = System.nanoTime()
       try mk().write.format("noop").mode("overwrite").save()
@@ -235,6 +259,7 @@ object Bench {
       truth.unpersist(blocking = false)
       out
     }
+    emb100.unpersist(blocking = false)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
