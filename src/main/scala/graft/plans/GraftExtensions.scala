@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, ShingleHashes}
+import graft.expressions.{CosineSimilarity, DocFingerprint, LangId, ShingleHashes}
 
 /**
  * Session extensions registering the engine's native expressions with the
@@ -32,6 +32,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"shingle_hashes: k must be an integer literal, got $other")
         }
         ShingleHashes(children.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "lang_id expects exactly 1 argument")
+        LangId(children.head, graft.functions.TextFunctions.langMarkers)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("doc_fingerprint"),
+      new ExpressionInfo(classOf[DocFingerprint].getName, "doc_fingerprint"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "doc_fingerprint expects exactly 1 argument")
+        DocFingerprint(children.head)
       }))
   }
 }

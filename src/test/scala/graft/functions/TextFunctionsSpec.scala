@@ -203,4 +203,12 @@ class TextFunctionsSpec extends SparkSpecBase {
       assert(r.getString(0) == r.getString(1), s"langId($s)")
     }
   }
+
+  test("lang_id and doc_fingerprint are registered as SQL functions") {
+    val r = spark.sql(
+      "SELECT lang_id('the cat and the dog is here') AS l, " +
+        "doc_fingerprint('a b c') AS fp").collect()(0)
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == refFingerprint("a b c"))
+  }
 }
