@@ -224,6 +224,33 @@ object TextFunctions {
       (acc, x) => array((0 until numHashes).map(i =>
         least(element_at(acc, i + 1), minhashLane(i, x))): _*))
 
+  /**
+   * Native per-row twin of [[minhashFromFeatures]] via
+   * [[graft.expressions.MinhashFromFeatures]] — identical signatures
+   * (asserted in TextFunctionsSpec) with NO explode, NO aggregation, NO
+   * shuffle: the signature is a pure function of the feature array, so it
+   * materializes in the scan stage. The dedup operators' signature entry
+   * point; [[minhashAgg]] remains for one-feature-per-row inputs.
+   */
+  def minhashSig(features: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.MinhashFromFeatures(
+      ColumnBridge.expression(features), numHashes))
+  }
+
+  /**
+   * Native per-row twin of [[simhashAgg]]/[[simhash]] over a shingle-hash
+   * array via [[graft.expressions.SimhashFromHashes]] — identical
+   * signatures (asserted in TextFunctionsSpec), zero shuffle, and usable
+   * per-row in Structured Streaming (see
+   * [[graft.streaming.EventsStreaming.dedupBySimhash]]).
+   */
+  def simhashSig(hashes: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.SimhashFromHashes(
+      ColumnBridge.expression(hashes)))
+  }
+
   /** Affine universal-hash lane i over x in [0, M): (a_i·x + b_i) mod M. */
   private def minhashLane(i: Int, x: Column): Column = {
     val a = (2L * i + 1L) * 0x9E3779B9L % M

@@ -91,14 +91,15 @@ object Dedup {
     // Persisted: the signature table feeds the hot-bucket scan AND both
     // self-join legs — without persist the (expensive) signature pipeline
     // runs three times. At 100 TB the signature table is ~1000× smaller than
-    // the corpus; caching it is the standard move. Computed via the
-    // codegen'd aggregate path (explode + partial-aggregated per-lane mins),
-    // not the interpreted column HOF — identical signatures, ~whole-stage
-    // throughput (see TextFunctions.minhashAgg).
+    // the corpus; caching it is the standard move. Computed PER ROW by the
+    // native MinhashFromFeatures over the native shingle hasher — a pure
+    // function of the text, so it materializes in the scan stage with no
+    // explode and no signature shuffle at all (the previous explode +
+    // partial-aggregated form shuffled one row per doc; identical
+    // signatures, asserted in TextFunctionsSpec).
     val sig = docs
-      .select(col("doc_id"), explode(shingleHashes(col("text"), k)).as("f"))
-      .groupBy("doc_id")
-      .agg(minhashAgg(col("f"), numHashes).as("sig"))
+      .select(col("doc_id"),
+        minhashSig(shingleHashes(col("text"), k), numHashes).as("sig"))
       .persist()
     val cand = bandedCandidates(sig, numHashes, bands, maxBucketSize, keepSigs = true)
     // signature agreement as an UNROLLED codegen'd sum (numHashes is a small
@@ -187,13 +188,14 @@ object Dedup {
       k: Int = 3, portableHash: Boolean = false): DataFrame = {
     val bits = 64 / bands
     // Persisted: signature computed once, both join legs read the cache.
+    // Native per-row SimhashFromHashes over the native shingle hasher —
+    // no explode, no signature shuffle (see minhashLsh's rationale).
     // portableHash swaps xxhash64 shingle hashing for the engine-portable
     // polynomial (see ShingleHashes) so a SQL oracle can recompute the
     // SIGNATURES exactly — the dedup_simhash_scale contract.
     val sig = docs
-      .select(col("doc_id"), explode(shingleHashes(col("text"), k, portableHash)).as("h"))
-      .groupBy("doc_id")
-      .agg(simhashAgg(col("h")).as("sh"))
+      .select(col("doc_id"),
+        simhashSig(shingleHashes(col("text"), k, portableHash)).as("sh"))
       .persist()
     val banded = sig.select(col("doc_id"), col("sh"),
       VectorFunctions.lshBands(col("sh"), bands, bits).as(Seq("band", "band_val")))
@@ -325,13 +327,13 @@ object Dedup {
       "raw-string reference path")
     val (shSets, _) = shingleSets(docs, k, maxShingleDf, hashShingles)
     // Persisted: the banding self-join reads the signature table twice (once
-    // per leg); without persist the signature aggregate would run twice.
+    // per leg); without persist the signature pipeline would run twice.
     // Signatures only — (doc_id, 32 longs) — never the sets or the text.
-    // Codegen'd aggregate path over the already-hashed set elements.
+    // Native per-row MinhashFromFeatures over the already-hashed stripped
+    // sets: no explode, no signature shuffle (the signature derives from
+    // the SAME sets the exact verification intersects).
     val sig = shSets
-      .select(col("doc_id"), explode(col("sh")).as("f"))
-      .groupBy("doc_id")
-      .agg(minhashAgg(col("f"), numHashes).as("sig"))
+      .select(col("doc_id"), minhashSig(col("sh"), numHashes).as("sig"))
       .persist()
     val cand = bandedCandidates(sig, numHashes, bands, maxBucketSize, keepSigs = false)
     verifyJaccard(cand, shSets, threshold)

@@ -75,6 +75,37 @@ object EventsStreaming {
       .drop("fp_x", "fp_p", "fp_len")
 
   /**
+   * Streaming NEAR-dup dedup at the signature-identical operating point:
+   * drop rows whose 62-bit shingle-SimHash equals one seen inside the
+   * watermark horizon. The signature is computed PER ROW by the native
+   * [[graft.expressions.SimhashFromHashes]] over
+   * [[graft.expressions.ShingleHashes]] — no aggregation enters the
+   * streaming plan, and state is 8 bytes per distinct in-window signature
+   * regardless of document size.
+   *
+   * Scope, stated honestly: this catches near-duplicates whose votes agree
+   * on every bit — reorderings, whitespace/formatting variants, and edits
+   * too small to flip any bit-majority — i.e. the boilerplate mass a crawl
+   * stream actually carries. It does NOT catch hamming > 0 pairs: a
+   * radius-h streaming detector needs band-keyed state in `bands` parallel
+   * stateful operators plus a cross-band merge, whose once-per-doc emission
+   * semantics are not expressible with bounded state in one pass. Batch
+   * [[graft.operators.Dedup.simhashPairs]] (same signature function,
+   * asserted in TextFunctionsSpec) is the radius-h engine; run it over the
+   * stream's sink for periodic compaction.
+   */
+  def dedupBySimhash(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text", k: Int = 3,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    import graft.functions.TextFunctions.{shingleHashes, simhashSig}
+    docs
+      .withColumn("_simhash", simhashSig(shingleHashes(col(textCol), k)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_simhash")
+      .drop("_simhash")
+  }
+
+  /**
    * Streaming sessionization — the custom-state tier the built-in operators
    * can't express: per-user sessions split at `gapMinutes` of event-time
    * silence, held open in `GroupState` and closed either by a later event

@@ -111,9 +111,10 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(agree(sigs(0), sigs(2)) < 0.3)
   }
 
-  test("aggregate-path signatures are identical to the column references") {
-    // the operators compute signatures via explode + groupBy (codegen'd
-    // partial aggregation); these must equal the column HOF references
+  test("aggregate-path and native per-row signatures ≡ the column references") {
+    // the operators compute signatures via the native per-row expressions
+    // (MinhashFromFeatures/SimhashFromHashes over ShingleHashes); these —
+    // and the aggregate twins — must equal the column HOF references
     // bit-for-bit or every pair-set correctness argument silently shifts
     val docs = (samples ++ Seq("x", "one two three")).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
@@ -123,13 +124,34 @@ class TextFunctionsSpec extends SparkSpecBase {
       .agg(TextFunctions.minhashAgg(xxhash64(col("s")), 32).as("sig"))
     val colMin = docs.select(col("doc_id"),
       TextFunctions.minhashSignature(col("t"), 3, 32).as("sig"))
-    assert(aggMin.orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq ==
-      colMin.orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq)
+    val natMin = docs.select(col("doc_id"),
+      TextFunctions.minhashSig(
+        TextFunctions.shingleHashes(col("t"), 3), 32).as("sig"))
+    val minRef = colMin.orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq
+    assert(aggMin.orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq == minRef)
+    assert(natMin.orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq == minRef)
     val aggSim = exploded.groupBy("doc_id")
       .agg(TextFunctions.simhashAgg(xxhash64(col("s"))).as("sh"))
     val colSim = docs.select(col("doc_id"), TextFunctions.simhash(col("t"), 3).as("sh"))
-    assert(aggSim.orderBy("doc_id").collect().map(_.getLong(1)).toSeq ==
-      colSim.orderBy("doc_id").collect().map(_.getLong(1)).toSeq)
+    val natSim = docs.select(col("doc_id"),
+      TextFunctions.simhashSig(TextFunctions.shingleHashes(col("t"), 3)).as("sh"))
+    val simRef = colSim.orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(aggSim.orderBy("doc_id").collect().map(_.getLong(1)).toSeq == simRef)
+    assert(natSim.orderBy("doc_id").collect().map(_.getLong(1)).toSeq == simRef)
+    // native edge semantics: null array → null; the wired pipelines never
+    // produce an EMPTY hash array (ShingleHashes emits ≥1 element), but the
+    // expressions' contracts are pinned anyway: empty minhash = all-M seed,
+    // empty simhash = 0
+    val edge = spark.sql(
+      "SELECT CAST(null AS ARRAY<BIGINT>) AS a, CAST(array() AS ARRAY<BIGINT>) AS e")
+      .select(TextFunctions.minhashSig(col("a"), 4).as("mn"),
+        TextFunctions.minhashSig(col("e"), 4).as("me"),
+        TextFunctions.simhashSig(col("a")).as("sn"),
+        TextFunctions.simhashSig(col("e")).as("se"))
+      .collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(2))
+    assert(edge.getSeq[Long](1) == Seq.fill(4)(2147483647L))
+    assert(edge.getLong(3) == 0L)
   }
 
   test("token metrics (native TokenStats path) match plain-Scala references") {

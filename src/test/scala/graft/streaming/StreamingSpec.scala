@@ -84,6 +84,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedupBySimhash drops signature-identical near-dups, keeps distinct docs") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = EventsStreaming.dedupBySimhash(docs)
+      .writeStream.format("memory").queryName("simhash_dedup")
+      .outputMode("append").start()
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      in.addData(
+        (1L, t(10, 0), base),
+        (2L, t(10, 1), "  " + base + "  "),  // whitespace variant — same shingles
+        (3L, t(10, 2), base),                // exact dup
+        (4L, t(10, 3), "totally different content with other words entirely here"))
+      q.processAllAvailable()
+      val ids = spark.table("simhash_dedup").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 4L))
+      // the streaming signature IS the batch signature (same expression):
+      // whatever batch simhashPairs pairs at hamming 0, this drops
+      import graft.functions.TextFunctions.{shingleHashes, simhashSig}
+      import org.apache.spark.sql.functions.col
+      val sigs = Seq(base, "  " + base + "  ").toDF("text")
+        .select(simhashSig(shingleHashes(col("text"), 3))).as[Long].collect()
+      assert(sigs(0) == sigs(1))
+    } finally q.stop()
+  }
+
   test("sessionize: gap-split sessions, timeout close, agrees with batch rule") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
