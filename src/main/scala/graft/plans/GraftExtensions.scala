@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, DocFingerprint, LangId, ShingleHashes}
+import graft.expressions.{CosineSimilarity, DocFingerprint, LangId,
+  MinhashFromFeatures, ShingleHashes, SimhashFromHashes}
 
 /**
  * Session extensions registering the engine's native expressions with the
@@ -46,6 +47,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "doc_fingerprint expects exactly 1 argument")
         DocFingerprint(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_from_hashes"),
+      new ExpressionInfo(classOf[SimhashFromHashes].getName, "simhash_from_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash_from_hashes expects exactly 1 argument")
+        SimhashFromHashes(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_from_features"),
+      new ExpressionInfo(classOf[MinhashFromFeatures].getName, "minhash_from_features"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_from_features expects (features, numHashes)")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_from_features: numHashes must be an integer literal, got $other")
+        }
+        MinhashFromFeatures(children.head, n)
       }))
   }
 }

@@ -233,4 +233,16 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(r.getString(0) == "en")
     assert(r.getLong(1) == refFingerprint("a b c"))
   }
+
+  test("signature expressions are registered as SQL functions") {
+    val sql = spark.sql(
+      "SELECT simhash_from_hashes(shingle_hashes('a b c d e', 3)) AS sh, " +
+        "minhash_from_features(shingle_hashes('a b c d e', 3), 8) AS mh").collect()(0)
+    val viaCol = Seq("a b c d e").toDF("t").select(
+      TextFunctions.simhashSig(TextFunctions.shingleHashes(col("t"), 3)).as("sh"),
+      TextFunctions.minhashSig(TextFunctions.shingleHashes(col("t"), 3), 8).as("mh"))
+      .collect()(0)
+    assert(sql.getLong(0) == viaCol.getLong(0))
+    assert(sql.getSeq[Long](1) == viaCol.getSeq[Long](1))
+  }
 }
