@@ -234,6 +234,31 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(r.getLong(1) == refFingerprint("a b c"))
   }
 
+  test("randomized: native signature invariances (permutation; multiplicity)") {
+    // MinHash = per-lane MIN → invariant under permutation AND duplication
+    // of the feature array. SimHash = multiplicity-weighted votes →
+    // invariant under permutation only (a duplicated hash votes twice).
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 30).map { _ =>
+      val n = 1 + rnd.nextInt(40)
+      val fs = Seq.fill(n)(rnd.nextLong())
+      val perm = rnd.shuffle(fs)
+      val dup = fs ++ Seq.fill(1 + rnd.nextInt(5))(fs(rnd.nextInt(n)))
+      (fs, perm, dup)
+    }
+    val got = rows.toDF("fs", "perm", "dup").select(
+      TextFunctions.minhashSig(col("fs"), 16).as("m0"),
+      TextFunctions.minhashSig(col("perm"), 16).as("mp"),
+      TextFunctions.minhashSig(col("dup"), 16).as("md"),
+      TextFunctions.simhashSig(col("fs")).as("s0"),
+      TextFunctions.simhashSig(col("perm")).as("sp")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "minhash permutation")
+      assert(r.getSeq[Long](0) == r.getSeq[Long](2), "minhash duplication")
+      assert(r.getLong(3) == r.getLong(4), "simhash permutation")
+    }
+  }
+
   test("signature expressions are registered as SQL functions") {
     val sql = spark.sql(
       "SELECT simhash_from_hashes(shingle_hashes('a b c d e', 3)) AS sh, " +
