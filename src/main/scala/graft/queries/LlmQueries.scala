@@ -496,6 +496,96 @@ object LlmQueries {
         .orderBy("lang_pred")
     },
 
+    // Stratified corpus sampling — the curation step after scoring: keep
+    // the top-10 quality docs PER LANGUAGE. Runs through the bounded
+    // partial-aggregated TopKAggregator, NOT a per-key window: language
+    // cardinality is tiny (≤6), so `row_number over (partition by lang)`
+    // would funnel the whole corpus through ≤6 tasks — the exact skew the
+    // engine's no-per-key-window rule exists to avoid. The aggregator
+    // ships ≤10 rows per partition per language instead. Exact oracle:
+    // quality is the bit-mirrored weighted sum (see text_quality) and
+    // lang the bit-mirrored marker argmax (see lang_id_dist), so ranking
+    // by (quality DESC, doc_id) is deterministic and identical in DuckDB.
+    QueryDef.of("corpus_sample",
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts,
+        |    ' ' || lower(text) || ' ' AS p
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id,
+        |    least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS DOUBLE) / 50.0, 1.0) * 0.3
+        |      + least((CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
+        |               ELSE CAST(len(list_filter(ts, t -> list_contains(""".stripMargin +
+        stopwordsSqlList +
+        """, t))) AS DOUBLE)
+          |                    / CAST(len(ts) AS DOUBLE) END) * 5.0, 1.0) * 0.3
+          |      + (CASE WHEN (CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
+          |                    ELSE CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+          |                         / CAST(len(ts) AS DOUBLE) END) BETWEEN 3.0 AND 10.0
+          |              THEN 1.0 ELSE 0.5 END) * 0.2
+          |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+          |          ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+          |               / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.2 AS quality,
+          |    (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, 'ing ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END) AS s_en,
+          |    (CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, 'sch') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END) AS s_de,
+          |    (CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' et ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END) AS s_fr,
+          |    (CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' que ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' los ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' una ') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, ' es ') THEN 1 ELSE 0 END) AS s_es,
+          |    (CASE WHEN contains(p, '的') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, '了') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, '是') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, '我') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN contains(p, '不') THEN 1 ELSE 0 END) AS s_zh
+          |  FROM base
+          |), sel AS (
+          |  SELECT doc_id, quality, CASE
+          |    WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+          |    WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+          |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+          |    WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+          |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+          |    ELSE 'de' END AS lang_pred
+          |  FROM scored WHERE quality IS NOT NULL
+          |)
+          |SELECT lang_pred, rank, doc_id, quality FROM (
+          |  SELECT lang_pred, doc_id, quality,
+          |    CAST(row_number() OVER (PARTITION BY lang_pred
+          |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+          |  FROM sel)
+          |WHERE rank <= 10
+          |ORDER BY lang_pred, rank""".stripMargin) { (s, dir) =>
+      import graft.operators.TopK
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .filter(col("quality").isNotNull)
+        .groupBy("lang_pred")
+        .agg(TopK.topK(10)(col("doc_id"), col("quality")).as("nn"))
+        .select(col("lang_pred"), posexplode(col("nn")).as(Seq("pos", "s")))
+        .select(col("lang_pred"), (col("pos") + 1).cast("long").as("rank"),
+          col("s.neighbor_id").as("doc_id"),
+          // deliberately unrounded — see qualityScore's scaladoc
+          col("s.cos").as("quality"))
+        .orderBy("lang_pred", "rank")
+    },
+
     // Rolling-hash document fingerprint (deterministic integer contract;
     // oracle replicates the same polynomial fold in DuckDB lambdas).
     QueryDef.of("doc_fingerprint",

@@ -65,10 +65,19 @@ class PlanSpec extends SparkSpecBase {
   test("dedup candidate-generation paths contain no per-key Window") {
     for (name <- Seq("dedup_minhash", "dedup_simhash", "dedup_simhash_scale",
         "ngram_jaccard", "dedup_exact", "dedup_fingerprint", "dedup_embedding",
-        "ann_topk", "ann_topk_lsh", "join_skew_salted")) {
+        "ann_topk", "ann_topk_lsh", "join_skew_salted", "corpus_sample")) {
       val p = plan(name)
       assert(!p.contains("Window"), s"$name plan has a Window:\n$p")
     }
+  }
+
+  test("corpus_sample runs the bounded top-k aggregator, partially aggregated") {
+    // per-language sampling through a window would funnel the corpus into
+    // ≤6 tasks (language cardinality); the TopKAggregator ships ≤10 rows
+    // per partition per language with map-side partial aggregation
+    val p = plan("corpus_sample")
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r.findAllIn(p).size >= 2,
+      s"corpus_sample lacks partial aggregation:\n$p")
   }
 
   test("dedup_exact aggregates partially (map-side combine on the group key)") {
@@ -114,7 +123,7 @@ class PlanSpec extends SparkSpecBase {
     // arithmetic; this pin keeps it that way.
     for (name <- Seq("dedup_minhash", "dedup_simhash", "dedup_simhash_scale",
         "ngram_jaccard", "dedup_exact", "dedup_fingerprint", "dedup_embedding",
-        "dedup_survivors", "dedup_survivors_composed",
+        "dedup_survivors", "dedup_survivors_composed", "corpus_sample",
         "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_exact")) {
       val p = plan(name)
       assert(!p.contains("lambdafunction"),
