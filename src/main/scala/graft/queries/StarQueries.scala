@@ -341,6 +341,41 @@ object StarQueries {
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
         .orderBy("hour_start", "event_type")
+    },
+
+    // Point-in-time (as-of) join: every click gets the value of the user's
+    // most recent view at-or-before it — the temporal-join primitive
+    // (feature-store lookup / market-data enrichment) Spark lacks as a
+    // built-in, via AsOf.asofJoin's union-carry window (see its scaladoc).
+    // DuckDB has native ASOF JOIN, so the oracle is exact: timestamps are
+    // integer microseconds on both sides, views are pre-aggregated unique
+    // per (user, ts) and non-null (the operator's caller contract), and
+    // the value doubles pass through both engines untouched.
+    QueryDef.of("events_asof",
+      """WITH v AS (
+        |  SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'
+        |)
+        |SELECT c.event_id, epoch_us(c.ts) AS ts_us, c.user_id, c.value,
+        |  v.view_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val views = ev
+        .filter(col("event_type") === "view" && col("value").isNotNull)
+        .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      graft.operators.AsOf.asofJoin(clicks, views, Seq("user_id"), "ts",
+          Seq("view_value"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("value"),
+          col("asof_view_value").as("view_value"))
+        .orderBy("event_id")
     }
   )
 }

@@ -71,6 +71,16 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("events_asof pushes the event_type filters into the scans; one carry window") {
+    val p = plan("events_asof")
+    assert(p.contains("EqualTo(event_type,click)"), p)
+    assert(p.contains("EqualTo(event_type,view)"), p)
+    // the union-carry as-of join is ONE window pass keyed by the join key
+    // (per-entity bounded, the sessionization class) — not a join product
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("corpus_sample runs the bounded top-k aggregator, partially aggregated") {
     // per-language sampling through a window would funnel the corpus into
     // ≤6 tasks (language cardinality); the TopKAggregator ships ≤10 rows
