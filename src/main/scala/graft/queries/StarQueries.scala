@@ -47,6 +47,23 @@ object StarQueries {
       .groupBy(pmod(col("p_partkey"), lit(200L)).as("skew_key"))
       .agg(max("p_name").as("dim_name"))
 
+  /** Batch sessionization core shared by events_sessions and
+    * events_session_assign: per-user events with a session number (new
+    * session at > 30 min of event-time silence). Columns: user_id,
+    * event_id, us, sess_no. */
+  private def sessionized(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_us", "new_sess")
+  }
+
   private val skewOracle: String =
     """WITH f AS (
       |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN CAST(0 AS BIGINT)
@@ -313,15 +330,7 @@ object StarQueries {
         |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
         |FROM s GROUP BY user_id, sess_no
         |ORDER BY user_id, sess_no""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-        .withColumn("prev_us", lag("us", 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
-            .otherwise(0L))
-        .withColumn("sess_no", sum("new_sess")
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessionized(s, dir)
         .groupBy("user_id", "sess_no")
         .agg(count(lit(1)).as("n_events"),
           (max("us") - min("us")).as("duration_us"))
@@ -375,6 +384,49 @@ object StarQueries {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("value"),
           col("asof_view_value").as("view_value"))
+        .orderBy("event_id")
+    },
+
+    // Interval (range) join: assign every event to its session's
+    // [start, end] interval — via RangeJoin.binnedIntervalJoin, which turns
+    // the range predicate into an equi-join on (user_id, time bin) instead
+    // of the broadcast-nested-loop plan a raw BETWEEN join gets (see the
+    // operator's scaladoc; bin width 30 min ≈ the session gap, so interval
+    // replication stays small). Self-consistency built in: every event
+    // lands in exactly ONE of its user's sessions (sessions are disjoint
+    // and bounded by their min/max event times), so the output is one row
+    // per event. Oracle: the same session CTE joined with BETWEEN.
+    QueryDef.of("events_session_assign",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), m AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        |  SELECT user_id, us, event_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM m
+        |), iv AS (
+        |  SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+        |    CAST(max(us) AS BIGINT) AS end_us
+        |  FROM s GROUP BY user_id, sess_no
+        |)
+        |SELECT e.event_id, e.user_id, iv.start_us, iv.end_us
+        |FROM e JOIN iv
+        |  ON e.user_id = iv.user_id AND e.us BETWEEN iv.start_us AND iv.end_us
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val intervals = sessionized(s, dir)
+        .groupBy("user_id", "sess_no")
+        .agg(min("us").as("start_us"), max("us").as("end_us"))
+        .drop("sess_no")
+      val points = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      graft.operators.RangeJoin.binnedIntervalJoin(points, intervals,
+          Seq("user_id"), "us", "start_us", "end_us", binWidth = 1800000000L)
+        .select("event_id", "user_id", "start_us", "end_us")
         .orderBy("event_id")
     }
   )

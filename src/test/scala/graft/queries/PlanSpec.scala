@@ -81,6 +81,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("events_session_assign range-joins as an equi-join, never a nested loop") {
+    // the whole point of the binned interval join: a raw BETWEEN join plans
+    // as BroadcastNestedLoopJoin (per-point interval scans); binning turns
+    // it into a shuffled/broadcast equi-join on (user_id, bin)
+    val p = plan("events_session_assign")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("corpus_sample runs the bounded top-k aggregator, partially aggregated") {
     // per-language sampling through a window would funnel the corpus into
     // ≤6 tasks (language cardinality); the TopKAggregator ships ≤10 rows
