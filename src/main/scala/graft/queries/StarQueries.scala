@@ -428,6 +428,64 @@ object StarQueries {
           Seq("user_id"), "us", "start_us", "end_us", binWidth = 1800000000L)
         .select("event_id", "user_id", "start_us", "end_us")
         .orderBy("event_id")
+    },
+
+    // KMV distinct-count sketch, per nation, next to the exact count. The
+    // sketch hashes with the engine-portable polynomial fingerprint, so
+    // the whole ESTIMATE — k smallest distinct hashes → k-th minimum →
+    // (k-1)·M/h_k in IEEE doubles — is a deterministic function of the
+    // data that DuckDB replicates bit-for-bit (the portable-hash oracle
+    // technique; no tolerance band needed for an "approximate" operator).
+    // The aggregator ships ≤ k longs per partition per group (mergeable
+    // sketch — the 100 TB distinct-count shape); per-nation cardinality
+    // (~55-75) exceeds k=16, so the ESTIMATOR branch is what's certified,
+    // not the exact fallback.
+    QueryDef.of("distinct_sketch",
+      """WITH h AS (
+        |  SELECT c_nationkey,
+        |    CASE WHEN length(trim(c_name)) = 0 THEN 0
+        |    ELSE list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT), list_transform(
+        |        string_split_regex(trim(c_name), '[ \t\n\x0B\f\r]+'),
+        |        t -> list_reduce(
+        |               list_prepend(CAST(17 AS BIGINT), list_transform(
+        |                 generate_series(1, length(t)),
+        |                 i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+        |               (a, c) -> (a * 31 + c) % 2147483647))),
+        |      (a, th) -> (a * 1000003 + th) % 2147483647)
+        |    END AS hv
+        |  FROM customer WHERE c_name IS NOT NULL
+        |), d AS (
+        |  SELECT DISTINCT c_nationkey, hv FROM h
+        |), r AS (
+        |  SELECT c_nationkey, hv,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY c_nationkey) AS nd
+        |  FROM d
+        |), e AS (
+        |  SELECT c_nationkey,
+        |    CASE WHEN max(nd) < 16 THEN CAST(max(nd) AS DOUBLE)
+        |         ELSE (15.0 * 2147483647.0)
+        |              / CAST(max(CASE WHEN rn = 16 THEN hv END) AS DOUBLE)
+        |    END AS est_distinct
+        |  FROM r GROUP BY c_nationkey
+        |), t AS (
+        |  SELECT c_nationkey, CAST(count(DISTINCT c_name) AS BIGINT) AS true_distinct
+        |  FROM customer WHERE c_name IS NOT NULL GROUP BY c_nationkey
+        |)
+        |SELECT e.c_nationkey, e.est_distinct, t.true_distinct
+        |FROM e JOIN t USING (c_nationkey)
+        |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      import graft.operators.Sketch
+      Tables.customer(s, dir)
+        .filter(col("c_name").isNotNull)
+        .select(col("c_nationkey"), col("c_name"),
+          TextFunctions.fingerprint(col("c_name")).as("hv"))
+        .groupBy("c_nationkey")
+        .agg(Sketch.kmvDistinct(16)(col("hv")).as("est_distinct"),
+          countDistinct(col("c_name")).as("true_distinct"))
+        .orderBy("c_nationkey")
     }
   )
 }
