@@ -29,6 +29,7 @@ object Bench {
     * The post-GC sleep gives the (asynchronous) ContextCleaner a beat to
     * actually process the reference queue before the next timed run. */
   private def drain(spark: SparkSession): Unit = {
+    graft.operators.Caches.releaseAll()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
@@ -60,6 +61,24 @@ object Bench {
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       System.err.println(s"[bench] running $name ×$reps")
+      // One UNTIMED warm-up execution per query before the timed reps.
+      // Measured (r6 artifact + local repro): the first execution of a
+      // query pays its whole-stage-codegen compilation and JIT warm-up —
+      // 2-6× the steady-state time on the stage-heavy dedup pipelines
+      // ([22.2, 8.7, 3.5] s reps on unchanged code) — which made medians a
+      // dice roll on which rep caught the spike. Timed reps measure the
+      // steady state (standard JMH practice); data caches are still cold
+      // per rep (drain() runs between every execution), so the reps time
+      // the PLAN, not a residual cache. The warm-up time is visible in
+      // stderr for anyone who wants first-touch cost.
+      val w0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        if (!errors.contains(name)) errors += name
+        System.err.println(s"[bench] $name warm-up failed: ${e.getMessage}")
+      }
+      System.err.println(f"[bench] $name warm-up ${(System.nanoTime() - w0) / 1e9}%.2f s (untimed)")
+      drain(spark)
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -72,20 +91,32 @@ object Bench {
         dt
       }
       val med = median(runs)
+      // max/min rep spread: the first-class variance signal — a query
+      // whose reps disagree by >2× is reporting harness state, not plan
+      // cost, and its median should be read with suspicion
+      val spread = if (runs.min > 0) runs.max / runs.min else Double.NaN
+      if (spread > 2.0)
+        System.err.println(f"[bench] WARNING: $name rep spread $spread%.1f× " +
+          f"(runs ${runs.map(r => f"$r%.2f").mkString("/")}) — median unreliable")
       System.err.println(
-        f"[bench] $name median $med%.2f s (runs ${runs.map(r => f"$r%.2f").mkString("/")})")
-      (name, med, runs)
+        f"[bench] $name median $med%.2f s spread $spread%.1f× (runs ${runs.map(r => f"$r%.2f").mkString("/")})")
+      (name, med, runs, spread)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val rs = results.map { case (k, _, runs) =>
+    val rs = results.map { case (k, _, runs, _) =>
       "\"" + k + "\":" + runs.map(r => f"$r%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val sp = results.map { case (k, _, _, spread) =>
+      "\"" + k + "\":" + f"$spread%.2f"
     }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val maxSpread = if (results.nonEmpty) results.map(_._4).max else 0.0
     // a failed query's partial time must not read as a speedup: errors are
     // carried in the JSON so round-over-round comparison can see them
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
+    val maxSpreadStr = f"$maxSpread%.2f"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"spread":$sp,"max_spread":$maxSpreadStr,"errors":$errs,"reps":$reps,"warmup":1,"sf":"$sfDir"}""")
     if (sys.env.get("SPARK_GRAFT_STRESS").contains("1")) stress(spark, sfDir)
     spark.stop()
   }

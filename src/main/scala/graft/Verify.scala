@@ -24,8 +24,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // dedup operators persist signature intermediates for their own
-      // multi-use plans; release them between queries — including
-      // localCheckpoint RDD blocks, which clearCache() does not track
+      // multi-use plans; release them between queries. releaseAll() is the
+      // deterministic contract (exactly graft's tracked caches); the
+      // clearCache + RDD sweep stays as a belt-and-braces backstop for
+      // anything untracked
+      graft.operators.Caches.releaseAll()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

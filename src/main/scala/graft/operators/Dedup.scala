@@ -56,7 +56,9 @@ object Dedup {
     // would materialize the full text payload into the cache, the exact
     // thing the two-phase design avoids shipping. The multis leg re-derives
     // the hashes from a second (column-pruned) scan instead.
-    val keyed = withFp.drop("text").persist()
+    // Tracked: released by the caller via Caches.releaseAll() after the
+    // returned plan is materialized (both aggregation legs read it).
+    val keyed = Caches.persistTracked(withFp.drop("text"))
     val groups = keyed
       .groupBy("fp", "fpx", "len")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
@@ -97,10 +99,9 @@ object Dedup {
     // explode and no signature shuffle at all (the previous explode +
     // partial-aggregated form shuffled one row per doc; identical
     // signatures, asserted in TextFunctionsSpec).
-    val sig = docs
+    val sig = Caches.persistTracked(docs
       .select(col("doc_id"),
-        minhashSig(shingleHashes(col("text"), k), numHashes).as("sig"))
-      .persist()
+        minhashSig(shingleHashes(col("text"), k), numHashes).as("sig")))
     val cand = bandedCandidates(sig, numHashes, bands, maxBucketSize, keepSigs = true)
     // signature agreement as an UNROLLED codegen'd sum (numHashes is a small
     // plan-time constant) — the zip_with+aggregate HOF form is semantically
@@ -193,10 +194,9 @@ object Dedup {
     // portableHash swaps xxhash64 shingle hashing for the engine-portable
     // polynomial (see ShingleHashes) so a SQL oracle can recompute the
     // SIGNATURES exactly — the dedup_simhash_scale contract.
-    val sig = docs
+    val sig = Caches.persistTracked(docs
       .select(col("doc_id"),
-        simhashSig(shingleHashes(col("text"), k, portableHash)).as("sh"))
-      .persist()
+        simhashSig(shingleHashes(col("text"), k, portableHash)).as("sh")))
     val banded = sig.select(col("doc_id"), col("sh"),
       VectorFunctions.lshBands(col("sh"), bands, bits).as(Seq("band", "band_val")))
     val l = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -219,10 +219,11 @@ object Dedup {
 
   /**
    * Word-k-shingle sets per document, stop-shingles stripped. Returns
-   * (shSets, dfTable): shSets has (doc_id, sh: array, n_sh), persisted —
-   * callers are expected to release it via `spark.catalog.clearCache()`
-   * after materializing their output (the Verify/Bench/test contract);
-   * dfTable has (s, df) document frequencies over the UNstripped postings.
+   * (shSets, dfTable): shSets has (doc_id, sh: array, n_sh), persisted via
+   * [[Caches.persistTracked]] — callers release it with
+   * `Caches.releaseAll()` after materializing their output (the
+   * Verify/Bench/test contract); dfTable has (s, df) document frequencies
+   * over the UNstripped postings.
    *
    * Stop-shingles (document frequency > `maxShingleDf`) are removed from
    * the shingle SETS up front (sets and set sizes both exclude them), which
@@ -238,11 +239,10 @@ object Dedup {
     // DuckDB oracle intersects RAW shingle strings, and equality of
     // distinct/intersection counts only needs the hash to be injective on
     // the corpus (64-bit: collision odds ~n²/2^64).
-    val rawSets = docs
+    val rawSets = Caches.persistTracked(docs
       .select(col("doc_id"),
         (if (hashShingles) array_distinct(shingleHashes(col("text"), k))
-         else array_distinct(shingles(col("text"), k))).as("sh0"))
-      .persist()
+         else array_distinct(shingles(col("text"), k))).as("sh0")))
     val post0 = rawSets.select(col("doc_id"), explode(col("sh0")).as("s"))
     val dfTable = post0.groupBy("s").agg(count(lit(1)).as("df"))
     // The hot list is tiny BY DEFINITION (|hot| <= total postings /
@@ -257,7 +257,7 @@ object Dedup {
     val hotList: Seq[Any] = dfTable.filter(col("df") > maxShingleDf)
       .agg(collect_list(col("s")).as("hot"))
       .first().getSeq[Any](0)
-    val shSets = (if (hotList.nonEmpty) {
+    val shSets = Caches.persistTracked((if (hotList.nonEmpty) {
       val hotArr: Column =
         if (hashShingles) typedlit(hotList.asInstanceOf[Seq[Long]])
         else typedlit(hotList.asInstanceOf[Seq[String]])
@@ -266,8 +266,7 @@ object Dedup {
       rawSets.select(col("doc_id"), col("sh0").as("sh"))
     })
       .withColumn("n_sh", size(col("sh")))
-      .filter(col("n_sh") > 0)
-      .persist()
+      .filter(col("n_sh") > 0))
     (shSets, dfTable)
   }
 
@@ -332,9 +331,8 @@ object Dedup {
     // Native per-row MinhashFromFeatures over the already-hashed stripped
     // sets: no explode, no signature shuffle (the signature derives from
     // the SAME sets the exact verification intersects).
-    val sig = shSets
-      .select(col("doc_id"), minhashSig(col("sh"), numHashes).as("sig"))
-      .persist()
+    val sig = Caches.persistTracked(shSets
+      .select(col("doc_id"), minhashSig(col("sh"), numHashes).as("sig")))
     val cand = bandedCandidates(sig, numHashes, bands, maxBucketSize, keepSigs = false)
     verifyJaccard(cand, shSets, threshold)
   }
@@ -444,6 +442,14 @@ object Dedup {
    *
    * Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster) for every doc
    * that appears in some pair, cluster = min doc_id of its component.
+   *
+   * Cache lifecycle: every RDD this loop persists (input pairs, edges,
+   * per-round labels) is released in a try/finally before returning — the
+   * operator is eager, so it can own its caches completely. The RETURNED
+   * DataFrame is the one cache that outlives the call: it is materialized
+   * from the final labels before they are released (so no lineage walk can
+   * ever re-run the loop) and registered with [[Caches]] — the caller
+   * releases it via `Caches.releaseAll()` once consumed.
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
@@ -454,6 +460,15 @@ object Dedup {
     val p = pairs
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .as[(Long, Long)].persist()
+    try duplicateClustersLoop(p, maxIter)
+    finally p.unpersist(blocking = false)
+  }
+
+  private def duplicateClustersLoop(
+      p: org.apache.spark.sql.Dataset[(Long, Long)],
+      maxIter: Int): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
     // The LOOP runs on RDDs, deliberately — the one place this engine
     // steps off Dataset/Catalyst. An iterative algorithm re-plans,
     // re-optimizes, and re-compiles ~4 fresh DataFrame plans EVERY round
@@ -480,41 +495,51 @@ object Dedup {
       .reduceByKey(part, (a, _) => a)
       .map { case (n, _) => (n, n) }
       .partitionBy(part).persist()
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      // min over neighbors' labels: edges ⋈ labels is narrow (co-
-      // partitioned); the reduceByKey re-keys by neighbor — the round's
-      // one unavoidable value shuffle
-      val nmin = edges.join(labels)
-        .map { case (_, (nbr, c)) => (nbr, c) }
-        .reduceByKey(part, math.min(_: Long, _: Long))
-      val via = labels.leftOuterJoin(nmin)
-        .mapValues { case (c, o) => math.min(c, o.getOrElse(c)) }
-      // pointer jumping: cluster ← min(cluster, cluster(cluster)) — the
-      // doubling step that makes convergence O(log diameter), not
-      // O(diameter)
-      val updated = via
-        .map { case (n, c) => (c, n) }
-        .leftOuterJoin(via)
-        .map { case (c, (n, cc)) => (n, math.min(c, cc.getOrElse(c))) }
-        .partitionBy(part).persist()
-      // count (not isEmpty): also fully materializes updated's cache
-      converged = updated.join(labels)
-        .filter { case (_, (nc, oc)) => nc != oc }
-        .count() == 0L
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // min over neighbors' labels: edges ⋈ labels is narrow (co-
+        // partitioned); the reduceByKey re-keys by neighbor — the round's
+        // one unavoidable value shuffle
+        val nmin = edges.join(labels)
+          .map { case (_, (nbr, c)) => (nbr, c) }
+          .reduceByKey(part, math.min(_: Long, _: Long))
+        val via = labels.leftOuterJoin(nmin)
+          .mapValues { case (c, o) => math.min(c, o.getOrElse(c)) }
+        // pointer jumping: cluster ← min(cluster, cluster(cluster)) — the
+        // doubling step that makes convergence O(log diameter), not
+        // O(diameter)
+        val updated = via
+          .map { case (n, c) => (c, n) }
+          .leftOuterJoin(via)
+          .map { case (c, (n, cc)) => (n, math.min(c, cc.getOrElse(c))) }
+          .partitionBy(part).persist()
+        // count (not isEmpty): also fully materializes updated's cache
+        converged = updated.join(labels)
+          .filter { case (_, (nc, oc)) => nc != oc }
+          .count() == 0L
+        labels.unpersist(blocking = false)
+        labels = updated
+        iter += 1
+      }
+      // Unconverged labels are silently WRONG (docs would be kept as
+      // "survivors" while actually belonging to a duplicate cluster) — fail
+      // loudly instead. Pointer jumping converges in O(log diameter), so
+      // hitting this means maxIter was set far too low for the graph.
+      if (!converged)
+        throw new IllegalStateException(
+          s"duplicateClusters did not converge within $maxIter rounds")
+      // Materialize the result THROUGH the still-cached labels RDD into a
+      // CacheManager-tracked DataFrame, then (finally) drop every loop RDD:
+      // the returned plan reads this cache, never the loop lineage.
+      val out = Caches.persistTracked(labels.toDF("doc_id", "cluster"))
+      out.count()
+      out
+    } finally {
+      edges.unpersist(blocking = false)
       labels.unpersist(blocking = false)
-      labels = updated
-      iter += 1
     }
-    // Unconverged labels are silently WRONG (docs would be kept as
-    // "survivors" while actually belonging to a duplicate cluster) — fail
-    // loudly instead. Pointer jumping converges in O(log diameter), so
-    // hitting this means maxIter was set far too low for the graph.
-    if (!converged)
-      throw new IllegalStateException(
-        s"duplicateClusters did not converge within $maxIter rounds")
-    labels.toDF("doc_id", "cluster")
   }
 
   /**
@@ -538,9 +563,8 @@ object Dedup {
       bands: Int = 2, seed: Long = 42L, dim: Int = 64): DataFrame = {
     val bits = nBits / bands
     // Persisted: hyperplane signatures computed once for both join legs.
-    val sig = emb.select(col("vec_id"), col("embedding"),
-      VectorFunctions.hyperplaneSignature(col("embedding"), nBits, seed, dim).as("sig"))
-      .persist()
+    val sig = Caches.persistTracked(emb.select(col("vec_id"), col("embedding"),
+      VectorFunctions.hyperplaneSignature(col("embedding"), nBits, seed, dim).as("sig")))
     val banded = sig.select(col("vec_id"), col("embedding"),
       VectorFunctions.lshBands(col("sig"), bands, bits).as(Seq("band", "band_val")))
     val l = banded.select(col("band"), col("band_val"),

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.sources.Tables
+
+/**
+ * Locks in the deterministic cache-release contract: after an operator's
+ * output is materialized and `Caches.releaseAll()` runs, NOTHING remains
+ * persisted in the whole SparkContext — no CacheManager entry, no loop RDD.
+ * A new persist that bypasses [[Caches.persistTracked]] (or an RDD persist
+ * without its try/finally release) fails here before it can re-introduce
+ * the round-5/6 bench variance.
+ */
+class PersistHygieneSpec extends SparkSpecBase {
+
+  private def assertAllReleased(label: String): Unit = {
+    Caches.releaseAll(blocking = true)
+    assert(Caches.trackedCount == 0, s"$label: Caches still tracking entries")
+    val leftover = spark.sparkContext.getPersistentRDDs
+    assert(leftover.isEmpty,
+      s"$label left ${leftover.size} persisted RDD(s): " +
+        leftover.values.map(_.name).mkString(", "))
+  }
+
+  private def docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+
+  // Start each test from a clean slate so a previous suite's leftovers
+  // (shared session) can't blame the operator under test.
+  private def clean(): Unit = {
+    Caches.releaseAll(blocking = true)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
+  test("exactByFingerprint releases everything after releaseAll") {
+    clean()
+    Dedup.exactByFingerprint(docs).write.format("noop").mode("overwrite").save()
+    assertAllReleased("exactByFingerprint")
+  }
+
+  test("minhashLsh releases everything after releaseAll") {
+    clean()
+    Dedup.minhashLsh(docs).write.format("noop").mode("overwrite").save()
+    assertAllReleased("minhashLsh")
+  }
+
+  test("simhashPairs releases everything after releaseAll") {
+    clean()
+    Dedup.simhashPairs(docs, bands = 16, maxHamming = 12)
+      .write.format("noop").mode("overwrite").save()
+    assertAllReleased("simhashPairs")
+  }
+
+  test("ngramJaccard (both engines) releases everything after releaseAll") {
+    clean()
+    Dedup.ngramJaccard(docs, prefixFilter = true)
+      .write.format("noop").mode("overwrite").save()
+    assertAllReleased("ngramJaccard prefix")
+    Dedup.ngramJaccard(docs, prefixFilter = false)
+      .write.format("noop").mode("overwrite").save()
+    assertAllReleased("ngramJaccard naive")
+  }
+
+  test("minhashNgramJaccard releases everything after releaseAll") {
+    clean()
+    Dedup.minhashNgramJaccard(docs).write.format("noop").mode("overwrite").save()
+    assertAllReleased("minhashNgramJaccard")
+  }
+
+  test("embeddingNearDupLsh releases everything after releaseAll") {
+    clean()
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    Dedup.embeddingNearDupLsh(emb, threshold = 0.9)
+      .write.format("noop").mode("overwrite").save()
+    assertAllReleased("embeddingNearDupLsh")
+  }
+
+  test("duplicateClusters leaves ONLY its tracked result cache; loop RDDs are gone") {
+    clean()
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+    // the loop's RDD persists (input pairs, edges, labels) are released by
+    // the operator itself; what remains is exactly the one tracked result
+    assert(Caches.trackedCount == 1,
+      s"expected only the result cache tracked, got ${Caches.trackedCount}")
+    // the result must be readable AFTER the loop RDDs are gone (i.e. it was
+    // materialized, not a lazy plan over released lineage)
+    assert(clusters.count() == 5)
+    assertAllReleased("duplicateClusters")
+  }
+
+  test("the full survivors pipeline releases everything after releaseAll") {
+    clean()
+    val d = docs
+    val pairs = Dedup.ngramJaccard(d, k = 3, threshold = 0.5,
+      maxShingleDf = 1000, hashShingles = true, prefixFilter = true)
+      .select("doc_a", "doc_b")
+    val losers = Dedup.duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+    d.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
+      .write.format("noop").mode("overwrite").save()
+    assertAllReleased("survivors pipeline")
+  }
+}
