@@ -7,6 +7,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Open-session state for [[EventsStreaming.sessionize]]. */
 case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
 
+/** A buffered right-side (reference) row for [[EventsStreaming.asofJoin]]. */
+case class AsofRightRow(us: Long, value: Double)
+
+/** A buffered left-side (event) row awaiting its watermark-final answer. */
+case class AsofLeftRow(leftId: Long, us: Long)
+
+/** Per-key state for [[EventsStreaming.asofJoin]]: the carried last-known
+  * right value at-or-before the watermark (16 bytes — the "last-value
+  * carry"), plus the above-watermark buffers the watermark horizon bounds. */
+case class AsofJoinState(hasCarry: Boolean, carryUs: Long, carryValue: Double,
+    rights: List[AsofRightRow], lefts: List[AsofLeftRow])
+
+/** One enriched left row: `asof_value` is the latest right value with
+  * `right.us <= ts_us` (None when no right row precedes it). */
+case class AsofOut(left_id: Long, key: Long, ts_us: Long,
+    asof_value: Option[Double])
+
 /** One closed session. */
 case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long,
     duration_us: Long)
@@ -103,6 +120,115 @@ object EventsStreaming {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("_simhash")
       .drop("_simhash")
+  }
+
+  /**
+   * Streaming twin of the batch point-in-time join
+   * ([[graft.operators.AsOf.asofJoin]], the `events_asof` query): every left
+   * row is enriched with the LATEST right row of the same key with
+   * `right.ts <= left.ts` (inclusive), exact within the watermark horizon.
+   *
+   * Shape: both streams are tagged and unioned (the global watermark is the
+   * min over the two sources), keyed by the join key, and resolved in ONE
+   * `flatMapGroupsWithState` operator:
+   *
+   *  - a left row cannot be answered on arrival — an older right row may
+   *    still be in flight — so lefts buffer in state until the watermark
+   *    passes their event time, at which point every right row at-or-before
+   *    them has either arrived or been dropped as late (the same finality
+   *    contract every watermarked operator gives);
+   *  - right rows at-or-before the watermark collapse into a single carried
+   *    (ts, value) pair — the streaming analogue of the batch operator's
+   *    `last(..., ignoreNulls)` running carry — so steady-state size is 16
+   *    bytes per key plus only the in-horizon buffers;
+   *  - an EVENT-TIME TIMEOUT re-invokes keys with buffered lefts when the
+   *    watermark advances without new rows for the key, so answers flush
+   *    even for keys whose streams go quiet.
+   *
+   * Emission finality uses STRICT `left.us < watermark` (a right row exactly
+   * AT the watermark can still legally arrive; one past it cannot).
+   * Batch caller contract mirrored from [[graft.operators.AsOf.asofJoin]]:
+   * `right` unique per (key, ts) — at duplicate (key, ts) the max value wins,
+   * deterministically; null payloads are not representable (cast to double).
+   * Agreement with the batch operator on closed streams — including
+   * out-of-order delivery — is asserted in StreamingSpec.
+   *
+   * `left` needs (keyCol, tsCol, leftIdCol); `right` needs (keyCol, tsCol,
+   * payloadCol). Emits [[AsofOut]] per left row, append-mode, once final.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, leftIdCol: String, payloadCol: String,
+      watermarkDelay: String = "2 hours"): Dataset[AsofOut] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    // the watermarked ts column must survive the select for the event-time
+    // timeout to be allowed (same constraint as sessionize)
+    val l = left.withWatermark(tsCol, watermarkDelay).select(
+      col(keyCol).cast("long").as("key"), unix_micros(col(tsCol)).as("us"),
+      lit(1).as("side"), col(leftIdCol).cast("long").as("left_id"),
+      lit(0.0).as("payload"), col(tsCol).as("ts"))
+    val r = right.withWatermark(tsCol, watermarkDelay).select(
+      col(keyCol).cast("long").as("key"), unix_micros(col(tsCol)).as("us"),
+      lit(2).as("side"), lit(-1L).as("left_id"),
+      col(payloadCol).cast("double").as("payload"), col(tsCol).as("ts"))
+    l.unionByName(r)
+      .as[(Long, Long, Int, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofJoinState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state: GroupState[AsofJoinState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption
+            .getOrElse(AsofJoinState(false, 0L, 0.0, Nil, Nil))
+          if (!state.hasTimedOut) {
+            val rs = List.newBuilder[AsofRightRow]
+            val ls = List.newBuilder[AsofLeftRow]
+            rows.foreach { case (_, us, side, leftId, payload, _) =>
+              if (side == 2) rs += AsofRightRow(us, payload)
+              else ls += AsofLeftRow(leftId, us)
+            }
+            st = st.copy(rights = st.rights ++ rs.result(),
+              lefts = st.lefts ++ ls.result())
+          }
+          // all known rights, ascending (us, value): for any target ts the
+          // LAST element at-or-before it is the answer (max value wins at
+          // duplicate ts — see the uniqueness contract above)
+          val allRights =
+            (if (st.hasCarry) List(AsofRightRow(st.carryUs, st.carryValue))
+             else Nil) ++ st.rights.sortBy(rr => (rr.us, rr.value))
+          val (emit, keepLefts) = st.lefts.partition(_.us < wmUs)
+          val out = emit.sortBy(lr => (lr.us, lr.leftId)).map { lr =>
+            val best = allRights.foldLeft(Option.empty[AsofRightRow]) {
+              (acc, rr) => if (rr.us <= lr.us) Some(rr) else acc
+            }
+            AsofOut(lr.leftId, key, lr.us, best.map(_.value))
+          }
+          // rights strictly behind the watermark collapse into the carry
+          // (no future emittable left can sit before them)
+          val (settled, keepRights) =
+            st.rights.sortBy(rr => (rr.us, rr.value)).partition(_.us < wmUs)
+          val carry = (settled.lastOption, st.hasCarry) match {
+            case (Some(rr), false) => Some(rr)
+            case (Some(rr), true) =>
+              Some(if (rr.us >= st.carryUs) rr
+                   else AsofRightRow(st.carryUs, st.carryValue))
+            case (None, true) => Some(AsofRightRow(st.carryUs, st.carryValue))
+            case (None, false) => None
+          }
+          val ns = AsofJoinState(carry.isDefined,
+            carry.map(_.us).getOrElse(0L), carry.map(_.value).getOrElse(0.0),
+            keepRights, keepLefts)
+          if (!ns.hasCarry && ns.rights.isEmpty && ns.lefts.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(ns)
+            // only buffered lefts need a watermark-advance wake-up; a bare
+            // carry (or above-watermark rights) waits for new input
+            if (ns.lefts.nonEmpty)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          }
+          out.iterator
+      }
   }
 
   /**

@@ -209,6 +209,112 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("asofJoin streaming twin: out-of-order delivery, equal-ts inclusive, " +
+    "agrees with batch AsOf.asofJoin") {
+    implicit val ctx = spark.sqlContext
+    // left clicks (user_id, ts, event_id); right views (user_id, ts, value)
+    val lefts = Seq(
+      (1L, t(9, 30), 10L),  // before any view → None
+      (1L, t(10, 0), 11L),  // equal-ts to a view → inclusive match
+      (1L, t(10, 30), 12L), (1L, t(11, 30), 13L),
+      (2L, t(10, 10), 20L), (2L, t(10, 20), 21L))
+    val rights = Seq(
+      (1L, t(10, 0), 1.0), (1L, t(11, 0), 2.0),
+      (2L, t(10, 15), 5.0))
+    val inL = MemoryStream[(Long, Timestamp, Long)]
+    val inR = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventsStreaming.asofJoin(
+        inL.toDF().toDF("user_id", "ts", "event_id"),
+        inR.toDF().toDF("user_id", "ts", "view_value"),
+        "user_id", "ts", "event_id", "view_value")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: everything EXCEPT the 10:00 view — which then arrives
+      // out of order in batch 2, still inside the 2h watermark horizon;
+      // the answers for 10:00/10:30 lefts must wait for it and be correct
+      inL.addData(lefts.map(l => (l._1, l._2, l._3)): _*)
+      inR.addData(rights.tail.map(r => (r._1, r._2, r._3)): _*)
+      q.processAllAvailable()
+      inR.addData(rights.head)
+      q.processAllAvailable()
+      // far-future sentinels on BOTH streams (global watermark = min over
+      // sources), twice so timeouts fire after the advance
+      inL.addData((99L, t(20, 0), 999L)); inR.addData((99L, t(20, 0), 0.0))
+      q.processAllAvailable()
+      inL.addData((99L, t(22, 0), 998L)); inR.addData((99L, t(22, 0), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_stream")
+        .as[AsofOut].collect().filter(_.key != 99L).toSet
+      // batch reference: the DuckDB-certified AsOf.asofJoin on static frames
+      val expected = graft.operators.AsOf.asofJoin(
+          lefts.toDF("user_id", "ts", "event_id"),
+          rights.toDF("user_id", "ts", "view_value"),
+          Seq("user_id"), "ts", Seq("view_value"))
+        .selectExpr("event_id", "user_id", "unix_micros(ts)", "asof_view_value")
+        .as[(Long, Long, Long, Option[Double])].collect()
+        .map(r => AsofOut(r._1, r._2, r._3, r._4)).toSet
+      assert(got == expected)
+      // spot-check the semantics the fixture plants
+      def valOf(id: Long) = got.find(_.left_id == id).get.asof_value
+      assert(valOf(10L).isEmpty)          // before any view
+      assert(valOf(11L).contains(1.0))    // equal-ts inclusive
+      assert(valOf(13L).contains(2.0))    // latest-preceding, not first
+    } finally q.stop()
+  }
+
+  test("asofJoin agrees with batch AsOf.asofJoin on randomized streams") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    // 4 keys; rights unique per (key, ts) per the operator contract
+    val lefts = (1 to 60).map { i =>
+      (rnd.nextInt(4).toLong + 1L, t(9 + rnd.nextInt(6), rnd.nextInt(60)), i.toLong)
+    }
+    val rights = (1 to 40).map { i =>
+      (rnd.nextInt(4).toLong + 1L, t(9 + rnd.nextInt(6), rnd.nextInt(60)),
+        rnd.nextInt(100).toDouble)
+    }.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val inL = MemoryStream[(Long, Timestamp, Long)]
+    val inR = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventsStreaming.asofJoin(
+        inL.toDF().toDF("user_id", "ts", "event_id"),
+        inR.toDF().toDF("user_id", "ts", "view_value"),
+        "user_id", "ts", "event_id", "view_value",
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("asof_rand")
+      .outputMode("append").start()
+    try {
+      // deliver in time-sorted slices (so the 1-minute watermark drops
+      // nothing) but UNSORTED within each slice — the watermark only
+      // advances between batches, so within-batch disorder exercises the
+      // out-of-order buffering on every batch
+      val tagged = lefts.map(l => Left(l)) ++ rights.map(r => Right(r))
+      val slices = tagged.sortBy(_.fold(_._2, _._2).getTime).grouped(25)
+      slices.foreach { slice =>
+        val sl = rnd.shuffle(slice)
+        sl.foreach {
+          case Left(l)  => inL.addData(l)
+          case Right(r) => inR.addData(r)
+        }
+        q.processAllAvailable()
+      }
+      inL.addData((99L, t(22, 0), 999L)); inR.addData((99L, t(22, 0), 0.0))
+      q.processAllAvailable()
+      inL.addData((99L, t(23, 0), 998L)); inR.addData((99L, t(23, 0), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_rand")
+        .as[AsofOut].collect().filter(_.key != 99L).toSet
+      val expected = graft.operators.AsOf.asofJoin(
+          lefts.toDF("user_id", "ts", "event_id"),
+          rights.toDF("user_id", "ts", "view_value"),
+          Seq("user_id"), "ts", Seq("view_value"))
+        .selectExpr("event_id", "user_id", "unix_micros(ts)", "asof_view_value")
+        .as[(Long, Long, Long, Option[Double])].collect()
+        .map(r => AsofOut(r._1, r._2, r._3, r._4)).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("dedupEvents drops duplicate event_ids within the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
