@@ -205,6 +205,15 @@ object Bench {
           .filter(col("doc_id") =!= col("cluster"))
         docs10.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
       }),
+      // the engine-choosing front door measured at the corpus shape where
+      // the choice matters: must pick the composed engine (dup fraction
+      // ~0.9 ≫ cutoff) — the stderr line records what it chose and why
+      ("dedup_auto_10x", false, false, () => {
+        val plan = Dedup.nearDupAuto(docs10, k = 3, threshold = 0.5)
+        System.err.println(f"[stress] nearDupAuto chose ${plan.engine} " +
+          f"(dupFraction ${plan.dupFraction}%.3f over ${plan.sampledDocs} sampled docs)")
+        plan.pairs
+      }),
       ("join_skew_plain_10x", false, false, () => plainSkewJoin()),
       ("join_skew_noaqe_10x", true, false, () => plainSkewJoin()),
       ("join_skew_salted_noaqe_10x", true, false, () =>

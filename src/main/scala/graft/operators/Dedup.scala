@@ -424,6 +424,62 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** The decision [[nearDupAuto]] made: which engine, on what evidence. */
+  final case class NearDupPlan(engine: String, dupFraction: Double,
+      sampledDocs: Long, pairs: DataFrame)
+
+  /**
+   * Engine-choosing near-dup front door: measures the corpus shape on a
+   * bounded sample and picks between the two exact-output engines whose
+   * costs INVERT with duplicate mass (see the README scale notes):
+   *
+   *  - prefix-filtered AllPairs ([[ngramJaccard]](prefixFilter=true)) —
+   *    exact recall, fast when duplicates are sparse, but a t=0.5 prefix
+   *    prunes nothing on a dup-heavy corpus (measured ~98 s vs ~12 s at
+   *    10× duplicate mass);
+   *  - composed MinHash-discovery → exact-verify
+   *    ([[minhashNgramJaccard]]) — discovery cost ∝ duplicate mass, the
+   *    100 TB shape, at the price of probabilistic recall for pairs NEAR
+   *    the threshold (well-above-threshold duplicates are ~always found).
+   *
+   * Dup-mass estimator: the exact-duplicate fraction among up to
+   * `sampleSize` docs, via collisions of the same ~95-bit content key
+   * [[exactByFingerprint]] groups on — one bounded eager job (these
+   * builders are not pure plan constructors, same trade-off as
+   * [[shingleSets]]'s hot list). Exact copies are what makes the prefix
+   * engine explode (every copy shares every prefix shingle), so their
+   * sample rate is the load-bearing signal; it is a LOWER bound on true
+   * near-dup mass, so a corpus of pure near-copies with no exact copies
+   * can still pick the prefix engine — which stays correct, just slower.
+   * The choice (engine, measured fraction, sample size) is logged and
+   * returned in [[NearDupPlan]].
+   */
+  def nearDupAuto(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Int = 1000, sampleSize: Int = 10000,
+      dupFractionCutoff: Double = 0.05): NearDupPlan = {
+    val sample = docs
+      .select(xxhash64(col("text")).as("fpx"),
+        fingerprint(col("text")).as("fp"), length(col("text")).as("len"))
+      .limit(sampleSize)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(struct(col("fpx"), col("fp"), col("len"))).as("d"))
+      .first()
+    val n = sample.getLong(0)
+    val dupFraction = if (n == 0L) 0.0 else 1.0 - sample.getLong(1).toDouble / n
+    val (engine, pairs) =
+      if (dupFraction >= dupFractionCutoff)
+        ("composed-minhash-verify", minhashNgramJaccard(docs, k = k,
+          threshold = threshold, maxShingleDf = maxShingleDf))
+      else
+        ("prefix-exact", ngramJaccard(docs, k = k, threshold = threshold,
+          maxShingleDf = maxShingleDf, hashShingles = true, prefixFilter = true))
+    log.info(s"nearDupAuto: engine=$engine dupFraction=$dupFraction " +
+      s"(sampled $n docs, cutoff $dupFractionCutoff)")
+    NearDupPlan(engine, dupFraction, n, pairs)
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /**
    * Resolve near-dup PAIRS into duplicate CLUSTERS (connected components)
    * and a canonical survivor per cluster — the final step of corpus dedup:

