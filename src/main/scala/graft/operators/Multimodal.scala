@@ -35,6 +35,77 @@ object Multimodal {
       features: Array[Float])
 
   /**
+   * THE CODEC CONTRACT — the precise interface a real deployment implements
+   * to replace the `*Fake` stubs outside this (codec-less) sandbox.
+   *
+   * Lifecycle, enforced by [[decodeWith]]:
+   *  1. the codec object itself is java-serialized to executors, so it must
+   *     hold only cheap config (model path, target dims) — never native
+   *     handles;
+   *  2. `open()` runs ONCE PER PARTITION on the executor — this is where a
+   *     real codec loads native libraries, mmaps a model, or creates an
+   *     ONNX/JNI session (seconds of init amortized over the partition's
+   *     rows, the entire point of the mapPartitions shape);
+   *  3. `Session.decode(kind, payload)` maps payload bytes ⇒ [[Decoded]] for
+   *     each row, streaming (no payload batch is ever held);
+   *  4. the session is closed via task-completion listener — also on
+   *     failure/early exit, so native resources cannot leak.
+   *
+   * `decode` must be deterministic per (kind, payload) — retried/speculated
+   * tasks re-decode the same rows and their outputs must agree — and must
+   * THROW on malformed payloads (fail the task loudly; quarantine upstream
+   * with a filter if skipping is wanted).
+   */
+  trait MediaCodec extends Serializable {
+    def open(): MediaCodec.Session
+  }
+
+  object MediaCodec {
+    /** What a decode produces: real media metadata + a fixed-width feature
+      * vector (embedding / mel stats / frame summary — codec's choice, but
+      * the WIDTH must be constant per codec so the column is a usable
+      * `array<float>` downstream). */
+    final case class Decoded(
+        width: Int, height: Int, sampleRate: Int, nFrames: Int,
+        features: Array[Float])
+
+    trait Session extends AutoCloseable {
+      def decode(kind: String, payload: Array[Byte]): Decoded
+    }
+  }
+
+  /** One decoded row: provenance + the codec's [[MediaCodec.Decoded]]. */
+  final case class MediaDecoded(
+      media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, sample_rate: Int, n_frames: Int,
+      features: Array[Float])
+
+  /**
+   * Run any [[MediaCodec]] over a media table with the per-partition session
+   * lifecycle described on the trait. This is the REAL production entry
+   * point — `decodeFake` stays only because the driver's oracle pins its
+   * exact output; [[FakeMediaCodec]] routes the same fake
+   * math through this interface, and MultimodalSpec asserts the two agree
+   * (so swapping in a real codec is exactly one `MediaCodec` implementation,
+   * with the plumbing already certified).
+   */
+  def decodeWith(rows: Dataset[MediaRow], codec: MediaCodec): Dataset[MediaDecoded] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      val session = codec.open()
+      // close on task completion — covers normal exhaustion, limit()-style
+      // early exit, and task failure alike
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => session.close()))
+      it.map { r =>
+        val d = session.decode(r.kind, r.payload)
+        MediaDecoded(r.media_id, r.kind, r.payload.length.toLong,
+          d.width, d.height, d.sampleRate, d.nFrames, d.features)
+      }
+    }
+  }
+
+  /**
    * STUB decoder — a real deployment would replace the body with an image /
    * audio codec call (e.g. JNI or an ONNX runtime session held per
    * partition). Deterministic fake: byte-fold checksum + a `dim`-wide
@@ -55,6 +126,24 @@ object Multimodal {
         }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, sum, feats)
       }
+    }
+  }
+
+  /** [[decodeFake]]'s byte-fold math behind the [[MediaCodec]] contract —
+    * the reference implementation a real codec replaces. Width/height/
+    * sample-rate pass through from nothing real to decode, so it reports
+    * 0×0/0Hz/1 frame; features/checksum math is IDENTICAL to decodeFake
+    * (agreement asserted in MultimodalSpec). */
+  final class FakeMediaCodec(dim: Int = 8) extends MediaCodec {
+    def open(): MediaCodec.Session = new MediaCodec.Session {
+      def decode(kind: String, payload: Array[Byte]): MediaCodec.Decoded = {
+        var sum = 0L
+        var i = 0
+        while (i < payload.length) { sum = (sum * 31 + (payload(i) & 0xff)) & 0x7fffffffL; i += 1 }
+        val feats = Array.tabulate(dim)(d => ((sum >> (d * 4)) & 0xff).toFloat / 255.0f)
+        MediaCodec.Decoded(0, 0, 0, 1, feats)
+      }
+      def close(): Unit = ()
     }
   }
 

@@ -2,6 +2,28 @@ package graft.operators
 
 import graft.SparkSpecBase
 
+/** Session-lifecycle probe: counts opens/decodes/closes across tasks
+  * (local-mode tasks share the JVM, so statics see every partition). */
+object CountingCodec {
+  val opened = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closed = new java.util.concurrent.atomic.AtomicInteger(0)
+  val decoded = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { opened.set(0); closed.set(0); decoded.set(0) }
+}
+
+class CountingCodec extends Multimodal.MediaCodec {
+  def open(): Multimodal.MediaCodec.Session = {
+    CountingCodec.opened.incrementAndGet()
+    new Multimodal.MediaCodec.Session {
+      def decode(kind: String, payload: Array[Byte]): Multimodal.MediaCodec.Decoded = {
+        CountingCodec.decoded.incrementAndGet()
+        Multimodal.MediaCodec.Decoded(0, 0, 0, 1, Array(payload.length.toFloat))
+      }
+      def close(): Unit = CountingCodec.closed.incrementAndGet()
+    }
+  }
+}
+
 class MultimodalSpec extends SparkSpecBase {
   import spark.implicits._
   import Multimodal._
@@ -21,6 +43,34 @@ class MultimodalSpec extends SparkSpecBase {
     assert(a.forall(_.features.forall(f => f >= 0.0f && f <= 1.0f)))
     // checksum actually depends on payload bytes
     assert(a(0).checksum != a(1).checksum)
+  }
+
+  test("decodeWith(FakeMediaCodec) matches decodeFake's math through the codec contract") {
+    val ds = rows.toDS().repartition(2)
+    val viaContract = decodeWith(ds, new FakeMediaCodec(dim = 4))
+      .collect().sortBy(_.media_id)
+    val direct = decodeFake(ds, dim = 4).collect().sortBy(_.media_id)
+    // identical feature math and provenance — swapping in a real codec is
+    // exactly one MediaCodec implementation, plumbing already certified
+    assert(viaContract.map(_.features.toSeq).toSeq == direct.map(_.features.toSeq).toSeq)
+    assert(viaContract.map(_.n_bytes).toSeq == direct.map(_.n_bytes).toSeq)
+    assert(viaContract.map(_.kind).toSeq == direct.map(_.kind).toSeq)
+    // output schema shape: fixed-width float features, metadata ints
+    assert(viaContract.forall(_.features.length == 4))
+  }
+
+  test("decodeWith opens ONE codec session per partition and closes every one") {
+    val nParts = 3
+    val ds = (1L to 12L).map(i =>
+      MediaRow(i, "image", Array[Byte](i.toByte), 1, 1, 0)).toDS().repartition(nParts)
+    CountingCodec.reset()
+    val out = decodeWith(ds, new CountingCodec).collect()
+    assert(out.length == 12)
+    assert(CountingCodec.opened.get() == nParts,
+      s"expected $nParts opens, got ${CountingCodec.opened.get()}")
+    assert(CountingCodec.closed.get() == nParts,
+      s"expected $nParts closes, got ${CountingCodec.closed.get()}")
+    assert(CountingCodec.decoded.get() == 12)
   }
 
   test("resizeFake shrinks payload with the pixel ratio, updates dims") {
