@@ -40,22 +40,24 @@ object DedupProfile {
     val sig = exploded.groupBy("doc_id").agg(minhashAgg(col("f"), 32).as("sig"))
     time("minhash sig (agg path)")(sig.write.format("noop").mode("overwrite").save())
 
+    def release(): Unit = { graft.operators.Caches.releaseAll(); spark.catalog.clearCache() }
+
     val cand = Dedup.minhashLsh(docs, 3, 32, 8, 0.5)
     time("minhashLsh pairs")(cand.write.format("noop").mode("overwrite").save())
-    spark.catalog.clearCache()
+    release()
 
     val full = Dedup.minhashNgramJaccard(docs, 3, 0.5, 32, 8, 1000)
     time("composed pipeline")(full.write.format("noop").mode("overwrite").save())
-    spark.catalog.clearCache()
+    release()
 
     val prefix = Dedup.ngramJaccard(docs, 3, 0.5, 1000, hashShingles = true,
       prefixFilter = true)
     time("prefix-filter exact")(prefix.write.format("noop").mode("overwrite").save())
-    spark.catalog.clearCache()
+    release()
 
     val naive = Dedup.ngramJaccard(docs, 3, 0.5, 1000, hashShingles = true)
     time("naive inverted-index exact")(naive.write.format("noop").mode("overwrite").save())
-    spark.catalog.clearCache()
+    release()
 
     val pairs = Dedup.minhashNgramJaccard(docs, 3, 0.5, 32, 8, 1000)
       .select("doc_a", "doc_b")
@@ -73,10 +75,10 @@ object DedupProfile {
         clusters.filter(col("doc_id") =!= col("cluster")), Seq("doc_id"), "left_anti")
       .select("doc_id")
     time("clusters -> survivors")(survivors.write.format("noop").mode("overwrite").save())
-    spark.catalog.clearCache()
+    release()
 
     println(s"[profile] candidate pairs: ${Dedup.minhashLsh(docs, 3, 32, 8, 0.5).count()}")
-    spark.catalog.clearCache()
+    release()
 
     // simhash separation margins: min hamming over NON-identical-text pairs
     // (the dedup_simhash_scale oracle is exact only while this stays > 3)
