@@ -446,21 +446,29 @@ object Dedup {
    * `sampleSize` docs, via collisions of the same ~95-bit content key
    * [[exactByFingerprint]] groups on — one bounded eager job (these
    * builders are not pure plan constructors, same trade-off as
-   * [[shingleSets]]'s hot list). Exact copies are what makes the prefix
-   * engine explode (every copy shares every prefix shingle), so their
-   * sample rate is the load-bearing signal; it is a LOWER bound on true
-   * near-dup mass, so a corpus of pure near-copies with no exact copies
-   * can still pick the prefix engine — which stays correct, just slower.
-   * The choice (engine, measured fraction, sample size) is logged and
-   * returned in [[NearDupPlan]].
+   * [[shingleSets]]'s hot list). The sample is drawn in xxhash64-of-id
+   * order (a seeded pseudo-random draw via one TakeOrdered scan — the
+   * same technique as the IVF quantizer sample), NOT `limit()`: a limit
+   * reads whichever partitions answer first, and on a concatenated
+   * corpus whose head is all-distinct it would blindly under-measure the
+   * duplicate mass sitting in the tail. Exact copies are what makes the
+   * prefix engine explode (every copy shares every prefix shingle), so
+   * their sample rate is the load-bearing signal; it is a LOWER bound on
+   * true near-dup mass, so a corpus of pure near-copies with no exact
+   * copies can still pick the prefix engine — which stays correct, just
+   * slower. The choice (engine, measured fraction, sample size) is
+   * logged and returned in [[NearDupPlan]].
    */
   def nearDupAuto(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Int = 1000, sampleSize: Int = 10000,
       dupFractionCutoff: Double = 0.05): NearDupPlan = {
     val sample = docs
-      .select(xxhash64(col("text")).as("fpx"),
+      .select(xxhash64(col("doc_id")).as("h"), col("doc_id"),
+        xxhash64(col("text")).as("fpx"),
         fingerprint(col("text")).as("fp"), length(col("text")).as("len"))
+      .orderBy(col("h"), col("doc_id"))
       .limit(sampleSize)
+      .drop("h", "doc_id")
       .agg(count(lit(1)).as("n"),
         count_distinct(struct(col("fpx"), col("fp"), col("len"))).as("d"))
       .first()

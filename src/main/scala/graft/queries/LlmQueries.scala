@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Similarity}
 import graft.functions.TextFunctions
 
 /**
@@ -286,6 +286,42 @@ object LlmQueries {
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id")
         .orderBy("doc_id")
+    },
+
+    // Train/eval decontamination (the GPT-3/Pile benchmark-overlap step):
+    // eval = every 7th doc_id (standing in for a benchmark), train = the
+    // rest; for every train doc the count of its distinct 3-shingles that
+    // appear anywhere in the eval corpus, plus the fraction of its set.
+    // Oracle intersects RAW shingle strings (same CTE machinery as
+    // ngram_jaccard) while the operator posts 64-bit hashes — counts agree
+    // by injectivity on the corpus; the fraction division is mirrored
+    // op-for-op (cast double / cast double, no rounding).
+    QueryDef.of("decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ts) - 2),
+        |                             i -> array_to_string(ts[i:i+2], ' ')) END) AS s
+        |  FROM toks
+        |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 7 = 0),
+        |tr AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh WHERE doc_id % 7 <> 0),
+        |hits AS (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM ex e JOIN ev ON e.g = ev.g WHERE e.doc_id % 7 <> 0 GROUP BY 1
+        |)
+        |SELECT tr.doc_id, tr.n_sh,
+        |  COALESCE(h.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+        |  CAST(COALESCE(h.n_overlap, CAST(0 AS BIGINT)) AS DOUBLE)
+        |    / CAST(tr.n_sh AS DOUBLE) AS overlap_frac
+        |FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+        |ORDER BY tr.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val evalDocs = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      Decontaminate.overlapStats(train, evalDocs, k = 3).orderBy("doc_id")
     },
 
     // ----- similarity search --------------------------------------------

@@ -29,6 +29,7 @@ class QueriesSmokeSpec extends SparkSpecBase {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         fn(spark, sf0001).write.format("noop").mode("overwrite").save()
+        graft.operators.Caches.releaseAll()
         spark.catalog.clearCache()
         None
       } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
