@@ -118,6 +118,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("decontaminate broadcasts the eval shingle set; train side never shuffles to the overlap join") {
+    // the scale contract: eval is benchmark-sized, so the overlap join must
+    // be a broadcast hash join (train postings stream map-side) and the
+    // per-doc overlap count must aggregate partially
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("multimodal_scan reads through the binaryFile source") {
     val p = plan("multimodal_scan")
     assert(p.toLowerCase.contains("binaryfile"), p)
