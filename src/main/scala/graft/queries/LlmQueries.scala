@@ -373,6 +373,47 @@ object LlmQueries {
 
     // ----- text analysis -------------------------------------------------
 
+    // Gopher-style repetition profiling: per doc the top-token and
+    // top-bigram frequency fractions (the repetition-removal curation
+    // signal). Operator groups on 64-bit native n-gram hashes; the oracle
+    // recounts RAW strings, mirroring ShingleHashes' tokenization
+    // (trim + explicit whitespace class; <= k tokens → one joined shingle)
+    // — counts agree by injectivity, divisions mirrored op-for-op.
+    QueryDef.of("text_repetition",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts FROM documents
+        |), u1 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ts) <= 1 THEN [array_to_string(ts, ' ')]
+        |    ELSE list_transform(generate_series(1, len(ts)), i -> ts[i]) END) AS t
+        |  FROM toks
+        |), c1 AS (SELECT doc_id, t, count(*) AS c FROM u1 GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(max(c) AS BIGINT) AS top_token_count
+        |  FROM c1 GROUP BY 1
+        |), u2 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ts) <= 2 THEN [array_to_string(ts, ' ')]
+        |    ELSE list_transform(generate_series(1, len(ts) - 1),
+        |                        i -> array_to_string(ts[i:i+1], ' ')) END) AS t
+        |  FROM toks
+        |), c2 AS (SELECT doc_id, t, count(*) AS c FROM u2 GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(max(c) AS BIGINT) AS m2
+        |  FROM c2 GROUP BY 1
+        |)
+        |SELECT a1.doc_id, n_tokens, n_distinct, top_token_count,
+        |  CAST(top_token_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+        |  n_bigrams,
+        |  CAST(m2 AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
+        |FROM a1 JOIN a2 ON a1.doc_id = a2.doc_id
+        |ORDER BY a1.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextProfile.repetitionStats(
+          Tables.documents(s, dir).select("doc_id", "text"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.of("text_stats",
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS BIGINT) AS n_tokens,
