@@ -44,8 +44,13 @@ object Decontaminate {
       if (hashShingles) array_distinct(shingleHashes(c, k))
       else array_distinct(shingles(c, k))
     val evalSh = evalDocs.select(explode(sh(col("text"))).as("s")).distinct()
-    val trainSets = train.select(col("doc_id"), sh(col("text")).as("sh"))
-      .withColumn("n_sh", size(col("sh")).cast("long"))
+    // Tracked-persisted: the shingle sets feed BOTH the postings leg and the
+    // final (doc_id, n_sh) output leg — unpersisted, the train corpus would
+    // be scanned and shingled twice. Caller releases via Caches.releaseAll()
+    // after materializing (the same contract as Dedup's shingleSets).
+    val trainSets = Caches.persistTracked(
+      train.select(col("doc_id"), sh(col("text")).as("sh"))
+        .withColumn("n_sh", size(col("sh")).cast("long")))
     val hits = trainSets
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .join(broadcast(evalSh), "s")

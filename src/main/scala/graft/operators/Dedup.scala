@@ -454,10 +454,14 @@ object Dedup {
    * duplicate mass sitting in the tail. Exact copies are what makes the
    * prefix engine explode (every copy shares every prefix shingle), so
    * their sample rate is the load-bearing signal; it is a LOWER bound on
-   * true near-dup mass, so a corpus of pure near-copies with no exact
-   * copies can still pick the prefix engine — which stays correct, just
-   * slower. The choice (engine, measured fraction, sample size) is
-   * logged and returned in [[NearDupPlan]].
+   * true near-dup mass twice over — near-copies with no exact copies
+   * don't collide at all, and a within-sample collision needs BOTH
+   * members of a duplicate group drawn (under-counts group mass when
+   * sampleSize ≪ corpus) — which is why the cutoff defaults low (0.05):
+   * any measurable exact-dup rate already predicts a prefix blow-up. A
+   * corpus that defeats both bounds picks the prefix engine, which stays
+   * correct, just slower. The choice (engine, measured fraction, sample
+   * size) is logged and returned in [[NearDupPlan]].
    */
   def nearDupAuto(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Int = 1000, sampleSize: Int = 10000,

@@ -68,6 +68,17 @@ class PersistHygieneSpec extends SparkSpecBase {
     assertAllReleased("minhashNgramJaccard")
   }
 
+  test("Decontaminate.overlapStats releases everything after releaseAll") {
+    clean()
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val d = docs
+    Decontaminate.overlapStats(
+        d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(7)) === 0))
+      .write.format("noop").mode("overwrite").save()
+    assertAllReleased("Decontaminate.overlapStats")
+  }
+
   test("embeddingNearDupLsh releases everything after releaseAll") {
     clean()
     val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
