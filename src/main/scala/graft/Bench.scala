@@ -94,7 +94,9 @@ object Bench {
       // max/min rep spread: the first-class variance signal — a query
       // whose reps disagree by >2× is reporting harness state, not plan
       // cost, and its median should be read with suspicion
-      val spread = if (runs.min > 0) runs.max / runs.min else Double.NaN
+      // 0.0 (not NaN) on a degenerate zero-length rep: NaN is not valid
+      // JSON and would break the driver's artifact parse
+      val spread = if (runs.min > 0) runs.max / runs.min else 0.0
       if (spread > 2.0)
         System.err.println(f"[bench] WARNING: $name rep spread $spread%.1f× " +
           f"(runs ${runs.map(r => f"$r%.2f").mkString("/")}) — median unreliable")
