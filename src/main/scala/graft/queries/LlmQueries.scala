@@ -663,6 +663,41 @@ object LlmQueries {
         .orderBy("lang_pred", "rank")
     },
 
+    // Deterministic weighted corpus mixing (the training-data "recipe"
+    // step): keep 25% of src0, 50% of src1, 0% of src2, 100% of the rest —
+    // decided by fingerprint(text) % 10000 against plan-time integer
+    // thresholds. The fingerprint is the engine-portable fold the
+    // doc_fingerprint oracle replicates, so the EXACT membership of the
+    // mix is oracle-checked, not just its size.
+    QueryDef.of("corpus_mix",
+      """WITH fp AS (
+        |  SELECT doc_id, source, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT), list_transform(
+        |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+        |        t -> list_reduce(
+        |               list_prepend(CAST(17 AS BIGINT), list_transform(
+        |                 generate_series(1, length(t)),
+        |                 i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+        |               (h, c) -> (h * 31 + c) % 2147483647))),
+        |      (h, th) -> (h * 1000003 + th) % 2147483647)
+        |    END AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, lang FROM fp
+        |WHERE fp % 10000 < CASE source WHEN 'src0' THEN 2500
+        |                               WHEN 'src1' THEN 5000
+        |                               WHEN 'src2' THEN 0
+        |                               ELSE 10000 END
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.CorpusMix.sampleByStratum(
+          Tables.documents(s, dir), "source",
+          Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    },
+
     // Rolling-hash document fingerprint (deterministic integer contract;
     // oracle replicates the same polynomial fold in DuckDB lambdas).
     QueryDef.of("doc_fingerprint",
