@@ -80,8 +80,11 @@ object DedupProfile {
     println(s"[profile] candidate pairs: ${Dedup.minhashLsh(docs, 3, 32, 8, 0.5).count()}")
     release()
 
-    // simhash separation margins: min hamming over NON-identical-text pairs
-    // (the dedup_simhash_scale oracle is exact only while this stays > 3)
+    // simhash hamming histogram over NON-identical-text pairs — context for
+    // reading detector output. (dedup_simhash_scale's oracle recomputes the
+    // portable signatures op-for-op in DuckDB, so it needs NO separation:
+    // near pairs at hamming <= 3 are detected identically by both engines.
+    // Only the wide-radius dedup_simhash row leans on corpus separation.)
     val ssig = docs
       .select(col("doc_id"), col("text"),
         explode(shingleHashes(col("text"), 3)).as("h"))
