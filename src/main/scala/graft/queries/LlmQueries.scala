@@ -698,6 +698,99 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // THE COMPOSED CURATION PIPELINE — the flagship end-to-end recipe a
+    // training-data user actually runs, as ONE oracle-checked unit:
+    //   quality filter (>= 0.5, bit-mirrored weighted sum)
+    //   → exact-dedup survivors (min doc_id per text, within the filtered set)
+    //   → STRICT decontamination (drop benchmark members and anything
+    //     sharing a 3-shingle with the eval corpus = every 7th doc_id)
+    //   → deterministic weighted mix (25% src0 / 50% src1 / 0% src2).
+    // Every stage's arithmetic is already individually oracle-certified
+    // (text_quality, dedup_exact, decontaminate, corpus_mix); this row
+    // certifies that the operators COMPOSE exactly — thresholds compare
+    // doubles both engines computed op-for-op identically, memberships are
+    // set-exact, so the final doc_id set hash-matches.
+    QueryDef.of("curation_pipeline",
+      """WITH base AS (
+        |  SELECT doc_id, source, lang, text,
+        |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, source, lang, text, ts,
+        |    least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS DOUBLE) / 50.0, 1.0) * 0.3
+        |    + least((CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
+        |             ELSE CAST(len(list_filter(ts, t -> list_contains(""".stripMargin +
+        stopwordsSqlList +
+        """, t))) AS DOUBLE)
+          |                  / CAST(len(ts) AS DOUBLE) END) * 5.0, 1.0) * 0.3
+          |    + (CASE WHEN (CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
+          |                  ELSE CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+          |                       / CAST(len(ts) AS DOUBLE) END) BETWEEN 3.0 AND 10.0
+          |            THEN 1.0 ELSE 0.5 END) * 0.2
+          |    + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+          |        ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+          |             / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.2 AS quality
+          |  FROM base
+          |), q AS (
+          |  SELECT doc_id, source, lang, text FROM scored WHERE quality >= 0.5
+          |), keep AS (
+          |  SELECT min(doc_id) AS doc_id FROM q GROUP BY text
+          |), dd AS (
+          |  SELECT q.* FROM q JOIN keep ON q.doc_id = keep.doc_id
+          |), sh AS (
+          |  SELECT doc_id, list_distinct(
+          |    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+          |         ELSE list_transform(generate_series(1, len(ts) - 2),
+          |                             i -> array_to_string(ts[i:i+2], ' ')) END) AS s
+          |  FROM base
+          |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          |ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 7 = 0),
+          |cont AS (
+          |  SELECT DISTINCT e.doc_id FROM ex e JOIN ev ON e.g = ev.g
+          |  WHERE e.doc_id % 7 <> 0
+          |), clean AS (
+          |  SELECT * FROM dd
+          |  WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+          |), fp AS (
+          |  SELECT doc_id, source, lang,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |    ELSE list_reduce(
+          |      list_prepend(CAST(0 AS BIGINT), list_transform(
+          |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+          |        t -> list_reduce(
+          |               list_prepend(CAST(17 AS BIGINT), list_transform(
+          |                 generate_series(1, length(t)),
+          |                 i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+          |               (h, c) -> (h * 31 + c) % 2147483647))),
+          |      (h, th) -> (h * 1000003 + th) % 2147483647)
+          |    END AS fp
+          |  FROM clean
+          |)
+          |SELECT doc_id, source, lang FROM fp
+          |WHERE fp % 10000 < CASE source WHEN 'src0' THEN 2500
+          |                               WHEN 'src1' THEN 5000
+          |                               WHEN 'src2' THEN 0
+          |                               ELSE 10000 END
+          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.CorpusMix
+      val docs = Tables.documents(s, dir)
+      val q = docs
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .drop("quality")
+      val keepIds = q.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+      val deduped = q.join(keepIds, Seq("doc_id"), "left_semi")
+      val evalDocs = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val train = deduped.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val cleanIds = Decontaminate.overlapStats(train, evalDocs)
+        .filter(col("n_overlap") === 0).select("doc_id")
+      val clean = train.join(cleanIds, Seq("doc_id"), "left_semi")
+      CorpusMix.sampleByStratum(clean, "source",
+          Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    },
+
     // Rolling-hash document fingerprint (deterministic integer contract;
     // oracle replicates the same polynomial fold in DuckDB lambdas).
     QueryDef.of("doc_fingerprint",

@@ -154,7 +154,7 @@ class PlanSpec extends SparkSpecBase {
     for (name <- Seq("dedup_minhash", "dedup_simhash", "dedup_simhash_scale",
         "ngram_jaccard", "dedup_exact", "dedup_fingerprint", "dedup_embedding",
         "dedup_survivors", "dedup_survivors_composed", "corpus_sample",
-        "decontaminate", "text_repetition",
+        "decontaminate", "text_repetition", "corpus_mix", "curation_pipeline",
         "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_exact")) {
       val p = plan(name)
       assert(!p.contains("lambdafunction"),
