@@ -315,6 +315,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stateless curation stages (quality filter + corpus mix) run unchanged on a stream") {
+    // CorpusMix and the quality filter are stateless narrow transforms —
+    // the SAME DataFrame => DataFrame definition must serve readStream
+    // (live curation at ingest) and spark.read (backfill), with identical
+    // membership. Stateful stages (dedup survivors, decontamination) need
+    // batch compaction or dedicated streaming twins; these two do not.
+    implicit val ctx = spark.sqlContext
+    import graft.operators.CorpusMix
+    import graft.functions.TextFunctions
+    val docs = (1 to 60).map { i =>
+      (i.toLong, s"document number $i carries several distinct words $i", s"src${i % 3}")
+    }
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      CorpusMix.sampleByStratum(
+        df.withColumn("quality", TextFunctions.qualityScore(org.apache.spark.sql.functions.col("text")))
+          .filter(org.apache.spark.sql.functions.col("quality") >= 0.2)
+          .drop("quality"),
+        "source", Map("src0" -> 0.5, "src1" -> 0.0))
+    val in = MemoryStream[(Long, String, String)]
+    val q = curate(in.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    try {
+      docs.grouped(20).foreach { batch => in.addData(batch: _*); q.processAllAvailable() }
+      val streamed = spark.table("mix_stream").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      val batch = curate(docs.toDF("doc_id", "text", "source"))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.size < docs.size) // the cut actually cuts
+      assert(!streamed.exists(id => docs(id.toInt - 1)._3 == "src1")) // rate 0 stratum gone
+    } finally q.stop()
+  }
+
   test("dedupEvents drops duplicate event_ids within the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
