@@ -55,4 +55,17 @@ object Caches {
 
   /** Number of currently tracked (not yet released) caches — test hook. */
   def trackedCount: Int = tracked.size()
+
+  /** Run `body` and release every operator cache it tracked, success or
+    * failure — the one-liner form of the caller contract:
+    *
+    * {{{
+    *   Caches.scoped { Dedup.minhashLsh(docs).write.parquet(out) }
+    * }}}
+    *
+    * `body` must MATERIALIZE what it builds (write/collect/count): a lazy
+    * DataFrame returned out of the scope stays correct — Spark rebuilds
+    * dropped cache partitions from lineage — but loses the cache benefit. */
+  def scoped[A](body: => A): A =
+    try body finally releaseAll()
 }

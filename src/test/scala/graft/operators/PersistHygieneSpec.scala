@@ -102,6 +102,22 @@ class PersistHygieneSpec extends SparkSpecBase {
     assertAllReleased("duplicateClusters")
   }
 
+  test("Caches.scoped releases on success AND on failure") {
+    clean()
+    Caches.scoped {
+      Dedup.minhashLsh(docs).write.format("noop").mode("overwrite").save()
+    }
+    assert(Caches.trackedCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    intercept[RuntimeException] {
+      Caches.scoped {
+        Dedup.minhashLsh(docs) // tracked persists registered at plan build
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(Caches.trackedCount == 0, "failure path must still release")
+  }
+
   test("the full survivors pipeline releases everything after releaseAll") {
     clean()
     val d = docs
