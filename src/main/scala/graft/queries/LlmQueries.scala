@@ -871,6 +871,35 @@ object LlmQueries {
       Multimodal.payloadStats(media)
         .select("doc_id", "n_bytes", "header_hex")
         .orderBy("doc_id")
+    },
+
+    // Misra-Gries frequent-items sketch over the corpus token stream —
+    // vocabulary heavy-hitters, the bounded-memory profiling pass a 100 TB
+    // corpus needs (a plain token groupBy shuffles one row per DISTINCT
+    // token; the sketch ships ≤ capacity counters per partition). Certified
+    // at its EXACT operating point: capacity 64 ≥ the corpus vocabulary, so
+    // no counter is ever evicted and the estimates equal true counts
+    // independent of partition order (the `ann_topk_ivf_exact` pattern —
+    // machinery certified exactly; the sub-capacity estimate branch and its
+    // n/(capacity+1) error bound are certified by SketchSpec).
+    QueryDef.of("heavy_hitters",
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS item
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |)
+        |SELECT item, CAST(count(*) AS BIGINT) AS est
+        |FROM toks GROUP BY item
+        |ORDER BY est DESC, item
+        |LIMIT 25""".stripMargin) { (s, dir) =>
+      import graft.operators.Sketch
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(explode(TextFunctions.tokens(col("text"))).as("item"))
+        .agg(Sketch.freqItems(64)(col("item")).as("items"))
+        .select(explode(col("items")).as("ic"))
+        .select(col("ic.item").as("item"), col("ic.est").as("est"))
+        .orderBy(col("est").desc, col("item"))
+        .limit(25)
     }
   )
 }

@@ -486,6 +486,82 @@ object StarQueries {
         .agg(Sketch.kmvDistinct(16)(col("hv")).as("est_distinct"),
           countDistinct(col("c_name")).as("true_distinct"))
         .orderBy("c_nationkey")
+    },
+
+    // Bounded-sample quantile sketch, per returnflag: the k=256 smallest
+    // rows by portable row-identity hash form a uniform-by-hash sample;
+    // p50/p90/p99 are discrete quantiles of the sample (index via integer
+    // floor division — no double rounding). DETERMINISTIC in the SAMPLING
+    // branch (group sizes ≫ 256 at every SF), so the oracle recomputes the
+    // same sample and the same estimates bit-for-bit — the KMV portable-
+    // oracle technique applied to quantiles. The aggregator ships ≤ k
+    // (hash, value) pairs per partition per group (mergeable sketch — the
+    // 100 TB percentile shape; an exact per-group sort would shuffle the
+    // whole table into per-key sorts).
+    QueryDef.of("quantile_sketch",
+      """WITH h AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    list_reduce(
+        |      list_prepend(CAST(17 AS BIGINT), list_transform(
+        |        generate_series(1, length(s)),
+        |        i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 2147483647) AS hv
+        |  FROM (SELECT l_returnflag, l_extendedprice,
+        |          concat(l_orderkey, ':', l_linenumber) AS s FROM lineitem)
+        |), d AS (
+        |  SELECT DISTINCT flag, hv, v FROM h
+        |), r AS (
+        |  SELECT flag, hv, v,
+        |    row_number() OVER (PARTITION BY flag ORDER BY hv, v) AS rn
+        |  FROM d
+        |), sm AS (
+        |  SELECT flag, v,
+        |    row_number() OVER (PARTITION BY flag ORDER BY v) AS vr,
+        |    count(*) OVER (PARTITION BY flag) AS m
+        |  FROM r WHERE rn <= 256
+        |)
+        |SELECT flag AS l_returnflag,
+        |  CAST(max(m) AS INTEGER) AS n_sample,
+        |  max(CASE WHEN vr = ((m - 1) * 1) // 2 + 1 THEN v END) AS p50,
+        |  max(CASE WHEN vr = ((m - 1) * 9) // 10 + 1 THEN v END) AS p90,
+        |  max(CASE WHEN vr = ((m - 1) * 99) // 100 + 1 THEN v END) AS p99
+        |FROM sm GROUP BY flag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      import graft.operators.Sketch
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          TextFunctions.fingerprint(
+            concat_ws(":", col("l_orderkey"), col("l_linenumber"))).as("hv"),
+          col("l_extendedprice").as("v"))
+        .groupBy("l_returnflag")
+        .agg(Sketch.quantileSketch(256)(col("hv"), col("v")).as("q"))
+        .select(col("l_returnflag"),
+          col("q.n_sample").as("n_sample"),
+          col("q.p50").as("p50"), col("q.p90").as("p90"), col("q.p99").as("p99"))
+        .orderBy("l_returnflag")
+    },
+
+    // Bloom-prefiltered semi join: lineitem rows whose part is size 5. The
+    // dim keys aggregate into a 64 Kbit bitmap (one bounded job, 8 KB to
+    // the driver), the fact scan probes it with a native codegen'd
+    // predicate BEFORE the join — on a cluster the runtime-filter pattern
+    // that keeps non-matching fact rows out of the shuffle entirely — and
+    // an exact semi join closes the (~few %) false positives, so the
+    // answer IS the plain semi join the oracle runs.
+    QueryDef.of("bloom_semi_join",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 5)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import graft.operators.Bloom
+      val dim = Tables.part(s, dir).filter(col("p_size") === 5)
+      Bloom.semiJoin(Tables.lineitem(s, dir), "l_partkey", dim, "p_partkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
     }
   )
 }

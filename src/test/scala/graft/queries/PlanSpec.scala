@@ -161,4 +161,19 @@ class PlanSpec extends SparkSpecBase {
         s"$name plan has an interpreted HOF:\n$p")
     }
   }
+
+  test("bloom_semi_join probes the bitmap below a broadcast semi join, natively") {
+    val p = plan("bloom_semi_join")
+    // the probe (element_at + shiftright on the literal bitmap) must sit in
+    // a Filter on the fact side, not after the join — the whole point is
+    // pruning before the shuffle/probe
+    assert(p.contains("shiftright"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // native probe: no interpreted HOF, no UDF (a filter expression can only
+    // sit below the join here — Catalyst pushes filters down, never up)
+    assert(!p.contains("lambdafunction"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
 }

@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/**
+ * Storage-layout levers for the 100 TB deployment — the write side of the
+ * engine. Two properties a cluster job lives or dies by, asserted on real
+ * written-and-read-back data:
+ *
+ *  - BUCKETED tables co-locate join keys at WRITE time: a join of two
+ *    tables bucketed by the same key into the same bucket count needs NO
+ *    shuffle at read time (the recurring-join amortization: shuffle once
+ *    when writing, join shuffle-free forever after);
+ *  - PARTITIONED tables prune whole directories at plan time: a filter on
+ *    the partition column never touches non-matching files (the scan shows
+ *    it as PartitionFilters, distinct from row-level PushedFilters).
+ *
+ * Both go through the session catalog (`saveAsTable`) because bucketing
+ * metadata lives in the catalog, not in parquet footers.
+ */
+class LayoutSpec extends SparkSpecBase {
+
+  test("bucketed-by-join-key tables join with ZERO shuffle") {
+    // managed tables land in the session warehouse and are dropped (files
+    // included) in the finally below
+    // disable broadcast so the join would otherwise be a shuffle join
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+      val ord = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey")
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+      ord.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("ord_bucketed")
+
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it is still the correct join
+      val expect = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expect)
+      assert(expect > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("partitioned writes prune non-matching partitions at plan time") {
+    val dir = Files.createTempDirectory("graft_partitioned").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/li_by_flag"
+    Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+
+    val q = spark.read.parquet(path).filter(col("l_returnflag") === "R")
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("l_returnflag"), p)
+    // the pruned scan reads exactly the one directory's rows
+    val expect = Tables.lineitem(spark, sf0001)
+      .filter(col("l_returnflag") === "R").count()
+    assert(q.count() == expect)
+    assert(expect > 0)
+  }
+}
