@@ -900,6 +900,69 @@ object LlmQueries {
         .select(col("ic.item").as("item"), col("ic.est").as("est"))
         .orderBy(col("est").desc, col("item"))
         .limit(25)
+    },
+
+    // Inverted-index build — the retrieval-side twin of the reference's
+    // Search pipeline: term → document frequency, total term frequency,
+    // and the posting-list HEAD. The head reuses the bounded distinct-
+    // neighbor TopK aggregator (score = −doc_id keeps the 8 SMALLEST doc
+    // ids, ≤ 8 entries per partition per term crossing the shuffle) — at
+    // corpus scale full posting lists are written as bucketed parquet,
+    // never materialized per-row; the bounded head is the presentation
+    // slice. df uses Spark's two-phase distinct aggregation.
+    QueryDef.of("inverted_index",
+      """WITH td AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |)
+        |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(count(*) AS BIGINT) AS tf_total,
+        |  array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 8), ',')
+        |    AS postings_head
+        |FROM td GROUP BY term
+        |ORDER BY df DESC, term
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      import graft.operators.TopK
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(
+          countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf_total"),
+          TopK.topK(8)(col("doc_id"), -col("doc_id").cast("double")).as("p"))
+        .select(col("term"), col("df"), col("tf_total"),
+          array_join(transform(col("p"),
+            x => x.getField("neighbor_id").cast("string")), ",").as("postings_head"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(20)
+    },
+
+    // Term search over the inverted-index shape: rank documents by total
+    // query-term frequency (integer scoring — oracle-exact; BM25 swaps in
+    // a weighted sum without changing the plan shape). Top-10 via
+    // orderBy+limit → TakeOrderedAndProject: per-partition heaps, never a
+    // global sort or a per-key window.
+    QueryDef.of("term_search",
+      """WITH td AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS score
+        |FROM td WHERE term IN ('hash', 'join', 'scan')
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term").isin("hash", "join", "scan"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
     }
   )
 }

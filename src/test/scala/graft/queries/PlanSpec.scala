@@ -176,4 +176,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("lambdafunction"), p)
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
+
+  test("term_search takes its top-10 with per-partition heaps, no window/global sort") {
+    val p = plan("term_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("inverted_index aggregates partially and builds posting heads without a window") {
+    val p = plan("inverted_index")
+    // partial + final HashAggregate pairs (countDistinct plans extra phases)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
 }
