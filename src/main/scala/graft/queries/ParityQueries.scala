@@ -91,6 +91,40 @@ object ParityQueries {
         .orderBy("name")
     },
 
+    // §2.9 companions to the concat-union: INTERSECT / EXCEPT with SQL
+    // DISTINCT set semantics (Spark's Dataset.intersect/except match).
+    // Both plan as distinct-aggregated joins (LeftSemi/LeftAnti) — partial
+    // aggregation collapses each side BEFORE the shuffle, so at 100 TB the
+    // shuffle carries distinct keys, not rows.
+    QueryDef.of("intersect_distinct",
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  INTERSECT
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_nationkey < 10
+        |) ORDER BY custkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+        .intersect(Tables.customer(s, dir)
+          .filter(col("c_nationkey") < 10)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+
+    // same side pair as intersect_distinct, subtracted — the two results
+    // partition the ordering customers, so both are guaranteed non-empty
+    // and together certify complementary set semantics
+    QueryDef.of("except_distinct",
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_nationkey < 10
+        |) ORDER BY custkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+        .except(Tables.customer(s, dir)
+          .filter(col("c_nationkey") < 10)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+
     // S3 — presentation expansion: each name repeated per its count
     // (`Search.cpp:113-117`), via explode(array_repeat(...)).
     QueryDef.of("repeat_rows",

@@ -562,6 +562,26 @@ object StarQueries {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_returnflag")
+    },
+
+    // Pivot (wide aggregation): quantity sums per returnflag, one column
+    // per linestatus. Pivot values are given EXPLICITLY — the implicit form
+    // runs a driver-side distinct job to discover them, a plan-time
+    // collect a 100 TB pipeline shouldn't pay. Sums of integral-valued
+    // doubles are order-independent, so the hash check is stable.
+    QueryDef.of("pivot_agg",
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
     }
   )
 }
