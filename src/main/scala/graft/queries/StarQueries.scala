@@ -564,6 +564,51 @@ object StarQueries {
         .orderBy("l_returnflag")
     },
 
+    // Time-series resample with gap filling: hourly event counts per type,
+    // ZERO-filled over the full global hour grid (the dense-resample
+    // primitive behind rate dashboards and anomaly baselines). The grid is
+    // generated DISTRIBUTED — sequence() exploded from a 1-row bounds
+    // aggregate, cross-joined with the distinct types (both tiny derived
+    // frames, broadcast by Catalyst) — never a driver-side loop; observed
+    // counts left-join onto it keyed (type, hour). Output is
+    // types × hours regardless of event volume, so the plan's cost at
+    // 100 TB is one partial-agg pass over events plus a bounded join.
+    QueryDef.of("events_resample",
+      """WITH b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events
+        |), g AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+        |), t AS (
+        |  SELECT DISTINCT event_type FROM events
+        |), o AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT t.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  COALESCE(o.c, CAST(0 AS BIGINT)) AS cnt
+        |FROM t CROSS JOIN g
+        |LEFT JOIN o ON o.event_type = t.event_type AND o.h = g.h
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val grid = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("h"))
+      val types = ev.select("event_type").distinct()
+      val observed = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      types.crossJoin(grid)
+        .join(observed, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          coalesce(col("c"), lit(0L)).as("cnt"))
+        .orderBy("event_type", "hour_start")
+    },
+
     // Pivot (wide aggregation): quantity sums per returnflag, one column
     // per linestatus. Pivot values are given EXPLICITLY — the implicit form
     // runs a driver-side distinct job to discover them, a plan-time
