@@ -366,4 +366,41 @@ class StreamingSpec extends SparkSpecBase {
       assert(ids == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("mergeable sketches (KMV / freq-items / quantile) run unchanged as streaming aggs") {
+    // The sketch aggregators are mergeable typed Aggregators, so Structured
+    // Streaming can hold their buffers as aggregation state and fold each
+    // micro-batch in — the SAME column definitions serve batch profiling
+    // and live ingest. KMV and the quantile sample are deterministic at any
+    // k (pure functions of the data), and freq-items is at its exact
+    // operating point (capacity ≥ distinct tokens per group), so the final
+    // streaming table must equal the batch aggregation EXACTLY.
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Sketch
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.tabulate(600) { i =>
+      (s"g${i % 3}", (rnd.nextDouble() * 2147483647L).toLong,
+        rnd.nextDouble() * 100, s"tok${i % 40}")
+    }
+    def sketchAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("grp")
+      .agg(
+        Sketch.kmvDistinct(16)(col("hv")).as("kmv"),
+        Sketch.freqItems(64)(col("tok")).as("fi"),
+        Sketch.quantileSketch(32)(col("hv"), col("v")).as("q"))
+    val in = MemoryStream[(String, Long, Double, String)]
+    val q = sketchAgg(in.toDF().toDF("grp", "hv", "v", "tok"))
+      .writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(150).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("sketch_stream")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = sketchAgg(rows.toDF("grp", "hv", "v", "tok"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
 }
