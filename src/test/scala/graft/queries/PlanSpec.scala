@@ -177,6 +177,25 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("NO unbounded cartesian in ANY registered query (whole-surface sweep)") {
+    // The blanket 100 TB guard: an accidental CartesianProduct or a
+    // non-broadcast nested-loop join in any wired plan is a scale-killer.
+    // Allowlist (each deliberately a bounded broadcast product):
+    //  - ann_topk / ann_topk_ivf_exact: the broadcast QUERY BATCH (bounded,
+    //    tens of rows) against the corpus — the documented exact-ANN shape;
+    //  - events_resample: distinct-types × hour-grid, both tiny derived
+    //    frames (≤ types × hours rows by construction).
+    val allowedProduct = Set("ann_topk", "ann_topk_ivf_exact", "events_resample")
+    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans an unbounded CartesianProduct:\n$p")
+      if (!allowedProduct.contains(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join outside the allowlist:\n$p")
+    }
+  }
+
   test("term_search takes its top-10 with per-partition heaps, no window/global sort") {
     val p = plan("term_search")
     assert(p.contains("TakeOrderedAndProject"), p)
