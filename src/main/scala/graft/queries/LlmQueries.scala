@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Decontaminate, Dedup, Multimodal, Similarity}
+import graft.operators.{Decontaminate, Dedup, Multimodal, SequencePack, Similarity}
 import graft.functions.TextFunctions
 
 /**
@@ -963,6 +963,41 @@ object LlmQueries {
         .agg(count(lit(1)).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
+    },
+
+    // Concat-and-chunk sequence packing (GPT-style pretraining-data
+    // forming): every doc's whitespace tokens plus one separator laid
+    // end-to-end in doc_id order, cut into 256-token training sequences;
+    // one output row per (chunk, doc-slice). Pure integer arithmetic, so
+    // the oracle replays the whole thing — including the global prefix
+    // sum the Spark side computes distributed (range partitions +
+    // per-partition window + broadcast base offsets; see SequencePack's
+    // scaladoc) — as one DuckDB window, bit-for-bit.
+    QueryDef.of("sequence_pack",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))
+        |         END AS BIGINT) AS n
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n + 1) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id, n, st,
+        |    unnest(generate_series(st // 256, (st + n - 1) // 256)) AS chunk_id
+        |  FROM o WHERE n > 0
+        |)
+        |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+        |  CAST(GREATEST(0, chunk_id * 256 - st) AS BIGINT) AS tok_begin,
+        |  CAST(LEAST(n, (chunk_id + 1) * 256 - st) AS BIGINT) AS tok_end
+        |FROM c ORDER BY chunk_id, doc_id""".stripMargin) { (s, dir) =>
+      SequencePack
+        .packChunks(Tables.documents(s, dir), "doc_id",
+          TextFunctions.tokenCount(col("text")), seqLen = 256L, sepTokens = 1L)
+        .orderBy("chunk_id", "doc_id")
     }
   )
 }

@@ -202,6 +202,19 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("sequence_pack runs its prefix sum partitioned — never a global single-task window") {
+    // The naive spelling of a global running sum (Window.orderBy with no
+    // partitionBy) funnels the whole table into ONE task. SequencePack's
+    // distributed prefix sum must keep every window keyed by the bounded
+    // range-partition id, and join the base offsets by broadcast.
+    val p = plan("sequence_pack")
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val pidSpecs = "windowspecdefinition\\(pid#".r.findAllIn(p).size
+    assert(specs >= 1, s"expected the running-sum window:\n$p")
+    assert(specs == pidSpecs, s"unpartitioned (single-task) window in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"base-offset join not broadcast:\n$p")
+  }
+
   test("inverted_index aggregates partially and builds posting heads without a window") {
     val p = plan("inverted_index")
     // partial + final HashAggregate pairs (countDistinct plans extra phases)
