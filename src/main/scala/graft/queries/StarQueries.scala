@@ -176,6 +176,38 @@ object StarQueries {
         .orderBy("c_custkey")
     },
 
+    // Full-outer join (completes the join surface: inner/broadcast/multi,
+    // semi, anti, and now both-sides null extension). BUILDING-segment
+    // customers against per-customer P-status order aggregates: P is the
+    // rare status and BUILDING one of five segments, so BOTH null branches
+    // are non-empty at every SF (customer with no P orders; P orders from
+    // a non-BUILDING customer). Aggregate-before-join keeps the outer join
+    // one-row-per-key on both sides — the 100 TB shape (no fact-side
+    // row explosion through the null-extending join).
+    QueryDef.of("outer_join",
+      """WITH c AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        |), o AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS spend
+        |  FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey
+        |)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, n_orders, spend
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "P")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"), col("spend"))
+        .orderBy("custkey")
+    },
+
     // Window ranking: top-3 spenders per nation. Aggregate first (shrinks the
     // window input to one row per customer), then rank within nation.
     QueryDef.of("window_rank",
