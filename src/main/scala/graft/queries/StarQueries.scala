@@ -384,6 +384,33 @@ object StarQueries {
         .orderBy("hour_start", "event_type")
     },
 
+    // Hopping (sliding) window aggregation: 1-hour windows every 30
+    // minutes — each event lands in exactly duration/slide = 2 windows.
+    // Spark's window() aligns starts to the epoch modulo the slide (UTC
+    // session), so the oracle replays the assignment with integer
+    // microsecond arithmetic: the two starts are floor(us/30min)*30min
+    // and that minus one slide. Window starts ship as unix_micros BIGINTs
+    // (the established events-tier timestamp currency — see events_asof).
+    QueryDef.of("events_hopping",
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, event_type, value FROM events
+        |), x AS (
+        |  SELECT event_type, value,
+        |    unnest([(us // 1800000000) * 1800000000,
+        |            (us // 1800000000) * 1800000000 - 1800000000]) AS start_us
+        |  FROM e
+        |)
+        |SELECT start_us, event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY start_us, event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("start_us"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("start_us", "event_type")
+    },
+
     // Point-in-time (as-of) join: every click gets the value of the user's
     // most recent view at-or-before it — the temporal-join primitive
     // (feature-store lookup / market-data enrichment) Spark lacks as a

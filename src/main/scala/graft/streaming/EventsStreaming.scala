@@ -56,6 +56,22 @@ object EventsStreaming {
       .select(col("w.start").as("hour_start"), col("event_type"), col("cnt"),
         col("sum_value"))
 
+  /** Hopping (sliding) twin of [[hourlyByType]]: 1-hour windows every
+    * `slide` — each event lands in duration/slide windows. Same transform
+    * serves batch (`events_hopping`, oracle-checked) and streaming; the
+    * overlapping-window state is just more groups, nothing new for the
+    * streaming engine. */
+  def hoppingByType(
+      events: DataFrame,
+      slide: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour", slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("cnt"),
+        col("sum_value"))
+
   /**
    * Streaming dedup by event_id within the watermark horizon —
    * `dropDuplicates` keyed on (event_id) with event-time bound so the

@@ -42,6 +42,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Set((t(10, 0), "click", 2L, 3.0), (t(11, 0), "view", 1L, 4.0)))
   }
 
+  test("hoppingByType: each event lands in exactly two overlapping windows; batch ≡ streaming") {
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      Ev(1, t(10, 5), "click", 1.0), Ev(2, t(10, 40), "click", 2.0),
+      Ev(3, t(10, 59), "view", 5.0), Ev(4, t(11, 1), "click", 4.0))
+    val in = MemoryStream[Ev]
+    val q = EventsStreaming.hoppingByType(in.toDF())
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode("complete").start()
+    try {
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hopping")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      // 10:05 → windows starting 09:30 and 10:00, etc. (duration/slide = 2)
+      assert(streamed == Set(
+        (t(9, 30), "click", 1L, 1.0),   // ev1
+        (t(10, 0), "click", 2L, 3.0),   // ev1+ev2
+        (t(10, 0), "view", 1L, 5.0),    // ev3
+        (t(10, 30), "click", 2L, 6.0),  // ev2+ev4
+        (t(10, 30), "view", 1L, 5.0),   // ev3
+        (t(11, 0), "click", 1L, 4.0)))  // ev4
+      // the same transform on a static frame gives the identical table
+      val batch = EventsStreaming.hoppingByType(evs.toDF())
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("hourlyByType append mode: watermark closes windows, late data dropped") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
