@@ -965,6 +965,48 @@ object LlmQueries {
         .limit(10)
     },
 
+    // RAG-ingestion chunking: per-document sliding token windows (64-token
+    // chunks, stride 48 → 16-token overlap), emitting the REAL chunk text.
+    // Entirely per-row (explode of a bounded sequence + array slice —
+    // built-in codegen'd functions, no lambda, no shuffle beyond the final
+    // presentation sort), so it scales embarrassingly. Chunk-start rule:
+    // k*stride for k = 0..K with K = ceil((n-C)/S) when n > C else 0 —
+    // the last chunk may be short, every token is covered, interior chunk
+    // boundaries overlap by C-S tokens. The oracle mirrors the arithmetic
+    // and the 1-based inclusive list slice exactly.
+    QueryDef.of("chunk_overlap",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), n AS (
+        |  SELECT doc_id, ts, len(ts) AS n FROM t
+        |), k AS (
+        |  SELECT doc_id, ts, n,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END)) AS chunk_no
+        |  FROM n
+        |)
+        |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+        |  CAST(LEAST(64, n - chunk_no * 48) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(ts[chunk_no * 48 + 1 : chunk_no * 48 + LEAST(64, n - chunk_no * 48)], ' ') AS chunk_text
+        |FROM k ORDER BY doc_id, chunk_no""".stripMargin) { (s, dir) =>
+      val C = 64; val S = 48
+      Tables.documents(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+        .withColumn("n", size(col("ts")))
+        .select(col("doc_id"), col("ts"), col("n"),
+          explode(sequence(lit(0),
+            when(col("n") <= C, 0)
+              .otherwise(expr(s"CAST((n - $C + ${S - 1}) DIV $S AS INT)")))).as("chunk_no"))
+        .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+          least(lit(C), col("n") - col("chunk_no") * S).cast("long").as("n_chunk_tokens"),
+          concat_ws(" ",
+            slice(col("ts"), col("chunk_no") * S + 1,
+              least(lit(C), col("n") - col("chunk_no") * S))).as("chunk_text"))
+        .orderBy("doc_id", "chunk_no")
+    },
+
     // Concat-and-chunk sequence packing (GPT-style pretraining-data
     // forming): every doc's whitespace tokens plus one separator laid
     // end-to-end in doc_id order, cut into 256-token training sequences;
