@@ -50,6 +50,100 @@ object LlmQueries {
       |  GROUP BY 1, 2, 3, 4
       |)""".stripMargin
 
+  /** Shared curation CTE chain — quality filter (>= 0.5, bit-mirrored
+    * weighted sum) → exact-dedup survivors (min doc_id per text) → STRICT
+    * decontamination (drop benchmark members = every 7th doc_id and
+    * anything sharing a 3-shingle with them) → deterministic weighted mix
+    * (25% src0 / 50% src1 / 0% src2) — ending in a `mix` CTE carrying
+    * doc_id/source/lang/text. Oracle prefix for `curation_pipeline` and
+    * `training_export`; every stage's arithmetic is individually
+    * oracle-certified by its own row. */
+  private val curationCte: String =
+    """WITH base AS (
+        |  SELECT doc_id, source, lang, text,
+        |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, source, lang, text, ts,
+        |    least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS DOUBLE) / 50.0, 1.0) * 0.3
+        |    + least((CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
+        |             ELSE CAST(len(list_filter(ts, t -> list_contains(""".stripMargin +
+        stopwordsSqlList +
+        """, t))) AS DOUBLE)
+          |                  / CAST(len(ts) AS DOUBLE) END) * 5.0, 1.0) * 0.3
+          |    + (CASE WHEN (CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
+          |                  ELSE CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+          |                       / CAST(len(ts) AS DOUBLE) END) BETWEEN 3.0 AND 10.0
+          |            THEN 1.0 ELSE 0.5 END) * 0.2
+          |    + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+          |        ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+          |             / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.2 AS quality
+          |  FROM base
+          |), q AS (
+          |  SELECT doc_id, source, lang, text FROM scored WHERE quality >= 0.5
+          |), keep AS (
+          |  SELECT min(doc_id) AS doc_id FROM q GROUP BY text
+          |), dd AS (
+          |  SELECT q.* FROM q JOIN keep ON q.doc_id = keep.doc_id
+          |), sh AS (
+          |  SELECT doc_id, list_distinct(
+          |    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+          |         ELSE list_transform(generate_series(1, len(ts) - 2),
+          |                             i -> array_to_string(ts[i:i+2], ' ')) END) AS s
+          |  FROM base
+          |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          |ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 7 = 0),
+          |cont AS (
+          |  SELECT DISTINCT e.doc_id FROM ex e JOIN ev ON e.g = ev.g
+          |  WHERE e.doc_id % 7 <> 0
+          |), clean AS (
+          |  SELECT * FROM dd
+          |  WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+          |), fp AS (
+          |  SELECT doc_id, source, lang, text,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |    ELSE list_reduce(
+          |      list_prepend(CAST(0 AS BIGINT), list_transform(
+          |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+          |        t -> list_reduce(
+          |               list_prepend(CAST(17 AS BIGINT), list_transform(
+          |                 generate_series(1, length(t)),
+          |                 i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+          |               (h, c) -> (h * 31 + c) % 2147483647))),
+          |      (h, th) -> (h * 1000003 + th) % 2147483647)
+          |    END AS fp
+          |  FROM clean
+          |)
+          |, mix AS (
+          |  SELECT doc_id, source, lang, text FROM fp
+          |  WHERE fp % 10000 < CASE source WHEN 'src0' THEN 2500
+          |                                 WHEN 'src1' THEN 5000
+          |                                 WHEN 'src2' THEN 0
+          |                                 ELSE 10000 END
+          |)""".stripMargin
+
+  /** Spark side of [[curationCte]]: the curated, mixed corpus with all
+    * document columns — shared by `curation_pipeline` (projects ids) and
+    * `training_export` (feeds SequencePack). */
+  private def curatedDocs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.CorpusMix
+    val docs = Tables.documents(s, dir)
+    val q = docs
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .drop("quality")
+    val keepIds = q.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val deduped = q.join(keepIds, Seq("doc_id"), "left_semi")
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val train = deduped.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val cleanIds = Decontaminate.overlapStats(train, evalDocs)
+      .filter(col("n_overlap") === 0).select("doc_id")
+    val clean = train.join(cleanIds, Seq("doc_id"), "left_semi")
+    CorpusMix.sampleByStratum(clean, "source",
+      Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0))
+  }
+
   /**
    * Oracle for the SCALE-point SimHash query: recomputes the ENTIRE
    * signature pipeline in DuckDB — word 3-shingles (non-distinct: votes are
@@ -711,85 +805,47 @@ object LlmQueries {
     // doubles both engines computed op-for-op identically, memberships are
     // set-exact, so the final doc_id set hash-matches.
     QueryDef.of("curation_pipeline",
-      """WITH base AS (
-        |  SELECT doc_id, source, lang, text,
-        |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
-        |  FROM documents
-        |), scored AS (
-        |  SELECT doc_id, source, lang, text, ts,
-        |    least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS DOUBLE) / 50.0, 1.0) * 0.3
-        |    + least((CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
-        |             ELSE CAST(len(list_filter(ts, t -> list_contains(""".stripMargin +
-        stopwordsSqlList +
-        """, t))) AS DOUBLE)
-          |                  / CAST(len(ts) AS DOUBLE) END) * 5.0, 1.0) * 0.3
-          |    + (CASE WHEN (CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
-          |                  ELSE CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
-          |                       / CAST(len(ts) AS DOUBLE) END) BETWEEN 3.0 AND 10.0
-          |            THEN 1.0 ELSE 0.5 END) * 0.2
-          |    + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-          |        ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-          |             / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.2 AS quality
-          |  FROM base
-          |), q AS (
-          |  SELECT doc_id, source, lang, text FROM scored WHERE quality >= 0.5
-          |), keep AS (
-          |  SELECT min(doc_id) AS doc_id FROM q GROUP BY text
-          |), dd AS (
-          |  SELECT q.* FROM q JOIN keep ON q.doc_id = keep.doc_id
-          |), sh AS (
-          |  SELECT doc_id, list_distinct(
-          |    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
-          |         ELSE list_transform(generate_series(1, len(ts) - 2),
-          |                             i -> array_to_string(ts[i:i+2], ' ')) END) AS s
-          |  FROM base
-          |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-          |ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 7 = 0),
-          |cont AS (
-          |  SELECT DISTINCT e.doc_id FROM ex e JOIN ev ON e.g = ev.g
-          |  WHERE e.doc_id % 7 <> 0
-          |), clean AS (
-          |  SELECT * FROM dd
-          |  WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
-          |), fp AS (
-          |  SELECT doc_id, source, lang,
-          |    CASE WHEN length(trim(text)) = 0 THEN 0
-          |    ELSE list_reduce(
-          |      list_prepend(CAST(0 AS BIGINT), list_transform(
-          |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
-          |        t -> list_reduce(
-          |               list_prepend(CAST(17 AS BIGINT), list_transform(
-          |                 generate_series(1, length(t)),
-          |                 i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
-          |               (h, c) -> (h * 31 + c) % 2147483647))),
-          |      (h, th) -> (h * 1000003 + th) % 2147483647)
-          |    END AS fp
-          |  FROM clean
-          |)
-          |SELECT doc_id, source, lang FROM fp
-          |WHERE fp % 10000 < CASE source WHEN 'src0' THEN 2500
-          |                               WHEN 'src1' THEN 5000
-          |                               WHEN 'src2' THEN 0
-          |                               ELSE 10000 END
-          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import graft.operators.CorpusMix
-      val docs = Tables.documents(s, dir)
-      val q = docs
-        .withColumn("quality", TextFunctions.qualityScore(col("text")))
-        .filter(col("quality") >= 0.5)
-        .drop("quality")
-      val keepIds = q.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
-      val deduped = q.join(keepIds, Seq("doc_id"), "left_semi")
-      val evalDocs = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-      val train = deduped.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-      val cleanIds = Decontaminate.overlapStats(train, evalDocs)
-        .filter(col("n_overlap") === 0).select("doc_id")
-      val clean = train.join(cleanIds, Seq("doc_id"), "left_semi")
-      CorpusMix.sampleByStratum(clean, "source",
-          Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0))
+      curationCte + """
+        |SELECT doc_id, source, lang FROM mix ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      curatedDocs(s, dir)
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
     },
+
+    // The curated corpus handed STRAIGHT to the trainer: curation pipeline
+    // composed with sequence packing as one plan — the full
+    // documents-to-training-sequences path, oracle-checked end-to-end.
+    // The pack offsets depend on exactly WHICH docs survive curation, so a
+    // hash match here certifies the five-stage composition, not just each
+    // stage alone.
+    QueryDef.of("training_export",
+      curationCte + """
+        |, pt AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))
+        |         END AS BIGINT) AS n
+        |  FROM mix
+        |), po AS (
+        |  SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n + 1) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |  FROM pt
+        |), pc AS (
+        |  SELECT doc_id, n, st,
+        |    unnest(generate_series(st // 256, (st + n - 1) // 256)) AS chunk_id
+        |  FROM po WHERE n > 0
+        |)
+        |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+        |  CAST(GREATEST(0, chunk_id * 256 - st) AS BIGINT) AS tok_begin,
+        |  CAST(LEAST(n, (chunk_id + 1) * 256 - st) AS BIGINT) AS tok_end
+        |FROM pc ORDER BY chunk_id, doc_id""".stripMargin) { (s, dir) =>
+      SequencePack
+        .packChunks(curatedDocs(s, dir), "doc_id",
+          TextFunctions.tokenCount(col("text")), seqLen = 256L, sepTokens = 1L)
+        .orderBy("chunk_id", "doc_id")
+    },
+
 
     // Rolling-hash document fingerprint (deterministic integer contract;
     // oracle replicates the same polynomial fold in DuckDB lambdas).
