@@ -283,6 +283,57 @@ object StarQueries {
         .orderBy("o_orderstatus", "o_orderpriority")
     },
 
+    // Data-quality profiling: the per-column shape report (rows / nulls /
+    // distincts / range) every ingest run starts with, one row per
+    // profiled column. Numeric min/max ship as DOUBLE columns and string
+    // min/max as separate STRING columns — never numbers formatted into
+    // strings, where engines' float printing diverges. One pass per
+    // column over the same scan, unioned; count(DISTINCT) is exact.
+    QueryDef.of("table_profile",
+      """SELECT 'o_custkey' AS name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_custkey) AS DOUBLE) AS min_num, CAST(max(o_custkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |  min(o_totalprice), max(o_totalprice), NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |ORDER BY name""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def numProfile(c: String) = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_num"),
+        max(col(c)).cast("double").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+        .select(lit(c).as("name"), col("*"))
+      val strProfile = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("o_orderstatus")).as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        min(col("o_orderstatus")).as("min_str"),
+        max(col("o_orderstatus")).as("max_str"))
+        .select(lit("o_orderstatus").as("name"), col("*"))
+      numProfile("o_custkey")
+        .unionByName(numProfile("o_totalprice"))
+        .unionByName(strProfile)
+        .orderBy("name")
+    },
+
     // Top-k by value with deterministic tie-break. Spark plans this as
     // TakeOrderedAndProject — no global sort materialization.
     QueryDef.of("topk",

@@ -169,6 +169,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionize state survives a checkpointed restart (exactly-once recovery)") {
+    implicit val ctx = spark.sqlContext
+    // the memory sink refuses checkpoint recovery (not fault-tolerant);
+    // the FILE sink is the real exactly-once pair for a restartable query
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sess_out_").toString
+    val in = MemoryStream[Ev]
+    def start() = EventsStreaming.sessionize(
+        in.toDF().selectExpr("event_id AS user_id", "ts", "event_type", "value"),
+        gapMinutes = 30, watermarkDelay = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // first incarnation: open a session for user 1, then die mid-stream
+    val q1 = start()
+    try {
+      in.addData(Ev(1, t(10, 0), "c", 0), Ev(1, t(10, 10), "c", 0))
+      q1.processAllAvailable() // session open in state, nothing emitted yet
+    } finally q1.stop()
+    // second incarnation from the SAME checkpoint: the 10:20 event must
+    // extend the session recovered from state, not open a fresh one
+    val q2 = start()
+    try {
+      in.addData(Ev(1, t(10, 20), "c", 0))
+      q2.processAllAvailable()
+      in.addData(Ev(9, t(14, 0), "c", 0)); q2.processAllAvailable()
+      in.addData(Ev(9, t(15, 0), "c", 0)); q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .selectExpr("user_id", "session_start_us", "n_events", "duration_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def us(h: Int, m: Int) = t(h, m).getTime * 1000L
+      // 3 events across the restart boundary in ONE session — only
+      // possible if the pre-restart state was recovered from checkpoint
+      assert(got.contains((1L, us(10, 0), 3L, 20L * 60 * 1000000)),
+        s"session state lost across restart: $got")
+    } finally q2.stop()
+  }
+
   test("sessionize drops an event behind the watermark without crashing") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
