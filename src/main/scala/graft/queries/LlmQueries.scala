@@ -465,6 +465,64 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Hybrid retrieval: weighted LINEAR fusion of lexical and vector
+    // scores — fused = 0.1·term_tf + cosine(embedding, query vector).
+    // Per-row arithmetic only (no rank windows — reciprocal-rank fusion
+    // would need a GLOBAL row_number, a single-task window at corpus
+    // scale), so the plan is a broadcast of one query vector + a left
+    // join of the tf aggregate + TakeOrderedAndProject top-10, and the
+    // oracle mirrors every operation bit-for-bit (the native
+    // CosineSimilarity is certified against DuckDB's
+    // list_cosine_similarity by the ann_topk rows; rounding happens only
+    // in the output projection, AFTER the top-10 selection on raw
+    // doubles).
+    QueryDef.of("hybrid_search",
+      """WITH tf AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
+        |    FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |  ) WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id
+        |), qv AS (
+        |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+        |), scored AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    CAST(COALESCE(tf.tf, 0) AS BIGINT) AS tf,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                           CAST(q.q_emb AS DOUBLE[])) AS cs
+        |  FROM embeddings c CROSS JOIN qv q
+        |  LEFT JOIN tf ON tf.doc_id = c.vec_id
+        |  WHERE c.vec_id <> 0
+        |)
+        |SELECT doc_id, tf, round(cs, 4) AS cos_sim,
+        |  round(CAST(tf AS DOUBLE) * 0.1 + cs, 4) AS score
+        |FROM scored
+        |ORDER BY CAST(tf AS DOUBLE) * 0.1 + cs DESC, doc_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      import graft.functions.VectorFunctions
+      val tf = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term").isin("hash", "join", "scan"))
+        .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          VectorFunctions.cosine(col("embedding"), col("q_emb")).as("cs"))
+        .join(tf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("tf"), lit(0L)).as("tf"),
+          col("cs"))
+        .withColumn("fused", col("tf").cast("double") * 0.1 + col("cs"))
+        .orderBy(col("fused").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("tf"),
+          round(col("cs"), 4).as("cos_sim"),
+          round(col("fused"), 4).as("score"))
+    },
+
     // ----- text analysis -------------------------------------------------
 
     // Gopher-style repetition profiling: per doc the top-token and

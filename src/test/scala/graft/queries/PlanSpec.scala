@@ -184,8 +184,11 @@ class PlanSpec extends SparkSpecBase {
     //  - ann_topk / ann_topk_ivf_exact: the broadcast QUERY BATCH (bounded,
     //    tens of rows) against the corpus — the documented exact-ANN shape;
     //  - events_resample: distinct-types × hour-grid, both tiny derived
-    //    frames (≤ types × hours rows by construction).
-    val allowedProduct = Set("ann_topk", "ann_topk_ivf_exact", "events_resample")
+    //    frames (≤ types × hours rows by construction);
+    //  - hybrid_search: the broadcast of ONE query vector against the
+    //    corpus (the ann_topk class, with |queries| = 1).
+    val allowedProduct =
+      Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
