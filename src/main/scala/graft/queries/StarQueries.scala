@@ -309,28 +309,42 @@ object StarQueries {
         |  NULL, NULL, min(o_orderstatus), max(o_orderstatus)
         |FROM orders
         |ORDER BY name""".stripMargin) { (s, dir) =>
-      val o = Tables.orders(s, dir)
-      def numProfile(c: String) = o.agg(
+      // ONE scan for the whole profile (a union of per-column aggregates
+      // would read the table once per column — three full reads at
+      // 100 TB): every column's stats in a single aggregate (Spark plans
+      // the multi-column DISTINCTs via one Expand over one scan), then
+      // the 1-row result explodes into one row per column. PlanSpec pins
+      // the single scan.
+      val a = Tables.orders(s, dir).agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("double").as("min_num"),
-        max(col(c)).cast("double").as("max_num"),
-        lit(null).cast("string").as("min_str"),
-        lit(null).cast("string").as("max_str"))
-        .select(lit(c).as("name"), col("*"))
-      val strProfile = o.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col("o_orderstatus")).as("n_distinct"),
-        lit(null).cast("double").as("min_num"),
-        lit(null).cast("double").as("max_num"),
-        min(col("o_orderstatus")).as("min_str"),
-        max(col("o_orderstatus")).as("max_str"))
-        .select(lit("o_orderstatus").as("name"), col("*"))
-      numProfile("o_custkey")
-        .unionByName(numProfile("o_totalprice"))
-        .unionByName(strProfile)
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("ck_null"),
+        countDistinct(col("o_custkey")).as("ck_distinct"),
+        min(col("o_custkey")).cast("double").as("ck_min"),
+        max(col("o_custkey")).cast("double").as("ck_max"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("tp_null"),
+        countDistinct(col("o_totalprice")).as("tp_distinct"),
+        min(col("o_totalprice")).cast("double").as("tp_min"),
+        max(col("o_totalprice")).cast("double").as("tp_max"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("os_null"),
+        countDistinct(col("o_orderstatus")).as("os_distinct"),
+        min(col("o_orderstatus")).as("os_min"),
+        max(col("o_orderstatus")).as("os_max"))
+      val nullD = lit(null).cast("double")
+      val nullS = lit(null).cast("string")
+      a.select(explode(array(
+          struct(lit("o_custkey").as("name"), col("n_rows"),
+            col("ck_null").as("n_null"), col("ck_distinct").as("n_distinct"),
+            col("ck_min").as("min_num"), col("ck_max").as("max_num"),
+            nullS.as("min_str"), nullS.as("max_str")),
+          struct(lit("o_totalprice").as("name"), col("n_rows"),
+            col("tp_null").as("n_null"), col("tp_distinct").as("n_distinct"),
+            col("tp_min").as("min_num"), col("tp_max").as("max_num"),
+            nullS.as("min_str"), nullS.as("max_str")),
+          struct(lit("o_orderstatus").as("name"), col("n_rows"),
+            col("os_null").as("n_null"), col("os_distinct").as("n_distinct"),
+            nullD.as("min_num"), nullD.as("max_num"),
+            col("os_min").as("min_str"), col("os_max").as("max_str")))).as("r"))
+        .select(col("r.*"))
         .orderBy("name")
     },
 

@@ -218,6 +218,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"base-offset join not broadcast:\n$p")
   }
 
+  test("table_profile reads its table ONCE (single scan for all column profiles)") {
+    // a union of per-column aggregates would scan the table once per
+    // column — the single-aggregate + explode shape reads it once
+    val p = plan("table_profile")
+    // count tree-form nodes ("Scan parquet  (n)") — formatted explain also
+    // repeats each node in the details section
+    assert("Scan parquet\\s+\\(\\d+\\)".r.findAllIn(p).size == 1,
+      s"expected exactly one scan:\n$p")
+  }
+
   test("inverted_index aggregates partially and builds posting heads without a window") {
     val p = plan("inverted_index")
     // partial + final HashAggregate pairs (countDistinct plans extra phases)
