@@ -71,4 +71,28 @@ class LayoutSpec extends SparkSpecBase {
     assert(q.count() == expect)
     assert(expect > 0)
   }
+
+  test("schema evolution: mergeSchema unions old and new file schemas on read") {
+    // a 100 TB table accretes columns over years of writes — old files
+    // must stay readable next to new ones, with the missing column null
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/docs_evolving"
+    // epoch 1: (doc_id, text)
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(path)
+    // epoch 2: adds a quality column
+    Seq((3L, "gamma", 0.9)).toDF("doc_id", "text", "quality")
+      .write.mode("append").parquet(path)
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "quality", "text"))
+    val rows = merged.select("doc_id", "quality")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty, "old files must read null quality")
+    assert(rows(3L).contains(0.9))
+    // and the evolved table still serves the engine's operators
+    assert(merged.filter(col("quality").isNull).count() == 2)
+  }
 }
