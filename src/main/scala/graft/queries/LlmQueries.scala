@@ -1079,6 +1079,59 @@ object LlmQueries {
         .limit(10)
     },
 
+    // Corpus-overlap matrix: pairwise shingle-set Jaccard between SOURCES
+    // (the mix-design / cross-source-contamination measurement — which
+    // crawls duplicate each other's content). Shingles travel as 64-bit
+    // hashes; the distinct (source, hash) postings join on the hash, so a
+    // shingle key meets at most |sources| rows — no hot-key blowup. The
+    // oracle recounts with raw string shingles (injectivity argument as
+    // ngram_jaccard/decontaminate); the Jaccard division is mirrored
+    // op-for-op.
+    QueryDef.of("corpus_overlap",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ts) - 2),
+        |                             i -> array_to_string(ts[i:i+2], ' ')) END) AS s
+        |  FROM toks
+        |), ex AS (
+        |  SELECT d.source AS source, unnest(s.s) AS g
+        |  FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+        |), ds AS (SELECT DISTINCT source, g FROM ex),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY source),
+        |c AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM ds a JOIN ds b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c.source_a, c.source_b, na.n AS n_a, nb.n AS n_b, c.n_common,
+        |  CAST(c.n_common AS DOUBLE)
+        |    / CAST(na.n + nb.n - c.n_common AS DOUBLE) AS jaccard
+        |FROM c JOIN n na ON na.source = c.source_a
+        |       JOIN n nb ON nb.source = c.source_b
+        |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val ds = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(array_distinct(TextFunctions.shingleHashes(col("text"), 3))).as("g"))
+        .distinct()
+      val n = ds.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = ds.as("a")
+        .join(ds.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(n.as("na"), col("source_a") === col("na.source"))
+        .join(n.as("nb"), col("source_b") === col("nb.source"))
+        .select(col("source_a"), col("source_b"),
+          col("na.n").as("n_a"), col("nb.n").as("n_b"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("na.n") + col("nb.n") - col("n_common")).cast("double")).as("jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+
     // RAG-ingestion chunking: per-document sliding token windows (64-token
     // chunks, stride 48 → 16-token overlap), emitting the REAL chunk text.
     // Entirely per-row (explode of a bounded sequence + array slice —

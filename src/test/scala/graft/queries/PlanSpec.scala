@@ -218,6 +218,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"base-offset join not broadcast:\n$p")
   }
 
+  test("hybrid_search takes its top-10 with per-partition heaps, no rank window") {
+    // linear score fusion keeps the plan window-free: a reciprocal-rank
+    // fusion would need a GLOBAL row_number (single-task window)
+    val p = plan("hybrid_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("table_profile reads its table ONCE (single scan for all column profiles)") {
     // a union of per-column aggregates would scan the table once per
     // column — the single-aggregate + explode shape reads it once
