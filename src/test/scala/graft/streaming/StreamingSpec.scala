@@ -71,6 +71,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("hoppingByType append mode: overlapping windows close at different watermark times") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventsStreaming.hoppingByType(in.toDF(), watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("hopping_append")
+      .outputMode("append").start()
+    try {
+      // one event in two windows: [09:30,10:30) and [10:00,11:00)
+      in.addData(Ev(1, t(10, 5), "click", 1.0))
+      q.processAllAvailable()
+      // watermark → 10:30: closes ONLY the earlier window of the pair
+      in.addData(Ev(2, t(11, 0), "view", 2.0))
+      q.processAllAvailable()
+      val afterFirst = spark.table("hopping_append")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(afterFirst == Set((t(9, 30), "click", 1L, 1.0)),
+        s"only the 09:30 window should have closed, got $afterFirst")
+      // watermark → 11:30 (12:00 - 30min): closes the 10:00 and 10:30 windows
+      in.addData(Ev(3, t(12, 0), "click", 3.0))
+      q.processAllAvailable()
+      val afterSecond = spark.table("hopping_append")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(afterSecond.contains((t(10, 0), "click", 1L, 1.0)),
+        s"the later window of the pair must close on the second advance: $afterSecond")
+    } finally q.stop()
+  }
+
   test("hourlyByType append mode: watermark closes windows, late data dropped") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
