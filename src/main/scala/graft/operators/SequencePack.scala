@@ -41,7 +41,13 @@ import org.apache.spark.sql.functions._
  * operator is exact — the DuckDB oracle replays it bit-for-bit), and a doc
  * crossing chunk boundaries explodes into one row per chunk it touches
  * (`sequence(first_chunk, last_chunk)` — plan-time-constant arithmetic, no
- * interpreted lambda).
+ * interpreted lambda). Per-doc fan-out is ceil(n/seqLen)+1 rows, and the
+ * `sequence()` array materializes transiently before exploding — fine for
+ * curated documents (thousands of tokens against seqLen in the hundreds),
+ * but a pathological multi-billion-token row would allocate its whole
+ * chunk-id array at once: length-cap the corpus (doc_length_hist /
+ * text_quality are the upstream filters) before packing, as every real
+ * pretraining pipeline does anyway.
  *
  * The intermediate keyed table is persisted through [[Caches.persistTracked]]
  * (two jobs read it: the totals collect and the main plan) — callers
