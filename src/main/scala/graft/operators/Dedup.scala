@@ -528,8 +528,14 @@ object Dedup {
     val p = pairs
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .as[(Long, Long)].persist()
+    // blocking releases throughout the loop: an async unpersist leaves the
+    // blocks to a lazy BlockManager sweep, so a caller that re-runs the
+    // operator (bench reps, retried jobs) starts against a heap still
+    // holding the previous run's loop state — measured as rep-over-rep
+    // growth. Synchronous removal costs one RPC per release and buys a
+    // clean heap at operator exit.
     try duplicateClustersLoop(p, maxIter)
-    finally p.unpersist(blocking = false)
+    finally p.unpersist(blocking = true)
   }
 
   private def duplicateClustersLoop(
@@ -587,7 +593,7 @@ object Dedup {
         converged = updated.join(labels)
           .filter { case (_, (nc, oc)) => nc != oc }
           .count() == 0L
-        labels.unpersist(blocking = false)
+        labels.unpersist(blocking = true)
         labels = updated
         iter += 1
       }
@@ -605,8 +611,8 @@ object Dedup {
       out.count()
       out
     } finally {
-      edges.unpersist(blocking = false)
-      labels.unpersist(blocking = false)
+      edges.unpersist(blocking = true)
+      labels.unpersist(blocking = true)
     }
   }
 

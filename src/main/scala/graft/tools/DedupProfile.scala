@@ -26,6 +26,39 @@ object DedupProfile {
     val docs = Tables.documents(spark, sfDir)
     time("warmup count")(docs.count())
 
+    // SPARK_GRAFT_PROFILE_REPS=n: rep-mode — run the dedup_survivors
+    // pipeline n times with the bench's drain between reps, timing the two
+    // halves (exact pair detection vs cluster loop + anti-join) separately,
+    // to localize rep-to-rep variance to a stage. Prints and exits.
+    sys.env.get("SPARK_GRAFT_PROFILE_REPS").map(_.toInt).foreach { n =>
+      def drain(): Unit = {
+        graft.operators.Caches.releaseAll(blocking = true)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc(); Thread.sleep(200); System.gc(); Thread.sleep(100)
+      }
+      (1 to n).foreach { i =>
+        val t0 = System.nanoTime()
+        val pairs = Dedup.ngramJaccard(docs, 3, 0.5, 1000,
+          hashShingles = true, prefixFilter = true).select("doc_a", "doc_b")
+        pairs.write.format("noop").mode("overwrite").save()
+        val t1 = System.nanoTime()
+        val losers = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster"))
+        val t2 = System.nanoTime()
+        docs.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
+          .write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        println(f"[profile] rep $i pairs ${(t1 - t0) / 1e9}%.2f s " +
+          f"loop ${(t2 - t1) / 1e9}%.2f s survivors ${(t3 - t2) / 1e9}%.2f s " +
+          f"total ${(t3 - t0) / 1e9}%.2f s")
+        drain()
+      }
+      spark.stop()
+      return
+    }
+
     val shingled = docs.select(col("doc_id"), shingles(col("text"), 3).as("shs"))
     time("shingles (HOF, reference)")(shingled.write.format("noop").mode("overwrite").save())
 
