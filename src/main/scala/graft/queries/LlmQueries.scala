@@ -382,6 +382,29 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // The ENGINE-CHOOSING front door on the oracle surface: nearDupAuto
+    // measures the exact-dup fraction from a bounded hash-ordered sample
+    // and picks prefix-exact (clean corpus) or composed MinHash→verify
+    // (dup-heavy corpus), then the survivors pipeline runs on whatever it
+    // chose. Correct under EITHER choice here: on the separated Verify
+    // corpora the composed engine's pair set provably equals the exact
+    // engine's (the dedup_survivors_composed argument), so the selector
+    // composes with two certified engines and the oracle is the same
+    // recursive-CTE survivor set. This row certifies the auto path a user
+    // would actually call — stress case dedup_auto_10x covers the
+    // dup-heavy branch's performance; this covers driver-visible
+    // correctness.
+    QueryDef.of("dedup_auto", survivorsOracle) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDupAuto(docs, k = 3, threshold = 0.5).pairs
+        .select("doc_a", "doc_b")
+      val losers = Dedup.duplicateClusters(pairs)
+        .filter(col("doc_id") =!= col("cluster"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // Train/eval decontamination (the GPT-3/Pile benchmark-overlap step):
     // eval = every 7th doc_id (standing in for a benchmark), train = the
     // rest; for every train doc the count of its distinct 3-shingles that
@@ -898,9 +921,14 @@ object LlmQueries {
         |  CAST(GREATEST(0, chunk_id * 256 - st) AS BIGINT) AS tok_begin,
         |  CAST(LEAST(n, (chunk_id + 1) * 256 - st) AS BIGINT) AS tok_end
         |FROM pc ORDER BY chunk_id, doc_id""".stripMargin) { (s, dir) =>
+      // maxDocTokens: fail-loudly guard against pathological monster rows
+      // reaching the chunk-id explode (SequencePack scaladoc) — set far
+      // above any real curated document, so it never fires on data the
+      // upstream quality filters accepted and the oracle row is unaffected.
       SequencePack
         .packChunks(curatedDocs(s, dir), "doc_id",
-          TextFunctions.tokenCount(col("text")), seqLen = 256L, sepTokens = 1L)
+          TextFunctions.tokenCount(col("text")), seqLen = 256L, sepTokens = 1L,
+          maxDocTokens = 1L << 20)
         .orderBy("chunk_id", "doc_id")
     },
 
@@ -965,7 +993,10 @@ object LlmQueries {
         graft.sources.Tables.names.sorted
           .map(n => s"('$n.parquet')").mkString(", ") +
         ") t(file_name) ORDER BY file_name") { (s, dir) =>
-      s.read.format("binaryFile").load(dir + "/*.parquet")
+      // pathGlobFilter (not a glob IN the path): a glob path makes the
+      // FileStreamSink metadata probe log a noisy FileNotFoundException
+      // stack trace for the literal "*.parquet" file on every run
+      s.read.format("binaryFile").option("pathGlobFilter", "*.parquet").load(dir)
         .select(
           regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
           hex(substring(col("content"), 1, 4)).as("magic_hex"),
@@ -1077,6 +1108,108 @@ object LlmQueries {
         .agg(count(lit(1)).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
+    },
+
+    // BM25 term scoring over the SAME plan shape as term_search — the
+    // README claim ("BM25 swaps in without changing the plan shape") as an
+    // oracle row. Double determinism is engineered, not hoped for: every
+    // AGGREGATE is integer (conditional tf counts per query term, df via
+    // count-distinct, corpus token totals as long sums — all order-
+    // independent), and ALL floating-point arithmetic happens per-row in
+    // one fixed-order expression (c_hash + c_join + c_scan), mirrored
+    // token-for-token in DuckDB: idf = ln((N−df+0.5)/(df+0.5)+1), Okapi
+    // k1=1.2 / b=0.75 spelled as the exact-double literals 2.2, 1.2, 0.25,
+    // 0.75. A per-doc SUM of double contributions would be partition-order
+    // nondeterministic — that is exactly what the fixed three-term sum
+    // avoids. round(_, 4) only in the output projection, AFTER the top-10
+    // selection on raw doubles (ln-derived scores never sit on a
+    // half-boundary). The corpus constants ride a broadcast of one 1-row
+    // frame (the hybrid_search pattern); ranking stays
+    // orderBy+limit → TakeOrderedAndProject (PlanSpec-pinned).
+    QueryDef.of("term_search_bm25",
+      """WITH td AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM td
+        |), q AS (
+        |  SELECT doc_id, term FROM (SELECT doc_id, unnest(ts) AS term FROM td)
+        |  WHERE term IN ('hash', 'join', 'scan')
+        |), tf AS (
+        |  SELECT doc_id,
+        |    CAST(count(CASE WHEN term = 'hash' THEN 1 END) AS BIGINT) AS tf_hash,
+        |    CAST(count(CASE WHEN term = 'join' THEN 1 END) AS BIGINT) AS tf_join,
+        |    CAST(count(CASE WHEN term = 'scan' THEN 1 END) AS BIGINT) AS tf_scan
+        |  FROM q GROUP BY doc_id
+        |), consts AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_docs,
+        |    (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl,
+        |    CAST(count(DISTINCT CASE WHEN term = 'hash' THEN doc_id END) AS BIGINT) AS df_hash,
+        |    CAST(count(DISTINCT CASE WHEN term = 'join' THEN doc_id END) AS BIGINT) AS df_join,
+        |    CAST(count(DISTINCT CASE WHEN term = 'scan' THEN doc_id END) AS BIGINT) AS df_scan
+        |  FROM q
+        |), scored AS (
+        |  SELECT t.doc_id,
+        |    (CASE WHEN tf_hash > 0 THEN
+        |      ln((CAST(n_docs - df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5) + 1.0)
+        |        * (CAST(tf_hash AS DOUBLE) * 2.2)
+        |        / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |            (CAST(d.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      ELSE 0.0 END)
+        |    + (CASE WHEN tf_join > 0 THEN
+        |      ln((CAST(n_docs - df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5) + 1.0)
+        |        * (CAST(tf_join AS DOUBLE) * 2.2)
+        |        / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |            (CAST(d.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      ELSE 0.0 END)
+        |    + (CASE WHEN tf_scan > 0 THEN
+        |      ln((CAST(n_docs - df_scan AS DOUBLE) + 0.5) / (CAST(df_scan AS DOUBLE) + 0.5) + 1.0)
+        |        * (CAST(tf_scan AS DOUBLE) * 2.2)
+        |        / (CAST(tf_scan AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |            (CAST(d.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      ELSE 0.0 END) AS score
+        |  FROM tf t JOIN dl d USING (doc_id) CROSS JOIN consts
+        |)
+        |SELECT doc_id, round(score, 4) AS bm25 FROM scored
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      val dl = base.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+      val q = base.select(col("doc_id"), explode(col("ts")).as("term"))
+        .filter(col("term").isin("hash", "join", "scan"))
+      val tf = q.groupBy("doc_id").agg(
+        count(when(col("term") === "hash", 1)).as("tf_hash"),
+        count(when(col("term") === "join", 1)).as("tf_join"),
+        count(when(col("term") === "scan", 1)).as("tf_scan"))
+      val dfs = q.agg(
+        count_distinct(when(col("term") === "hash", col("doc_id"))).as("df_hash"),
+        count_distinct(when(col("term") === "join", col("doc_id"))).as("df_join"),
+        count_distinct(when(col("term") === "scan", col("doc_id"))).as("df_scan"))
+      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val consts = corpus.crossJoin(dfs)
+      // one fixed-order double expression per row — mirrored in the oracle
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      def bm25(tfc: org.apache.spark.sql.Column,
+          dfc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(tfc > 0,
+          log(((col("n_docs") - dfc).cast("double") + lit(0.5)) /
+              (dfc.cast("double") + lit(0.5)) + lit(1.0)) *
+            (tfc.cast("double") * lit(2.2)) /
+            (tfc.cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / avgdl))))
+          .otherwise(lit(0.0))
+      tf.join(dl, "doc_id")
+        .join(broadcast(consts))
+        .withColumn("score",
+          bm25(col("tf_hash"), col("df_hash")) +
+            bm25(col("tf_join"), col("df_join")) +
+            bm25(col("tf_scan"), col("df_scan")))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), round(col("score"), 4).as("bm25"))
     },
 
     // Corpus-overlap matrix: pairwise shingle-set Jaccard between SOURCES

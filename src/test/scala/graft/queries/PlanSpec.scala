@@ -13,8 +13,17 @@ import org.apache.spark.sql.execution.ExplainMode
  */
 class PlanSpec extends SparkSpecBase {
 
+  // Caches.scoped: some queries build EAGERLY at construction time
+  // (SequencePack's totals collect runs its upstream pipeline and leaves a
+  // tracked cache behind even for plan-only extraction — see its scaladoc
+  // caller contract). Plan extraction never needs the cache afterwards, so
+  // every plan() releases what its construction accreted; without this the
+  // whole-surface sweep below carries every eager query's persisted
+  // intermediates through the rest of the suite run.
   private def plan(name: String): String =
-    q(name).queryExecution.explainString(ExplainMode.fromString("formatted"))
+    graft.operators.Caches.scoped {
+      q(name).queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
 
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf0001)
@@ -186,9 +195,12 @@ class PlanSpec extends SparkSpecBase {
     //  - events_resample: distinct-types × hour-grid, both tiny derived
     //    frames (≤ types × hours rows by construction);
     //  - hybrid_search: the broadcast of ONE query vector against the
-    //    corpus (the ann_topk class, with |queries| = 1).
+    //    corpus (the ann_topk class, with |queries| = 1);
+    //  - term_search_bm25: the broadcast of the 1-row corpus-constants
+    //    frame (N, avgdl, per-term df) against the scored docs.
     val allowedProduct =
-      Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search")
+      Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search",
+        "term_search_bm25")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
@@ -203,6 +215,18 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("term_search")
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Window"), p)
+  }
+
+  test("term_search_bm25 keeps term_search's shape: top-k heaps, no window, no UDF") {
+    // the README claim made checkable: BM25 swaps integer tf scoring for
+    // the weighted per-row expression WITHOUT changing the ranking plan —
+    // still TakeOrderedAndProject, never a global sort or a rank window,
+    // and the whole score is native codegen'd arithmetic (no UDF/HOF)
+    val p = plan("term_search_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("lambdafunction"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
   test("sequence_pack runs its prefix sum partitioned — never a global single-task window") {
