@@ -45,34 +45,59 @@ import org.apache.spark.sql.functions._
  * `sequence()` array materializes transiently before exploding — fine for
  * curated documents (thousands of tokens against seqLen in the hundreds),
  * but a pathological multi-billion-token row would allocate its whole
- * chunk-id array at once: length-cap the corpus (doc_length_hist /
- * text_quality are the upstream filters) before packing, as every real
- * pretraining pipeline does anyway.
+ * chunk-id array at once. `maxDocTokens` ENFORCES the cap inside the
+ * operator (checked in the same totals pass — zero extra jobs): over-cap
+ * docs either fail the job loudly with their count (default — a training
+ * corpus with unexpected monster rows should stop the pipeline, not shift
+ * the mix silently) or, with `dropOverCap = true`, are excluded from the
+ * stream (offsets computed as if they never existed) and their count
+ * logged. Upstream length filters (doc_length_hist / text_quality) remain
+ * the right place to CHOOSE the cap; this parameter makes violating it
+ * impossible rather than advisory.
  *
- * The intermediate keyed table is persisted through [[Caches.persistTracked]]
+ * == Caller contract: this operator is EAGER ==
+ *
+ * Phase 2's totals collect (and the phase-1 persist feeding it) runs AT
+ * CONSTRUCTION TIME — calling `packChunks` executes the whole upstream
+ * pipeline (for `training_export`, the entire curation chain) before any
+ * action on the returned DataFrame. Two consequences for callers:
+ * plan-shape tests / `explain` on the result still pay the upstream
+ * execution, and a tracked cache exists as soon as the call returns. The
+ * intermediate keyed table is persisted through [[Caches.persistTracked]]
  * (two jobs read it: the totals collect and the main plan) — callers
  * materialize the result and then `Caches.releaseAll()`, or wrap the whole
- * thing in `Caches.scoped { ... }`.
+ * thing — INCLUDING plan-only extraction — in `Caches.scoped { ... }`.
  *
- * @param docs      input with one row per document
- * @param idCol     unique orderable BIGINT document id (the packing order)
- * @param nTokens   token count column/expression (e.g.
- *                  `TextFunctions.tokenCount(col("text"))`)
- * @param seqLen    tokens per packed training sequence (chunk)
- * @param sepTokens separator tokens appended after every document (EOS);
- *                  separator positions belong to no document slice
+ * @param docs         input with one row per document
+ * @param idCol        unique orderable BIGINT document id (the packing order)
+ * @param nTokens      token count column/expression (e.g.
+ *                     `TextFunctions.tokenCount(col("text"))`)
+ * @param seqLen       tokens per packed training sequence (chunk)
+ * @param sepTokens    separator tokens appended after every document (EOS);
+ *                     separator positions belong to no document slice
+ * @param maxDocTokens per-document token cap (0 = unlimited). Docs with
+ *                     `n > maxDocTokens` fail the job (default) or are
+ *                     dropped-and-counted (`dropOverCap = true`).
+ * @param dropOverCap  with a cap set, drop over-cap docs (logged) instead
+ *                     of throwing
  */
 object SequencePack {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def packChunks(
       docs: DataFrame,
       idCol: String,
       nTokens: Column,
       seqLen: Long,
-      sepTokens: Long = 1L): DataFrame = {
+      sepTokens: Long = 1L,
+      maxDocTokens: Long = 0L,
+      dropOverCap: Boolean = false): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(sepTokens >= 0, s"sepTokens must be non-negative, got $sepTokens")
+    require(maxDocTokens >= 0, s"maxDocTokens must be non-negative, got $maxDocTokens")
     val spark = docs.sparkSession
+    val cap = if (maxDocTokens > 0) maxDocTokens else Long.MaxValue
 
     // Phase 1: range-partition the (doc_id, n) pairs; freeze the partition
     // assignment in a tracked cache so the totals job and the main plan see
@@ -84,11 +109,26 @@ object SequencePack {
         .withColumn("pid", spark_partition_id()))
 
     // Phase 2: per-partition totals -> exclusive prefix offsets (driver-side
-    // over <= shuffle-partition-count rows), broadcast back.
-    val totals = keyed
+    // over <= shuffle-partition-count rows), broadcast back. The cap check
+    // rides the same aggregate: totals sum only within-cap docs, and the
+    // over-cap count comes back in the same ≤-partition-count collect.
+    val totalsRows = keyed
       .groupBy("pid")
-      .agg(sum(col("n") + lit(sepTokens)).as("t"))
+      .agg(
+        sum(when(col("n") <= cap, col("n") + lit(sepTokens)).otherwise(0L)).as("t"),
+        count(when(col("n") > cap, lit(1))).as("over"))
       .collect()
+    val overCap = totalsRows.map(_.getLong(2)).sum
+    if (overCap > 0L) {
+      if (!dropOverCap)
+        throw new IllegalArgumentException(
+          s"sequence packing found $overCap document(s) over maxDocTokens=" +
+            s"$maxDocTokens — cap the corpus upstream (doc_length_hist / " +
+            "text_quality) or pass dropOverCap=true to exclude them")
+      log.warn(s"sequence packing dropped $overCap document(s) over " +
+        s"maxDocTokens=$maxDocTokens")
+    }
+    val totals = totalsRows
       .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
       .sortBy(_._1)
     var acc = 0L
@@ -106,7 +146,11 @@ object SequencePack {
       .partitionBy("pid")
       .orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // Over-cap docs are out of the stream entirely (fail mode threw above,
+    // so this filter only ever drops rows in dropOverCap mode) — the totals
+    // already excluded them, and the running sum must agree.
     val started = keyed
+      .filter(col("n") <= cap)
       .join(broadcast(offsetDf), "pid")
       .withColumn("st", col("base") + coalesce(sum(col("n") + lit(sepTokens)).over(w), lit(0L)))
 

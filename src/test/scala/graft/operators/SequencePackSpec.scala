@@ -97,6 +97,46 @@ class SequencePackSpec extends SparkSpecBase {
     assert(occ.values.sum == total)
   }
 
+  test("maxDocTokens fail mode: an over-cap doc stops the job loudly") {
+    val docs = Seq((1L, 3L), (2L, 500L), (3L, 5L))
+    val ex = intercept[IllegalArgumentException] {
+      Caches.scoped {
+        SequencePack.packChunks(
+          docs.toDF("doc_id", "n_tokens").repartition(2),
+          "doc_id", col("n_tokens"), seqLen = 4L, sepTokens = 1L,
+          maxDocTokens = 100L)
+      }
+    }
+    assert(ex.getMessage.contains("1 document(s) over maxDocTokens=100"))
+    assert(Caches.trackedCount == 0, "failed pack must not leak its cache")
+  }
+
+  test("maxDocTokens drop mode: over-cap docs leave the stream as if absent") {
+    val rnd = new Random(11)
+    val base = (1L to 200L).filterNot(id => id == 50L || id == 120L)
+      .map(id => (id, rnd.nextInt(30).toLong))
+    // plant two monsters mid-stream; dropping them must shift every
+    // downstream offset exactly as if they were never in the corpus
+    val monsters = Seq((50L, 10000L), (120L, 9999L))
+    val dirty = (base ++ monsters).sortBy(_._1)
+    val got = Caches.scoped {
+      SequencePack
+        .packChunks(
+          dirty.toDF("doc_id", "n_tokens").repartition(5),
+          "doc_id", col("n_tokens"), seqLen = 16L, sepTokens = 1L,
+          maxDocTokens = 100L, dropOverCap = true)
+        .as[(Long, Long, Long, Long)]
+        .collect().toSeq.sortBy(t => (t._1, t._2))
+    }
+    assert(got == naive(base, 16L, sep = 1L))
+    assert(!got.exists(r => r._2 == 50L || r._2 == 120L))
+  }
+
+  test("maxDocTokens=0 (default) is unlimited — giant docs pack normally") {
+    val docs = Seq((1L, 3L), (2L, 500L))
+    assert(packed(docs, L = 64L, sep = 1L, parts = 2) == naive(docs, 64L, 1L))
+  }
+
   test("operator releases its tracked cache through Caches") {
     // drain anything other suites in this shared-session JVM left behind,
     // so the before/after comparison isolates THIS operator's caches
