@@ -236,4 +236,35 @@ object Similarity {
     val assigned = spark.read.parquet(path + "/assignment").persist()
     IvfIndex(centroids, assigned)
   }
+
+  /**
+   * INCREMENTAL index maintenance: assign `newVectors` (vec_id, embedding)
+   * to the EXISTING centroids — no refit, no rescan of the already-indexed
+   * corpus. This is the missing piece of the build-once/probe-many story:
+   * a 100 TB corpus that gains a daily ingest batch should pay one narrow
+   * assignment scan over the BATCH, not a rebuild over everything.
+   *
+   * The append uses the same [[graft.expressions.NearestCells]] expression
+   * as build and probe, so the self-probe guarantee extends to appended
+   * vectors: an appended vector's nearest centroid IS its assigned cell,
+   * and any query probing nProbe ≥ 1 cells reaches it exactly when the
+   * quantizer would. What append does NOT do is move centroids — if the
+   * appended data's distribution drifts from what the quantizer was fitted
+   * on, cells grow unbalanced and probe cost degrades gracefully (more
+   * candidates per cell), never incorrectly (membership stays exact).
+   * Rebuild cadence under drift is caller policy; at nProbe = nCells the
+   * appended index is provably ≡ a full rebuild over the union
+   * (SimilaritySpec asserts it).
+   *
+   * Returns a NEW index whose assignment is the persisted union; the input
+   * index's cached assignment is untouched (callers holding only the new
+   * index should `old.assigned.unpersist()` once the append is
+   * materialized).
+   */
+  def appendToIvfIndex(index: IvfIndex, newVectors: DataFrame): IvfIndex = {
+    val newAssigned = newVectors
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        element_at(nearestCells(col("embedding"), index.centroids, 1), 1).as("cell"))
+    IvfIndex(index.centroids, index.assigned.unionAll(newAssigned).persist())
+  }
 }

@@ -96,6 +96,46 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rank1.getDouble(3) == 1.0)
   }
 
+  test("appendToIvfIndex: save/append/load ≡ full rebuild at nProbe = nCells; appended self-probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    try {
+      // base corpus = even ids, ingest batch = odd ids — the daily-append
+      // shape: the quantizer is fitted ONLY on the base, the batch is
+      // assigned to existing centroids without a refit
+      val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+      val built = Similarity.buildIvfIndex(base, nCells = 8)
+      val appended = Similarity.appendToIvfIndex(built, batch)
+      Similarity.saveIvfIndex(appended, dir)
+      val loaded = Similarity.loadIvfIndex(spark, dir)
+      val q = emb.filter(col("vec_id") < 5)
+      def probe(ix: Similarity.IvfIndex) =
+        Similarity.ivfTopK(q, ix, k = 3, nProbe = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+      // at nProbe = nCells every cell is probed, so BOTH the appended index
+      // and a from-scratch rebuild over the union are ≡ brute force on the
+      // union corpus — cell assignment differences cannot matter
+      val rebuilt = Similarity.buildIvfIndex(emb, nCells = 8)
+      assert(probe(appended) == probe(rebuilt))
+      assert(probe(loaded) == probe(appended))
+      // self-probe guarantee extends to APPENDED vectors: a copy of an
+      // odd-id (batch) vector probing one cell lands on its duplicate —
+      // append uses the same NearestCells expression as build and probe
+      val selfQ = emb.filter(col("vec_id") === 1)
+        .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+      val out = Similarity.ivfTopK(selfQ, appended, k = 1, nProbe = 1).collect()
+      assert(out.head.getLong(2) == 1L && out.head.getDouble(3) == 1.0)
+      built.assigned.unpersist()
+      appended.assigned.unpersist()
+      loaded.assigned.unpersist()
+      rebuilt.assigned.unpersist()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("IvfIndex save/load round-trip: probe results identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     try {
