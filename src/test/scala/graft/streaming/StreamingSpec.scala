@@ -444,6 +444,85 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("COMPOSED streaming curation: quality → dedup → strict decontamination → mix ≡ batch") {
+    // The full curation chain (minus packing, which is inherently a batch
+    // compaction) on a live stream. Stage-by-stage streaming story:
+    //  - quality filter, eval-member filter, MIX: stateless narrow — the
+    //    same Column definitions run verbatim;
+    //  - exact dedup: dropDuplicates("text") — streaming keeps the FIRST
+    //    arrival per text, so with docs ingested in doc_id order (the
+    //    natural ingest order) it equals the batch min-doc_id survivor
+    //    rule. The batch twin below uses the certified groupBy-min form;
+    //  - STRICT decontamination: re-expressed STATELESSLY as a per-row
+    //    arrays_overlap against the eval shingle-hash set baked as a plan
+    //    constant. Benchmarks are bounded by definition (the
+    //    Decontaminate broadcast argument), so the eval set fits a plan
+    //    literal the same way it fits a broadcast; at 10^6 shingles a
+    //    production stream would hold it in a broadcast variable, but the
+    //    semantics — drop any doc sharing ONE 3-shingle with eval — are
+    //    identical and exact (no Bloom false positives to close).
+    implicit val ctx = spark.sqlContext
+    import graft.operators.CorpusMix
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions._
+    // every 3-token window of baseText contains the doc's own id, so
+    // distinct docs share NO shingle; planted structure: %10==3 (i>10) =
+    // duplicate chain of doc 3's text, %10==6 = punct junk the quality
+    // filter cuts, %10==9 = leaks eval doc 14's opening shingle, %7==0 =
+    // eval (benchmark) members
+    // i == 63 is excluded from the duplicate chain: it is an eval member
+    // (63 % 7 == 0), and giving it doc 3's text would put that text's
+    // shingles into the eval set — the whole chain would then fall to
+    // decontamination instead of exercising the dedup stage
+    def text(i: Long): String =
+      if (i % 10 == 3 && i > 10 && i != 63) text(i - 10)
+      else if (i % 10 == 6) "! ! !"
+      else if (i % 10 == 9) s"$i xx yy 14 aa bb"
+      else s"$i aa bb $i cc dd $i"
+    val docs = (1L to 90L).map(i => (i, text(i), s"src${i % 3}"))
+    val docsDf = docs.toDF("doc_id", "text", "source")
+    val evalSh: Array[Long] = docsDf.filter(col("doc_id") % 7 === 0)
+      .select(explode(array_distinct(
+        TextFunctions.shingleHashes(col("text"), 3))).as("s"))
+      .distinct().as[Long].collect().sorted
+    def stages(df: org.apache.spark.sql.DataFrame) =
+      CorpusMix.sampleByStratum(
+        df.withColumn("quality", TextFunctions.qualityScore(col("text")))
+          .filter(col("quality") >= 0.2).drop("quality")
+          .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .filter(!arrays_overlap(
+            array_distinct(TextFunctions.shingleHashes(col("text"), 3)),
+            lit(evalSh))),
+        "source", Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0))
+    val in = MemoryStream[(Long, String, String)]
+    val q = stages(in.toDF().toDF("doc_id", "text", "source")
+        .dropDuplicates("text"))
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      // batches of 10 in id order: duplicate-chain members (10 apart) never
+      // share a micro-batch, so first-arrival == min doc_id deterministically
+      docs.grouped(10).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("curation_stream").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      // batch twin: the certified min-doc_id survivor rule (curatedDocs form)
+      val quality = docsDf
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.2).drop("quality")
+      val keep = quality.groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val batch = stages(quality.join(keep, Seq("doc_id"), "left_semi"))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      assert(!batch.exists(_ % 7 == 0), "eval members must be dropped")
+      assert(!batch.exists(i => i % 10 == 9), "contaminated docs must be dropped")
+      assert(!batch.exists(i => i % 10 == 6), "junk docs must be cut by quality")
+      assert(!batch.exists(i => i % 10 == 3 && i > 10), "duplicates must lose to doc 3")
+      assert(!batch.exists(_ % 3 == 2), "src2 stratum has mix rate 0")
+    } finally q.stop()
+  }
+
   test("dedupEvents drops duplicate event_ids within the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
