@@ -42,4 +42,48 @@ object TextProfile {
         (col("m2").cast("double") / col("n_bigrams").cast("double"))
           .as("top_bigram_frac"))
   }
+
+  /**
+   * CORPUS-level duplicated-span profile — the exact-substring-dedup
+   * measurement of Lee et al., "Deduplicating Training Data Makes Language
+   * Models Better" (the repetitionStats above is WITHIN-doc; this is
+   * ACROSS-doc: what fraction of a document's k-token spans also occur in
+   * some other document — boilerplate, licence headers, syndicated text).
+   * Curation thresholds on `dup_frac` to drop documents that are mostly
+   * corpus-duplicated even when no single whole-document near-dup exists.
+   *
+   * Per document: `n_spans` distinct k-shingles, `n_dup` of them shared
+   * with at least one OTHER document, `dup_frac = n_dup / n_spans`.
+   *
+   * Scale shape: spans travel as 64-bit [[graft.functions.TextFunctions
+   * .shingleHashes]] hashes, never strings (counts over hashes equal counts
+   * over raw spans under the corpus-injectivity argument of
+   * `ngram_jaccard`); the per-shingle document-frequency aggregation ships
+   * one row per (doc, distinct shingle) with partial aggregation, and the
+   * frequency table joins back to the postings on the hash — an equi-join
+   * whose per-key fanout is the shingle's document frequency, never a
+   * cross product. The distinct-shingle postings feed BOTH the frequency
+   * aggregate and the join probe, so they persist through
+   * [[Caches.persistTracked]] (caller contract: materialize, then
+   * `Caches.releaseAll()`), avoiding a second corpus-wide shingling pass.
+   *
+   * A doc shorter than k tokens contributes its whole token string as its
+   * single span (the ShingleHashes `n <= k` rule) — such a doc is "fully
+   * duplicated" exactly when its whole text recurs, which is the right
+   * degenerate reading.
+   */
+  def corpusDupSpans(docs: DataFrame, k: Int): DataFrame = {
+    val postings = Caches.persistTracked(
+      docs.select(col("doc_id"),
+        explode(array_distinct(shingleHashes(col("text"), k))).as("h")))
+    val freq = postings.groupBy("h").agg(count(lit(1)).as("nd"))
+    val dup = postings.join(freq.filter(col("nd") >= 2), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    postings.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") /
+          col("n_spans").cast("double")).as("dup_frac"))
+  }
 }

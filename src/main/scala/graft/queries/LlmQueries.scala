@@ -589,6 +589,46 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // CORPUS-level duplicated-span profile (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better" — exact-substring dedup's
+    // measurement step): per doc, how many of its distinct 3-token spans
+    // also occur in ANOTHER document. text_repetition above is WITHIN-doc;
+    // this is ACROSS-doc — the boilerplate / licence-header / syndication
+    // signal curation thresholds on. The oracle recounts with RAW STRING
+    // spans where the operator ships 64-bit hashes (the ngram_jaccard
+    // injectivity argument); the dup_frac division is mirrored op-for-op
+    // on raw doubles (single division, no rounding).
+    QueryDef.of("dup_span_profile",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ts) - 2),
+        |                             i -> array_to_string(ts[i:i+2], ' ')) END) AS s
+        |  FROM toks
+        |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |freq AS (SELECT g, CAST(count(*) AS BIGINT) AS nd FROM ex GROUP BY g),
+        |spans AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_spans FROM sh),
+        |dup AS (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        |  FROM ex e JOIN freq ON e.g = freq.g WHERE freq.nd >= 2 GROUP BY 1
+        |)
+        |SELECT s.doc_id, s.n_spans,
+        |  COALESCE(d.n_dup, CAST(0 AS BIGINT)) AS n_dup,
+        |  CAST(COALESCE(d.n_dup, CAST(0 AS BIGINT)) AS DOUBLE)
+        |    / CAST(s.n_spans AS DOUBLE) AS dup_frac
+        |FROM spans s LEFT JOIN dup d USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextProfile.corpusDupSpans(
+          Tables.documents(s, dir)
+            .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+            .select("doc_id", "text"),
+          k = 3)
+        .orderBy("doc_id")
+    },
+
     QueryDef.of("text_stats",
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS BIGINT) AS n_tokens,
@@ -635,6 +675,42 @@ object LlmQueries {
           tokenCount(col("text")).cast("long").as("n_ws"),
           bpeTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id")
+    },
+
+    // BPE vocabulary induction, step one: the top adjacent character-pair
+    // counts over the whitespace-token stream — exactly the statistic the
+    // first byte-pair-encoding merge maximizes (Sennrich et al.; counts
+    // within tokens only, as BPE never merges across word boundaries).
+    // All-integer, so the oracle is exact; ties at the cut are broken by
+    // the pair string, making the top-20 a total order. Plan shape: the
+    // pair domain is bounded (≤ charset², thousands), so partial
+    // aggregation collapses the per-token explode BEFORE the shuffle —
+    // at 100 TB each partition ships at most |domain| rows — and ranking
+    // is TakeOrderedAndProject (PlanSpec-pinned), never a global sort.
+    // The position explode is a native sequence() + substr on column
+    // args — no lambda in the plan.
+    QueryDef.of("bpe_pairs",
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |), pairs AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+        |                               i -> substr(t, CAST(i AS INTEGER), 2))) AS pair
+        |  FROM toks WHERE length(t) >= 2
+        |)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .filter(length(col("t")) >= 2)
+        .select(col("t"), explode(sequence(lit(1), length(col("t")) - 1)).as("i"))
+        .select(col("t").substr(col("i"), lit(2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
     },
 
     // Composite quality score per document — oracle mirrors the exact

@@ -79,6 +79,13 @@ class PersistHygieneSpec extends SparkSpecBase {
     assertAllReleased("Decontaminate.overlapStats")
   }
 
+  test("corpusDupSpans releases everything after releaseAll") {
+    clean()
+    TextProfile.corpusDupSpans(docs, k = 3)
+      .write.format("noop").mode("overwrite").save()
+    assertAllReleased("corpusDupSpans")
+  }
+
   test("embeddingNearDupLsh releases everything after releaseAll") {
     clean()
     val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")

@@ -229,6 +229,30 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("bpe_pairs ranks with top-k heaps over a partial aggregate, natively") {
+    // the pair domain is bounded (≤ charset²), so the per-token explode
+    // must collapse map-side (partial_count before the exchange) and the
+    // top-20 must be TakeOrderedAndProject, not a global sort; the
+    // position explode is native sequence()+substr — no lambda, no UDF
+    val p = plan("bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), s"pair counts not map-side combined:\n$p")
+    assert(!p.contains("lambdafunction"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
+  test("dup_span_profile aggregates span postings without windows or lambdas") {
+    // per-shingle document frequency + join-back on the 64-bit hash: the
+    // whole profile is partial-agg + equi-join — no per-key window, no
+    // interpreted HOF in the wired plan (ShingleHashes is the native loop;
+    // array_distinct/explode are native)
+    val p = plan("dup_span_profile")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("lambdafunction"), p)
+    assert(p.contains("partial_count"), s"span counts not map-side combined:\n$p")
+  }
+
   test("sequence_pack runs its prefix sum partitioned — never a global single-task window") {
     // The naive spelling of a global running sum (Window.orderBy with no
     // partitionBy) funnels the whole table into ONE task. SequencePack's
