@@ -311,6 +311,12 @@ object Bench {
       ("dedup_exact_prefix_10x", false, false, () =>
         Dedup.ngramJaccard(docs10, k = 3, threshold = 0.5,
           hashShingles = true, prefixFilter = true)),
+      // the corpus duplicated-span profile at 10× dup mass — worst case
+      // for the posting join-back (every span of a duplicated doc has doc
+      // frequency ≥ 10, so the join fanout is maximal while the partial
+      // aggregation still collapses per-partition)
+      ("dup_span_10x", false, false, () =>
+        graft.operators.TextProfile.corpusDupSpans(docs10, k = 3)),
       // ANN crossover LAST, all keepCaches=true: every case (and the
       // recall pass after the loop) reads the one materialized emb100 —
       // inter-case clearCache would silently re-charge corpus synthesis
@@ -351,6 +357,10 @@ object Bench {
       finally if (noAqeSkew) spark.conf.set(skewConf, "true")
       val dt = (System.nanoTime() - t0) / 1e9
       if (!keepCaches) {
+        // releaseAll drains graft's tracked-persist registry (the blanket
+        // sweeps below reclaim the memory either way, but the registry
+        // entries should not accumulate across cases)
+        graft.operators.Caches.releaseAll()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
