@@ -195,6 +195,38 @@ class DedupSpec extends SparkSpecBase {
     assert(got.length == 31)
   }
 
+  test("duplicateClusters ≡ union-find on random graphs (fixed seeds)") {
+    // the pointer-jumping loop's correctness over arbitrary topology —
+    // cycles, self-merging components, skewed degrees, isolated pairs —
+    // against a plain sequential union-find; fixed seeds keep any failure
+    // reproducible (the MapReduceLawsSpec convention)
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = (1 to 70)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra) = rb
+      }
+      val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // expected label: the MIN doc_id of each connected component
+      val expected = members
+        .groupBy(m => find(m.toInt))
+        .flatMap { case (_, ms) => val lbl = ms.min; ms.map(_ -> lbl) }
+      val got = Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed, edges: $edges")
+    }
+  }
+
   test("minhash hot-bucket cap drops boilerplate floods without skew windows") {
     // 200 identical docs → one giant band bucket; cap at 50 → bucket dropped,
     // so no candidate explosion and no pairs from the flood
