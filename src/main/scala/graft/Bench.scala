@@ -50,7 +50,7 @@ object Bench {
     * late-alphabet iterative queries with per-job scheduler/GC overhead.
     * The post-GC sleep gives the (asynchronous) ContextCleaner a beat to
     * actually process the reference queue before the next timed run. */
-  private def drain(spark: SparkSession): Unit = {
+  private[graft] def drain(spark: SparkSession): Unit = {
     // BLOCKING unpersists: with blocking=false the BlockManager reclaims
     // the previous execution's cached partitions lazily, so the next rep
     // starts against a heap still holding the last rep's blocks — rep-to-
@@ -118,9 +118,10 @@ object Bench {
       // warm-up; the judge's re-run still caught a mid-rep spike on
       // `dedup_survivors` (reps 3.66/7.76/4.99 s — a JIT/GC tail that one
       // execution of a 40-stage iterative pipeline does not amortize), so
-      // the agreement criterion now applies uniformly. Worst-case added
-      // wall clock is bounded: only queries whose consecutive executions
-      // disagree by > 40% pay extra warm-ups, at most two.
+      // the agreement criterion now applies uniformly. Cost: every query
+      // pays TWO warm-ups (agreement needs two executions to compare), and
+      // a THIRD only when those two disagree by > 40% — bounded wall clock,
+      // roughly double round-7's single warm-up on the expensive queries.
       var prevW = Double.MaxValue
       var wi = 0
       var continueWarm = true
@@ -139,8 +140,9 @@ object Bench {
           math.abs(wt - prevW) / math.max(wt, 1e-9) > 0.4
         prevW = wt
       }
+      val qCals = scala.collection.mutable.ArrayBuffer.empty[Double]
       val runs = (1 to reps).map { _ =>
-        cals += calibrate()
+        val c = calibrate(); cals += c; qCals += c
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -158,20 +160,31 @@ object Bench {
       // 0.0 (not NaN) on a degenerate zero-length rep: NaN is not valid
       // JSON and would break the driver's artifact parse
       val spread = if (runs.min > 0) runs.max / runs.min else 0.0
+      // per-QUERY calibration spread: the attribution rule must compare a
+      // query's rep spread against the probe variance during THAT query's
+      // reps — a run-global cal figure could waive a real regression with
+      // host noise that happened during some other query hours apart
+      val qCalSpread = if (qCals.nonEmpty && qCals.min > 0) qCals.max / qCals.min else 0.0
       if (spread > 2.0)
         System.err.println(f"[bench] WARNING: $name rep spread $spread%.1f× " +
-          f"(runs ${runs.map(r => f"$r%.2f").mkString("/")}) — median unreliable")
+          f"(runs ${runs.map(r => f"$r%.2f").mkString("/")}; cal spread " +
+          f"during its reps $qCalSpread%.2f×) — median unreliable")
       System.err.println(
         f"[bench] $name median $med%.2f s spread $spread%.1f× (runs ${runs.map(r => f"$r%.2f").mkString("/")})")
-      (name, med, runs, spread)
+      (name, med, runs, spread, qCalSpread)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val rs = results.map { case (k, _, runs, _) =>
+    val rs = results.map { case (k, _, runs, _, _) =>
       "\"" + k + "\":" + runs.map(r => f"$r%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val sp = results.map { case (k, _, _, spread) =>
+    val sp = results.map { case (k, _, _, spread, _) =>
       "\"" + k + "\":" + f"$spread%.2f"
+    }.mkString("{", ",", "}")
+    // per-query calibration spreads, so any spread violation can be
+    // checked against the host-noise level during ITS OWN reps
+    val cq = results.map { case (k, _, _, _, qc) =>
+      "\"" + k + "\":" + f"$qc%.2f"
     }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -187,18 +200,24 @@ object Bench {
       System.err.println(f"[bench] WARNING: host-noise calibration probe " +
         f"varied $calSpread%.2f× (${cals.min}%.3f-${cals.max}%.3f s) across " +
         "the run — query rep spreads include machine noise at this scale")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"spread":$sp,"max_spread":$maxSpreadStr,$cal,"errors":$errs,"reps":$reps,"warmup":"adaptive<=3","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"spread":$sp,"cal_by_query":$cq,"max_spread":$maxSpreadStr,$cal,"errors":$errs,"reps":$reps,"warmup":"adaptive<=3","sf":"$sfDir"}""")
     // SECOND, compact line AFTER the full JSON: the driver artifact keeps
     // only the tail of stdout, and the full line's queries/runs maps are
     // wide enough to truncate mid-stream — which destroys exactly the
     // headline medians an auditor needs. This line is small enough
-    // (~400 chars) to survive any plausible truncation window: total,
-    // max_spread, error count, and the 10 largest per-query medians in
-    // descending order.
+    // (~400-600 chars) to survive any plausible truncation window: total,
+    // max_spread, error count, the 10 largest per-query medians in
+    // descending order, and — for any query over the 2× spread bar — its
+    // rep spread PAIRED with the calibration spread during its own reps,
+    // so the host-noise attribution is auditable from the tail alone.
     val top = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total":${f"$total%.3f"},"max_spread":$maxSpreadStr,"cal_spread":${f"$calSpread%.2f"},"errors_n":${errors.size},"top":$top}""")
+    val viol = results.filter(_._4 > 2.0)
+      .map { case (k, _, _, s, qc) =>
+        "\"" + k + "\":" + f"""{"spread":$s%.2f,"cal":$qc%.2f}"""
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"summary","total":${f"$total%.3f"},"max_spread":$maxSpreadStr,"cal_spread":${f"$calSpread%.2f"},"errors_n":${errors.size},"viol":$viol,"top":$top}""")
     if (sys.env.get("SPARK_GRAFT_STRESS").contains("1")) stress(spark, sfDir)
     spark.stop()
   }
@@ -207,7 +226,8 @@ object Bench {
    * SPARK_GRAFT_STRESS=1: a second, reproducible measurement at 10× the
    * duplicate/hot-key mass — the corpus shape where the scale-path designs
    * are supposed to earn their keep (the per-round driver bench never sets
-   * the flag, so its output stays one JSON line). Each table is the sf
+   * the flag, so its output stays the two standard lines — the full JSON
+   * plus the compact tail-surviving summary). Each table is the sf
    * input unioned 10× with shifted ids: every document gains 9 exact
    * copies (dup-heavy dedup), every lineitem hot key gains 10× the rows
    * (skew join). Besides times, the ANN cases emit measured recall@5 vs
@@ -410,15 +430,19 @@ object Bench {
     val recallsHard = {
       import graft.sources.Tables
       val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-      val nrm = sqrt(aggregate(col("embedding"), lit(0.0d),
-        (a, x) => a + x.cast("double") * x.cast("double")))
+      // norm PROJECTED once per row before the transform: referencing the
+      // aggregate expression inside the per-element lambda would re-fold
+      // the whole vector for every element (O(d²) per row)
       def perturbed(l: Int, eps: Double): DataFrame =
-        embBase.select(
-          (col("vec_id") + lit((l + 1) * 10000000L)).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (x.cast("double") + lit(eps) * (nrm / lit(8.0)) *
-              (pmod(xxhash64(col("vec_id"), lit(l), i), lit(2001L)).cast("double")
-                / lit(1000.0) - lit(1.0))).cast("float")).as("embedding"))
+        embBase
+          .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0d),
+            (a, x) => a + x.cast("double") * x.cast("double"))))
+          .select(
+            (col("vec_id") + lit((l + 1) * 10000000L)).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              (x.cast("double") + lit(eps) * (col("nrm") / lit(8.0)) *
+                (pmod(xxhash64(col("vec_id"), lit(l), i), lit(2001L)).cast("double")
+                  / lit(1000.0) - lit(1.0))).cast("float")).as("embedding"))
       val noises = Seq(0.1, 0.4, 0.8, 1.5)
       val embHard = (embBase +: noises.zipWithIndex.map { case (e, l) =>
         perturbed(l, e)

@@ -31,13 +31,10 @@ object DedupProfile {
     // halves (exact pair detection vs cluster loop + anti-join) separately,
     // to localize rep-to-rep variance to a stage. Prints and exits.
     sys.env.get("SPARK_GRAFT_PROFILE_REPS").map(_.toInt).foreach { n =>
-      def drain(): Unit = {
-        graft.operators.Caches.releaseAll(blocking = true)
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        System.gc(); Thread.sleep(200); System.gc(); Thread.sleep(100)
-      }
+      // the bench's OWN drain, not a copy: the profiler exists to localize
+      // bench rep variance, so its inter-rep state transitions must stay
+      // byte-identical to the bench's (a hand-copied drain silently
+      // diverged once the bench's drain semantics changed)
       (1 to n).foreach { i =>
         val t0 = System.nanoTime()
         val pairs = Dedup.ngramJaccard(docs, 3, 0.5, 1000,
@@ -53,7 +50,7 @@ object DedupProfile {
         println(f"[profile] rep $i pairs ${(t1 - t0) / 1e9}%.2f s " +
           f"loop ${(t2 - t1) / 1e9}%.2f s survivors ${(t3 - t2) / 1e9}%.2f s " +
           f"total ${(t3 - t0) / 1e9}%.2f s")
-        drain()
+        graft.Bench.drain(spark)
       }
       spark.stop()
       return
