@@ -72,6 +72,55 @@ class LayoutSpec extends SparkSpecBase {
     assert(expect > 0)
   }
 
+  test("Z-order clustering: a second-column predicate can skip files a linear sort cannot") {
+    // The multi-column pruning lever: 64×64 grid (one row per (x, y)),
+    // written 16 files two ways. Linearly range-partitioned by x, every
+    // file is an x-stripe spanning the FULL y range, so the y < 8
+    // predicate overlaps every file's [min(y), max(y)] — a stats-based
+    // reader (parquet row groups, manifest min/max) can skip nothing.
+    // Z-ordered, contiguous key ranges are axis-aligned tiles, so the same
+    // predicate overlaps only the bottom-row tiles. The assertion reads
+    // each written FILE's actual min/max — exactly the stats any pruning
+    // reader consults — not a plan string.
+    val dir = Files.createTempDirectory("graft_zorder").toFile
+    dir.deleteOnExit()
+    val (pLin, pZ) = (dir.getAbsolutePath + "/lin", dir.getAbsolutePath + "/zord")
+    val grid = spark.range(0, 64).select(col("id").as("x"))
+      .crossJoin(spark.range(0, 64).select(col("id").as("y")))
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(pLin)
+    Layout.zordered(grid, Seq(col("x"), col("y")), nFiles = 16, bits = 6)
+      .write.mode("overwrite").parquet(pZ)
+
+    // files whose y-stats overlap the predicate y < 8 (nonEmpty guards
+    // against 0-row part files from empty range partitions)
+    def overlapping(path: String): (Int, Int) = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      val stats = files.flatMap { f =>
+        val r = spark.read.parquet(f).agg(min("y"), max("y")).collect().head
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      }
+      (stats.count { case (mn, _) => mn < 8 }, stats.length)
+    }
+    val (linHit, linFiles) = overlapping(pLin)
+    val (zHit, zFiles) = overlapping(pZ)
+    assert(linFiles >= 8 && zFiles >= 8, s"degenerate file counts: $linFiles/$zFiles")
+    assert(linHit == linFiles,
+      s"x-stripes must span all y — every file should overlap ($linHit of $linFiles)")
+    assert(zHit <= zFiles / 2 && zHit >= 1,
+      s"z-order should confine y < 8 to the bottom tiles ($zHit of $zFiles)")
+    // layout must never change the data: both read back to the same grid
+    assert(spark.read.parquet(pZ).count() == 64L * 64L)
+    assert(spark.read.parquet(pZ).except(grid).count() == 0L)
+    assert(grid.except(spark.read.parquet(pZ)).count() == 0L)
+    // and the key is native unrolled arithmetic — no lambda, no UDF
+    val kp = grid.select(Layout.zorderKey(Seq(col("x"), col("y")), 6))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!kp.contains("lambdafunction"), kp)
+    assert(!kp.toLowerCase.contains("scalaudf"), kp)
+  }
+
   test("schema evolution: mergeSchema unions old and new file schemas on read") {
     // a 100 TB table accretes columns over years of writes — old files
     // must stay readable next to new ones, with the missing column null
