@@ -410,6 +410,61 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("incremental file ingest: AvailableNow curates each epoch's files exactly once") {
+    // The production shape for a GROWING corpus directory: a nightly job
+    // runs the curation as a file-source stream with Trigger.AvailableNow —
+    // it processes everything new since the checkpoint, writes, and
+    // terminates. The file-source checkpoint (not file naming, not caller
+    // bookkeeping) guarantees each input file is curated EXACTLY ONCE
+    // across job incarnations: epoch-1 docs must appear once in the output
+    // after epoch 2's run, not twice, and epoch-2 docs must be picked up
+    // with no manual delta tracking.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.operators.CorpusMix
+    import graft.functions.TextFunctions
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ingest_src_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt_").toString
+    def mkDocs(ids: Range) = ids.map { i =>
+      (i.toLong, s"document number $i carries several distinct words $i", s"src${i % 3}")
+    }
+    val epoch1 = mkDocs(1 to 40)
+    val epoch2 = mkDocs(41 to 80)
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      CorpusMix.sampleByStratum(
+        df.withColumn("quality", TextFunctions.qualityScore(col("text")))
+          .filter(col("quality") >= 0.2).drop("quality")
+          .filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        "source", Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0))
+    val schema = epoch1.toDF("doc_id", "text", "source").schema
+    def runOnce(): Unit = {
+      val q = curate(spark.readStream.schema(schema).parquet(srcDir))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination()
+    }
+    epoch1.toDF("doc_id", "text", "source").write.mode("append").parquet(srcDir)
+    runOnce()
+    val after1 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().sorted.toSeq
+    val batch1 = curate(epoch1.toDF("doc_id", "text", "source"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after1 == batch1 && batch1.nonEmpty)
+    epoch2.toDF("doc_id", "text", "source").write.mode("append").parquet(srcDir)
+    runOnce()
+    val after2 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().sorted.toSeq
+    val batchAll = curate((epoch1 ++ epoch2).toDF("doc_id", "text", "source"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // exactly-once across incarnations: epoch-1 members appear ONCE (the
+    // sorted-seq equality fails on any duplicate), epoch-2 members arrive
+    assert(after2 == batchAll, s"incremental run diverged: $after2 vs $batchAll")
+    assert(after2.exists(_ > 40L), "epoch-2 docs must be picked up")
+    assert(after2.size > after1.size)
+  }
+
   test("stateless curation stages (quality filter + corpus mix) run unchanged on a stream") {
     // CorpusMix and the quality filter are stateless narrow transforms —
     // the SAME DataFrame => DataFrame definition must serve readStream
