@@ -72,6 +72,57 @@ object TextProfile {
    * duplicated" exactly when its whole text recurs, which is the right
    * degenerate reading.
    */
+  /**
+   * CCNet-style statistical quality scoring: per document, the MEAN
+   * UNIGRAM SURPRISAL −(1/len)·Σ ln p(token) under the corpus's own MLE
+   * unigram model p(t) = c(t)/N — the cheap, training-free stand-in for
+   * KenLM perplexity filtering (CCNet buckets docs into head/middle/tail
+   * on exactly this kind of score: very LOW surprisal = repetitive
+   * boilerplate, very HIGH = garbled/OOV-heavy text; curation keeps the
+   * middle).
+   *
+   * Determinism is engineered the repo's standard way: every AGGREGATE is
+   * integer (per-doc term counts k, corpus counts c, total N — all
+   * order-independent), and the only double arithmetic is the final
+   * per-doc fold, which runs over the doc's term list SORTED by token —
+   * `sort_array` then a left fold, so the addition order is a pure
+   * function of the data and DuckDB replays it term-for-term
+   * (`list_sort` + `list_reduce`). A plain SUM of per-term doubles would
+   * be partition-order nondeterministic — the same trap the BM25 row
+   * avoids with its fixed three-term expression; here the term count is
+   * unbounded so the sorted fold is the general form of that trick.
+   *
+   * Scale shape: one token explode feeds (a) the vocabulary count (group
+   * by token — vocabulary-sized, partial-agg), (b) the 1-row corpus
+   * total (broadcast, the BM25-constants pattern), (c) per-(doc, token)
+   * counts joined to the vocabulary on the token — an equi-join whose
+   * fanout per key is the token's document frequency. The per-doc
+   * `collect_list` is bounded by the doc's DISTINCT-token count, and the
+   * fold lambda is the one deliberate HOF in a wired plan outside the
+   * dedup/ANN no-lambda pin: it exists solely to fix the double-addition
+   * order, runs over the bounded distinct-term list (≪ doc length), and
+   * has no native equivalent short of a custom Expression.
+   */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val corpus = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    val perDoc = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("k"))
+      .join(corpus, "t")
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("t"), col("k"), col("c")))).as("ts"),
+        sum("k").as("n_tokens"))
+    perDoc.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"),
+        (aggregate(col("ts"), lit(0.0d), (acc, s) =>
+          acc + s.getField("k").cast("double") *
+            log(col("n_total").cast("double") / s.getField("c").cast("double")))
+          / col("n_tokens").cast("double")).as("surprisal"))
+  }
+
   def corpusDupSpans(docs: DataFrame, k: Int): DataFrame = {
     val postings = Caches.persistTracked(
       docs.select(col("doc_id"),

@@ -629,6 +629,39 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet-style statistical quality score: per-doc mean unigram
+    // surprisal under the corpus's OWN MLE unigram model — the
+    // training-free stand-in for KenLM perplexity bucketing (head/middle/
+    // tail). Integer aggregates everywhere; the one double fold runs over
+    // the doc's term list SORTED by token, so the addition order is a
+    // pure function of the data and the oracle replays it term-for-term
+    // (list_sort + list_reduce, seed prepended — identical left fold).
+    QueryDef.of("lm_surprisal",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |), corpus AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+        |dt AS (
+        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS k FROM toks GROUP BY doc_id, t
+        |), terms AS (
+        |  SELECT d.doc_id,
+        |    list_sort(list(struct_pack(t := d.t, k := d.k, c := c.c))) AS ts,
+        |    CAST(sum(d.k) AS BIGINT) AS n_tokens
+        |  FROM dt d JOIN corpus c ON d.t = c.t GROUP BY d.doc_id
+        |)
+        |SELECT doc_id, n_tokens,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ts,
+        |    s -> CAST(s.k AS DOUBLE) * ln(CAST(n_total AS DOUBLE) / CAST(s.c AS DOUBLE)))),
+        |    (a, x) -> a + x) / CAST(n_tokens AS DOUBLE) AS surprisal
+        |FROM terms CROSS JOIN tot
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextProfile.unigramSurprisal(
+          Tables.documents(s, dir).select("doc_id", "text"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.of("text_stats",
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS BIGINT) AS n_tokens,

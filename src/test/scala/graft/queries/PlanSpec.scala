@@ -197,10 +197,12 @@ class PlanSpec extends SparkSpecBase {
     //  - hybrid_search: the broadcast of ONE query vector against the
     //    corpus (the ann_topk class, with |queries| = 1);
     //  - term_search_bm25: the broadcast of the 1-row corpus-constants
-    //    frame (N, avgdl, per-term df) against the scored docs.
+    //    frame (N, avgdl, per-term df) against the scored docs;
+    //  - lm_surprisal: the broadcast of the 1-row corpus-total frame
+    //    (N) against the per-doc term lists (same pattern).
     val allowedProduct =
       Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search",
-        "term_search_bm25")
+        "term_search_bm25", "lm_surprisal")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
