@@ -72,6 +72,21 @@ object TextProfile {
    * duplicated" exactly when its whole text recurs, which is the right
    * degenerate reading.
    */
+  def corpusDupSpans(docs: DataFrame, k: Int): DataFrame = {
+    val postings = Caches.persistTracked(
+      docs.select(col("doc_id"),
+        explode(array_distinct(shingleHashes(col("text"), k))).as("h")))
+    val freq = postings.groupBy("h").agg(count(lit(1)).as("nd"))
+    val dup = postings.join(freq.filter(col("nd") >= 2), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    postings.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") /
+          col("n_spans").cast("double")).as("dup_frac"))
+  }
+
   /**
    * CCNet-style statistical quality scoring: per document, the MEAN
    * UNIGRAM SURPRISAL −(1/len)·Σ ln p(token) under the corpus's own MLE
@@ -92,23 +107,25 @@ object TextProfile {
    * avoids with its fixed three-term expression; here the term count is
    * unbounded so the sorted fold is the general form of that trick.
    *
-   * Scale shape: one token explode feeds (a) the vocabulary count (group
-   * by token — vocabulary-sized, partial-agg), (b) the 1-row corpus
-   * total (broadcast, the BM25-constants pattern), (c) per-(doc, token)
-   * counts joined to the vocabulary on the token — an equi-join whose
-   * fanout per key is the token's document frequency. The per-doc
-   * `collect_list` is bounded by the doc's DISTINCT-token count, and the
-   * fold lambda is the one deliberate HOF in a wired plan outside the
-   * dedup/ANN no-lambda pin: it exists solely to fix the double-addition
-   * order, runs over the bounded distinct-term list (≪ doc length), and
-   * has no native equivalent short of a custom Expression.
+   * Scale shape: ONE tokenize-and-explode pass, persisted through
+   * [[Caches.persistTracked]] (caller contract: materialize, then
+   * `Caches.releaseAll()` — the corpusDupSpans pattern), feeds both the
+   * vocabulary count (group by token — vocabulary-sized, partial-agg)
+   * and the per-(doc, token) counts; the 1-row corpus total is derived
+   * from the vocabulary counts (`sum(c)` — no third pass) and broadcast
+   * (the BM25-constants pattern). The per-doc `collect_list` is bounded
+   * by the doc's DISTINCT-token count, and the fold lambda is the one
+   * deliberate HOF in a wired plan outside the dedup/ANN no-lambda pin:
+   * it exists solely to fix the double-addition order, runs over the
+   * bounded distinct-term list (≪ doc length), and has no native
+   * equivalent short of a custom Expression.
    */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = Caches.persistTracked(docs
       .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t")))
     val corpus = toks.groupBy("t").agg(count(lit(1)).as("c"))
-    val tot = toks.agg(count(lit(1)).as("n_total"))
+    val tot = corpus.agg(sum("c").as("n_total"))
     val perDoc = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("k"))
       .join(corpus, "t")
       .groupBy("doc_id")
@@ -121,20 +138,5 @@ object TextProfile {
           acc + s.getField("k").cast("double") *
             log(col("n_total").cast("double") / s.getField("c").cast("double")))
           / col("n_tokens").cast("double")).as("surprisal"))
-  }
-
-  def corpusDupSpans(docs: DataFrame, k: Int): DataFrame = {
-    val postings = Caches.persistTracked(
-      docs.select(col("doc_id"),
-        explode(array_distinct(shingleHashes(col("text"), k))).as("h")))
-    val freq = postings.groupBy("h").agg(count(lit(1)).as("nd"))
-    val dup = postings.join(freq.filter(col("nd") >= 2), "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-    postings.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-      .join(dup, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_spans"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        (coalesce(col("n_dup"), lit(0L)).cast("double") /
-          col("n_spans").cast("double")).as("dup_frac"))
   }
 }

@@ -65,9 +65,14 @@ object Layout {
    * and drop the helper column before handing back to `.write`.
    */
   def zordered(df: DataFrame, zCols: Seq[Column], nFiles: Int,
-      bits: Int = 16): DataFrame =
+      bits: Int = 16): DataFrame = {
+    // fail loudly instead of silently overwriting-then-dropping a user
+    // column that happens to share the helper's name
+    require(!df.columns.contains("__zkey"),
+      "input already has a __zkey column — rename it before zordered()")
     df.withColumn("__zkey", zorderKey(zCols, bits))
       .repartitionByRange(nFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
+  }
 }

@@ -86,6 +86,13 @@ class PersistHygieneSpec extends SparkSpecBase {
     assertAllReleased("corpusDupSpans")
   }
 
+  test("unigramSurprisal releases everything after releaseAll") {
+    clean()
+    TextProfile.unigramSurprisal(docs)
+      .write.format("noop").mode("overwrite").save()
+    assertAllReleased("unigramSurprisal")
+  }
+
   test("embeddingNearDupLsh releases everything after releaseAll") {
     clean()
     val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
