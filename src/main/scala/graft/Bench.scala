@@ -344,6 +344,12 @@ object Bench {
       ("ann_brute_100x", false, true, () =>
         Similarity.bruteForceTopK(annQ, emb100, k = 5)),
       ("ann_lsh_100x", false, true, () => lshPlan()),
+      // Hamming-1 multi-probe at the same operating point: the recall
+      // recovery's COST side (query-side ×(bits+1) probe expansion, corpus
+      // untouched) measured against the exact-bucket case above
+      ("ann_lsh_mp_100x", false, true, () =>
+        Similarity.lshTopK(annQ, emb100, k = 5, nBits = 32, bands = 4,
+          hammingProbes = 1)),
       ("ann_ivf_build_100x", false, true, () => {
         ivfIndex = Similarity.buildIvfIndex(emb100, nCells = 64)
         ivfIndex.assigned // the write below materializes the assignment
@@ -465,7 +471,10 @@ object Bench {
           None
         }
       val out = recallOf("lsh",
-          () => Similarity.lshTopK(qHard, embHard, k = 5, nBits = 32, bands = 4)).toSeq ++ {
+          () => Similarity.lshTopK(qHard, embHard, k = 5, nBits = 32, bands = 4)).toSeq ++
+        recallOf("lsh_mp",
+          () => Similarity.lshTopK(qHard, embHard, k = 5, nBits = 32, bands = 4,
+            hammingProbes = 1)).toSeq ++ {
         val idx16 = Similarity.buildIvfIndex(embHard, nCells = 16)
         val r16 = recallOf("ivf",
           () => Similarity.ivfTopK(qHard, idx16, k = 5, nProbe = 4)).toSeq

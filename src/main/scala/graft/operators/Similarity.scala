@@ -68,16 +68,39 @@ object Similarity {
    * band value (multi-probe across bands), then exact cosine rescoring and
    * per-query top-k. Recall grows with bands; cost per query is the mean
    * bucket occupancy × bands instead of N.
+   *
+   * `hammingProbes = 1` turns on MULTI-PROBE in the Lv et al. sense: each
+   * query additionally probes, per band, every bucket at Hamming distance 1
+   * from its own band value (flip each of the band's `bits` bits). A true
+   * neighbor that agrees on all-but-one hyperplane of a band — the dominant
+   * miss mode for graded-similarity neighbors, measured recall 0.65 on the
+   * hard corpus at exact-bucket probing — is recovered without touching the
+   * CORPUS side at all: the expansion is query-side only (×(bits+1) rows on
+   * the already-tiny broadcast batch), the corpus is hashed, bucketed, and
+   * scanned exactly once either way, and per-query cost stays
+   * bucket-occupancy × bands × (bits+1) — still no Q·N product. Per-band
+   * collision probability rises from p^b to p^b + b·p^(b−1)(1−p); at the
+   * hard corpus's p ≈ 0.8, b = 8 that is 0.17 → 0.50 per band, ~0.94 over
+   * 4 bands. Duplicate meetings across probes collapse in the
+   * distinct-neighbor TopK exactly as duplicate band meetings always did.
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nBits: Int = 16,
-      bands: Int = 4, seed: Long = 42L, dim: Int = 64): DataFrame = {
+      bands: Int = 4, seed: Long = 42L, dim: Int = 64,
+      hammingProbes: Int = 0): DataFrame = {
+    require(hammingProbes >= 0 && hammingProbes <= 1,
+      s"hammingProbes must be 0 (exact bucket) or 1 (Hamming-1 multi-probe), got $hammingProbes")
     val bits = nBits / bands
     def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
           VectorFunctions.hyperplaneSignature(col("embedding"), nBits, seed, dim).as("sig"))
         .select(col(idAs), col(embAs),
           VectorFunctions.lshBands(col("sig"), bands, bits).as(Seq("band", "band_val")))
-    val q = banded(queries, "query_id", "q_emb")
+    val q0 = banded(queries, "query_id", "q_emb")
+    val q =
+      if (hammingProbes == 0) q0
+      else q0.withColumn("band_val",
+        explode(array(col("band_val") +: (0 until bits).map(i =>
+          col("band_val").bitwiseXOR(lit(1L << i))): _*)))
     val c = banded(corpus, "neighbor_id", "c_emb")
     // the query batch is small by construction (same contract as
     // bruteForceTopK): BROADCAST it, or Catalyst — blind to the filter

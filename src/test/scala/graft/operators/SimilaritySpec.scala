@@ -57,6 +57,37 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("multi-probe LSH: candidate pool is a superset — recall never drops, scores stay exact") {
+    // hammingProbes=1 probes every band bucket at Hamming distance <= 1, so
+    // every exact-bucket meeting still happens: per query, the multi-probe
+    // result's recall vs brute force must be >= the exact-bucket result's.
+    // Scores remain exact cosines (probing changes WHICH pairs are scored,
+    // never HOW), so any (query, neighbor) present in both carries the
+    // same cos_sim.
+    val q = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(q, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def pairsAndScores(hp: Int) = {
+      val rows = Similarity.lshTopK(q, emb, k = 5, nBits = 16, bands = 4,
+        hammingProbes = hp).collect()
+      (rows.map(r => (r.getLong(0), r.getLong(2))).toSet,
+        rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap)
+    }
+    val (exactPairs, exactScores) = pairsAndScores(0)
+    val (mpPairs, mpScores) = pairsAndScores(1)
+    assert((mpPairs & truth).size >= (exactPairs & truth).size,
+      s"multi-probe recall dropped: ${(mpPairs & truth).size} < ${(exactPairs & truth).size}")
+    for (p <- exactPairs & mpPairs)
+      assert(exactScores(p) == mpScores(p), s"score changed for $p")
+    // and the planted-copy guarantee is unchanged: a duplicate vector's
+    // bucket is its own bucket under any probe radius
+    val self = emb.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 7000L).as("vec_id"), col("embedding"))
+    val out = Similarity.lshTopK(self, emb, k = 1, nBits = 16, bands = 8,
+      hammingProbes = 1).collect()
+    assert(out.head.getLong(2) == 1L && out.head.getDouble(3) == 1.0)
+  }
+
   test("zero-norm embeddings in the corpus are skipped, not a crash") {
     val zero = Seq((9999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
     val corpus = emb.unionAll(zero)
