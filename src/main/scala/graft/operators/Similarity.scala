@@ -110,8 +110,8 @@ object Similarity {
     // distinct-neighbor TopKAggregator collapses them, so no pair-dedup
     // shuffle: candidates stream from this broadcast join straight into
     // partial aggregation (a dropDuplicates here measured ~400 MB of
-    // embedding-carrying shuffle at a 500k corpus; duplicate rescoring is
-    // map-local and cheaper than shipping the pairs).
+    // embedding-carrying shuffle at a 200k-vector stress corpus; duplicate
+    // rescoring is map-local and cheaper than shipping the pairs).
     rescoreTopK(c.join(broadcast(q), Seq("band", "band_val")), k)
   }
 
