@@ -30,6 +30,7 @@ import org.apache.spark.sql.Dataset
  */
 object Caches {
   private val tracked = new ConcurrentLinkedQueue[Dataset[_]]()
+  private val indexTracked = new ConcurrentLinkedQueue[Dataset[_]]()
 
   /** Persist `ds` (Spark's default MEMORY_AND_DISK) and register it for the
     * next [[releaseAll]]. Internal: operators call this instead of a bare
@@ -39,6 +40,64 @@ object Caches {
     tracked.add(ds)
     ds
   }
+
+  /** Persist `ds` into the INDEX registry: caches whose lifetime is an
+    * index object's (IVF assignments), which must SURVIVE the per-query
+    * [[releaseAll]] drain — an ANN service probes one materialized
+    * assignment across many query batches, each of which legitimately
+    * drains the per-query registry. Tracked separately so (a) a leak in
+    * the index lifecycle is still visible to hygiene tests via
+    * [[trackedIndexCount]]/[[releaseAllIndexes]] instead of silently
+    * bypassing all tracking (the round-8 state: three bare `.persist()`
+    * calls invisible to PersistHygieneSpec), and (b) `releaseAll` can
+    * keep its contract of never touching caches the caller still owns. */
+  private[graft] def persistIndex[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist()
+    trackIndex(ds)
+  }
+
+  /** Register an ALREADY-persisted dataset (e.g. `localCheckpoint`, which
+    * persists internally) in the index registry without re-persisting. */
+  private[graft] def trackIndex[T](ds: Dataset[T]): Dataset[T] = {
+    indexTracked.add(ds)
+    ds
+  }
+
+  /** CacheManager unpersist PLUS any `localCheckpoint` backing RDDs in the
+    * plan — `Dataset.unpersist()` alone cannot release a checkpoint's
+    * BlockManager cache (it only talks to the CacheManager), so a
+    * lineage-truncated index generation would otherwise leak its blocks. */
+  private def unpersistDeep(ds: Dataset[_], blocking: Boolean): Unit = {
+    ds.unpersist(blocking)
+    org.apache.spark.sql.graftbridge.DatasetBridge.checkpointBackingRdds(ds)
+      .foreach(_.unpersist(blocking))
+  }
+
+  /** Unpersist one index-registry cache and drop its registry entry.
+    * No-op (returns false) if `ds` was not index-tracked. */
+  private[graft] def releaseIndex(ds: Dataset[_],
+      blocking: Boolean = false): Boolean = {
+    val present = indexTracked.remove(ds)
+    if (present) unpersistDeep(ds, blocking)
+    present
+  }
+
+  /** Unpersist every index-registry cache — test/shutdown hook; returns
+    * how many were released. Production callers release per-index via
+    * `IvfIndex.release()`. */
+  def releaseAllIndexes(blocking: Boolean = false): Int = {
+    var n = 0
+    var ds = indexTracked.poll()
+    while (ds != null) {
+      unpersistDeep(ds, blocking)
+      n += 1
+      ds = indexTracked.poll()
+    }
+    n
+  }
+
+  /** Number of currently tracked index-lifetime caches — test hook. */
+  def trackedIndexCount: Int = indexTracked.size()
 
   /** Unpersist every tracked dataset; returns how many were released.
     * Thread-safe; entries are drained, so a second call is a no-op. */

@@ -121,9 +121,22 @@ object Similarity {
    * `assigned` is persisted so many query batches probe ONE materialized
    * assignment (the build-once/probe-many contract a 100 TB ANN service
    * needs; the assignment is a single narrow scan, never refit per query).
-   * Release with `assigned.unpersist()` when done.
+   *
+   * The assignment cache lives in [[Caches]]' INDEX registry — deliberately
+   * outside the per-query registry `releaseAll()` drains, because the index
+   * must survive any number of query-batch drains, but still tracked so the
+   * hygiene suite can prove the whole build → save → load → append →
+   * release lifecycle leaks nothing. Release with [[release]] when done.
+   *
+   * `appends` counts [[appendToIvfIndex]] generations since the last
+   * lineage truncation (see there).
    */
-  final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame)
+  final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame,
+      appends: Int = 0) {
+    /** Unpersist the assignment and drop its index-registry entry. */
+    def release(blocking: Boolean = false): Unit =
+      Caches.releaseIndex(assigned, blocking)
+  }
 
   /**
    * Fit the IVF coarse quantizer and assign the corpus to cells.
@@ -185,10 +198,9 @@ object Similarity {
       iter += 1
     }
     val cSeq: Seq[Seq[Double]] = centroids.map(_.toSeq).toSeq
-    val assigned = corpus
+    val assigned = Caches.persistIndex(corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-        element_at(nearestCells(col("embedding"), cSeq, 1), 1).as("cell"))
-      .persist()
+        element_at(nearestCells(col("embedding"), cSeq, 1), 1).as("cell")))
     IvfIndex(cSeq, assigned)
   }
 
@@ -256,7 +268,7 @@ object Similarity {
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("centroid"))).toSeq
     require(centroids.nonEmpty, s"loadIvfIndex: no centroids at $path")
-    val assigned = spark.read.parquet(path + "/assignment").persist()
+    val assigned = Caches.persistIndex(spark.read.parquet(path + "/assignment"))
     IvfIndex(centroids, assigned)
   }
 
@@ -281,13 +293,57 @@ object Similarity {
    *
    * Returns a NEW index whose assignment is the persisted union; the input
    * index's cached assignment is untouched (callers holding only the new
-   * index should `old.assigned.unpersist()` once the append is
-   * materialized).
+   * index should `old.release()` once the append is materialized).
+   *
+   * LINEAGE CAP: each append layers one more `unionAll` over the previous
+   * assignment's plan, and once the caller releases the old generation's
+   * cache (as advised above), a cache eviction on the new index would
+   * re-run the WHOLE append chain's lineage — unbounded plan depth under
+   * the daily-ingest usage this exists for. So every `checkpointEvery`-th
+   * append (default 8) materializes the union through `localCheckpoint`
+   * (eager, lineage-truncating, executor-local — no HDFS-style checkpoint
+   * dir needed) instead of a plain persist: recovery cost after that is
+   * one checkpoint read, never a replay of N append generations. Callers
+   * that prefer durable truncation can [[saveIvfIndex]]/[[loadIvfIndex]]
+   * round-trip at their own cadence instead; the counter restarts either
+   * way (`appends` resets on truncation).
    */
-  def appendToIvfIndex(index: IvfIndex, newVectors: DataFrame): IvfIndex = {
+  def appendToIvfIndex(index: IvfIndex, newVectors: DataFrame,
+      checkpointEvery: Int = 8): IvfIndex = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be ≥ 1, got $checkpointEvery")
     val newAssigned = newVectors
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         element_at(nearestCells(col("embedding"), index.centroids, 1), 1).as("cell"))
-    IvfIndex(index.centroids, index.assigned.unionAll(newAssigned).persist())
+    val union = index.assigned.unionAll(newAssigned)
+    if (index.appends + 1 >= checkpointEvery)
+      // localCheckpoint persists internally — register without re-persisting
+      IvfIndex(index.centroids, Caches.trackIndex(union.localCheckpoint()), 0)
+    else
+      IvfIndex(index.centroids, Caches.persistIndex(union), index.appends + 1)
+  }
+
+  /**
+   * DRIFT SIGNAL for an appended index: appends assign to FIXED centroids
+   * (never refit), so a drifting ingest distribution unbalances cells
+   * silently — probe cost degrades gracefully (more candidates in the fat
+   * cells), never incorrectly. This makes the degradation observable:
+   * per-cell occupancy counts (one partial-aggregated `groupBy("cell")` —
+   * ≤ nCells result rows, safe to collect at any corpus size) plus the
+   * max/median occupancy ratio as a scalar rebuild trigger. A freshly
+   * fitted quantizer on typical data sits near ~1-3×; a ratio drifting
+   * past ~4× means the fattest cell does 4× the probe work the quantizer
+   * was fitted for — time to [[buildIvfIndex]] over the union (one refit +
+   * one assignment scan, the same cost a fresh build always was).
+   */
+  def ivfCellOccupancy(index: IvfIndex): DataFrame =
+    index.assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /** Max/median cell-occupancy ratio of [[ivfCellOccupancy]] — ≥ 1.0, or
+    * 0.0 for an empty assignment. See the rebuild-trigger guidance above. */
+  def ivfImbalance(index: IvfIndex): Double = {
+    val counts = ivfCellOccupancy(index).select(col("n"))
+      .collect().map(_.getLong(0)).sorted
+    if (counts.isEmpty) 0.0
+    else counts.last.toDouble / counts(counts.length / 2).toDouble
   }
 }

@@ -116,6 +116,41 @@ class PersistHygieneSpec extends SparkSpecBase {
     assertAllReleased("duplicateClusters")
   }
 
+  test("IVF lifecycle (build → save → load → append → checkpoint-append → release) leaks nothing") {
+    clean()
+    Caches.releaseAllIndexes(blocking = true)
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-hygiene").toString
+    try {
+      val built = Similarity.buildIvfIndex(emb, nCells = 4)
+      Similarity.saveIvfIndex(built, dir)
+      val loaded = Similarity.loadIvfIndex(spark, dir)
+      def batch(shift: Long) =
+        emb.select((col("vec_id") + lit(shift)).as("vec_id"), col("embedding"))
+      // checkpointEvery = 2 exercises BOTH append paths: a1 persists the
+      // union, a2 takes the localCheckpoint lineage-truncation path (whose
+      // backing RDD Dataset.unpersist alone cannot release)
+      val a1 = Similarity.appendToIvfIndex(loaded, batch(10000), checkpointEvery = 2)
+      val a2 = Similarity.appendToIvfIndex(a1, batch(20000), checkpointEvery = 2)
+      a2.assigned.write.format("noop").mode("overwrite").save()
+      // every IVF cache is INDEX-tracked: the per-query registry stays
+      // empty (an index must survive per-query releaseAll drains) …
+      assert(Caches.trackedCount == 0,
+        "IVF caches must not land in the per-query registry")
+      assert(Caches.trackedIndexCount == 4,
+        s"built/loaded/a1/a2 should be index-tracked, got ${Caches.trackedIndexCount}")
+      // … and a releaseAll() between query batches must NOT evict an index
+      Caches.releaseAll(blocking = true)
+      assert(Caches.trackedIndexCount == 4)
+      Seq(built, loaded, a1, a2).foreach(_.release(blocking = true))
+      assert(Caches.trackedIndexCount == 0)
+      assertAllReleased("IVF lifecycle")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("Caches.scoped releases on success AND on failure") {
     clean()
     Caches.scoped {

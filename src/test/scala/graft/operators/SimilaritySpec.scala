@@ -157,14 +157,78 @@ class SimilaritySpec extends SparkSpecBase {
         .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
       val out = Similarity.ivfTopK(selfQ, appended, k = 1, nProbe = 1).collect()
       assert(out.head.getLong(2) == 1L && out.head.getDouble(3) == 1.0)
-      built.assigned.unpersist()
-      appended.assigned.unpersist()
-      loaded.assigned.unpersist()
-      rebuilt.assigned.unpersist()
+      built.release()
+      appended.release()
+      loaded.release()
+      rebuilt.release()
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
+  }
+
+  test("appendToIvfIndex: checkpointEvery truncates lineage without changing results; counter resets") {
+    val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val built = Similarity.buildIvfIndex(base, nCells = 8)
+    // three appends at checkpointEvery = 2: generations go appends 1 →
+    // 0 (checkpoint) → 1, and the checkpointed generation's plan is an
+    // RDD leaf, not an N-deep unionAll chain
+    def batch(shift: Long) = emb.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+      .select((col("vec_id") + lit(shift)).as("vec_id"), col("embedding"))
+    val a1 = Similarity.appendToIvfIndex(built, batch(10000), checkpointEvery = 2)
+    val a2 = Similarity.appendToIvfIndex(a1, batch(20000), checkpointEvery = 2)
+    val a3 = Similarity.appendToIvfIndex(a2, batch(30000), checkpointEvery = 2)
+    assert(a1.appends == 1 && a2.appends == 0 && a3.appends == 1)
+    // the checkpointed generation reads an RDD leaf — lineage is truncated
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    assert(DatasetBridge.checkpointBackingRdds(a2.assigned).nonEmpty,
+      "generation 2 should be localCheckpoint-backed")
+    assert(DatasetBridge.checkpointBackingRdds(a1.assigned).isEmpty)
+    // results through the checkpointed chain ≡ a from-scratch rebuild over
+    // the same union at nProbe = nCells (both are brute force there)
+    val union = base.unionAll(batch(10000)).unionAll(batch(20000)).unionAll(batch(30000))
+    val rebuilt = Similarity.buildIvfIndex(union, nCells = 8)
+    val q = emb.filter(col("vec_id") < 5)
+    def probe(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopK(q, ix, k = 3, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(probe(a3) == probe(rebuilt))
+    val backingIds = DatasetBridge.checkpointBackingRdds(a2.assigned).map(_.id).toSet
+    assert(backingIds.nonEmpty)
+    Seq(built, a1, a2, a3, rebuilt).foreach(_.release(blocking = true))
+    // the suite-level emb cache stays; the checkpoint backing blocks must go
+    val left = spark.sparkContext.getPersistentRDDs.keySet
+    assert(backingIds.forall(id => !left.contains(id)),
+      "release() must also drop the localCheckpoint backing blocks")
+  }
+
+  test("ivfCellOccupancy / ivfImbalance: counts sum to corpus; skewed append raises the ratio") {
+    val built = Similarity.buildIvfIndex(emb, nCells = 8)
+    val occ = Similarity.ivfCellOccupancy(built).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(occ.values.sum == emb.count(), "every vector lands in exactly one cell")
+    assert(occ.keys.forall(c => c >= 0 && c < 8))
+    val balanced = Similarity.ivfImbalance(built)
+    assert(balanced >= 1.0)
+    // drift: append 2×|corpus| copies of vector 0's embedding — identical
+    // embeddings share a nearest centroid, so ALL land in one cell. That
+    // cell then holds ≥ 2Σ rows while the median cell holds ≤ Σ (no other
+    // cell grew), so the ratio is ≥ 2 by construction — a bound that holds
+    // for ANY base distribution, not just a well-balanced quantizer fit.
+    val n = emb.count()
+    val v0 = emb.filter(col("vec_id") === 0).select(col("embedding").as("e0"))
+    val clones = emb.select((col("vec_id") + lit(100000L)).as("vec_id"))
+      .unionAll(emb.select((col("vec_id") + lit(200000L)).as("vec_id")))
+      .crossJoin(v0).select(col("vec_id"), col("e0").as("embedding"))
+    val drifted = Similarity.appendToIvfIndex(built, clones)
+    val occ2 = Similarity.ivfCellOccupancy(drifted).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(occ2.values.sum == 3 * n, "append must add exactly the batch rows")
+    assert(occ2.values.max >= 2 * n, "all clones must land in one cell")
+    assert(Similarity.ivfImbalance(drifted) >= 2.0,
+      "a one-cell 2Σ append must push max/median to ≥ 2")
+    built.release(); drifted.release()
   }
 
   test("IvfIndex save/load round-trip: probe results identical") {
@@ -180,8 +244,8 @@ class SimilaritySpec extends SparkSpecBase {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
           .toSet
       assert(probe(loaded) == probe(built))
-      built.assigned.unpersist()
-      loaded.assigned.unpersist()
+      built.release()
+      loaded.release()
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
