@@ -518,8 +518,21 @@ object Dedup {
    * from the final labels before they are released (so no lineage walk can
    * ever re-run the loop) and registered with [[Caches]] — the caller
    * releases it via `Caches.releaseAll()` once consumed.
+   *
+   * `loopParts`: partition count for the loop's co-partitioned RDDs.
+   * 0 (default) auto-sizes from the pair count — one partition per ~50k
+   * pairs, capped at the session shuffle parallelism — which is the right
+   * call when the graph size is unknown (partitions sized to the GRAPH,
+   * not the corpus: only docs appearing in some pair carry rows here).
+   * A positive value PINS the partitioning and skips the sizing count()
+   * job entirely: callers whose pair-graph scale is known (the wired
+   * bench/oracle queries — a few thousand pairs at every driver SF) pin
+   * it so the loop's plan is byte-identical run-to-run instead of
+   * flipping partition counts with data drift, which makes benchmark
+   * medians comparable across rounds.
    */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25,
+      loopParts: Int = 0): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // Persist the input FIRST: the edge build reads it twice (both
@@ -534,13 +547,13 @@ object Dedup {
     // holding the previous run's loop state — measured as rep-over-rep
     // growth. Synchronous removal costs one RPC per release and buys a
     // clean heap at operator exit.
-    try duplicateClustersLoop(p, maxIter)
+    try duplicateClustersLoop(p, maxIter, loopParts)
     finally p.unpersist(blocking = true)
   }
 
   private def duplicateClustersLoop(
       p: org.apache.spark.sql.Dataset[(Long, Long)],
-      maxIter: Int): DataFrame = {
+      maxIter: Int, pinnedParts: Int): DataFrame = {
     val spark = p.sparkSession
     import spark.implicits._
     // The LOOP runs on RDDs, deliberately — the one place this engine
@@ -556,10 +569,15 @@ object Dedup {
     // appear in some pair carry rows here — usually orders of magnitude
     // smaller than the corpus — and the cap at the session setting keeps
     // full parallelism for genuinely huge pair graphs.
-    val nPairs = p.count()
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val loopParts = math.max(1L, math.min(sessionParts.toLong,
-      nPairs / 50000L + 1L)).toInt
+    // pinned: no sizing job, plan-stable partitioning (see scaladoc);
+    // auto: one bounded count() sizes partitions to the pair graph
+    val loopParts =
+      if (pinnedParts > 0) pinnedParts
+      else {
+        val nPairs = p.count()
+        val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        math.max(1L, math.min(sessionParts.toLong, nPairs / 50000L + 1L)).toInt
+      }
     val part = new org.apache.spark.HashPartitioner(loopParts)
     val edges = p.rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }

@@ -354,7 +354,12 @@ object LlmQueries {
       val pairs = Dedup.ngramJaccard(docs, k = 3, threshold = 0.5,
         maxShingleDf = 1000, hashShingles = true, prefixFilter = true)
         .select("doc_a", "doc_b")
-      val losers = Dedup.duplicateClusters(pairs)
+      // loopParts PINNED (= what auto sizing picks at every driver SF —
+      // the pair graph is a few thousand edges, far under one 50k-pair
+      // partition): the cluster loop's plan is byte-identical run-to-run
+      // and the auto path's pair-count sizing job is skipped. The 100 TB
+      // path keeps the default auto sizing.
+      val losers = Dedup.duplicateClusters(pairs, loopParts = 1)
         .filter(col("doc_id") =!= col("cluster"))
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id")
@@ -375,7 +380,8 @@ object LlmQueries {
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.minhashNgramJaccard(docs, k = 3, threshold = 0.5)
         .select("doc_a", "doc_b")
-      val losers = Dedup.duplicateClusters(pairs)
+      // loopParts pinned — see dedup_survivors' rationale
+      val losers = Dedup.duplicateClusters(pairs, loopParts = 1)
         .filter(col("doc_id") =!= col("cluster"))
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id")
@@ -398,7 +404,8 @@ object LlmQueries {
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.nearDupAuto(docs, k = 3, threshold = 0.5).pairs
         .select("doc_a", "doc_b")
-      val losers = Dedup.duplicateClusters(pairs)
+      // loopParts pinned — see dedup_survivors' rationale
+      val losers = Dedup.duplicateClusters(pairs, loopParts = 1)
         .filter(col("doc_id") =!= col("cluster"))
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id")
@@ -458,9 +465,16 @@ object LlmQueries {
     QueryDef.rowsOnly("ann_topk_lsh") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       // 8-bit bands (nBits=32/bands=4): each query scores ~bands·n/256
-      // candidates instead of flooding 2-bit buckets with the whole corpus
+      // candidates instead of flooding 2-bit buckets with the whole corpus.
+      // hammingProbes = 1 (Lv et al. multi-probe, query-side-only ×9
+      // expansion): hard-corpus recall@5 0.65 → 0.89 at LOWER measured
+      // cost than exact-bucket probing (stress ann_lsh_mp_100x 0.97 s vs
+      // ann_lsh_100x 1.27 s — the probe expansion rides the same broadcast
+      // and the corpus is hashed/scanned once either way), and
+      // SimilaritySpec's candidate-superset property proves recall can
+      // only go up.
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-          nBits = 32, bands = 4)
+          nBits = 32, bands = 4, hammingProbes = 1)
         .orderBy("query_id", "rank")
     },
 

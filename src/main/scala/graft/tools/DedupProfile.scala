@@ -37,19 +37,30 @@ object DedupProfile {
       // diverged once the bench's drain semantics changed)
       (1 to n).foreach { i =>
         val t0 = System.nanoTime()
+        // pairs PERSISTED before the pairs/loop split point: without it the
+        // loop half's first action (duplicateClusters' input persist) would
+        // re-execute the whole prefix-join pair detection INSIDE the loop
+        // timing (only ngramJaccard's tracked shingle intermediates are
+        // warm), over-charging exactly the stage this tool exists to
+        // localize. The noop write materializes the cache inside the pairs
+        // timing, where the detection cost belongs.
         val pairs = Dedup.ngramJaccard(docs, 3, 0.5, 1000,
           hashShingles = true, prefixFilter = true).select("doc_a", "doc_b")
-        pairs.write.format("noop").mode("overwrite").save()
-        val t1 = System.nanoTime()
-        val losers = Dedup.duplicateClusters(pairs)
-          .filter(col("doc_id") =!= col("cluster"))
-        val t2 = System.nanoTime()
-        docs.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
-          .write.format("noop").mode("overwrite").save()
-        val t3 = System.nanoTime()
-        println(f"[profile] rep $i pairs ${(t1 - t0) / 1e9}%.2f s " +
-          f"loop ${(t2 - t1) / 1e9}%.2f s survivors ${(t3 - t2) / 1e9}%.2f s " +
-          f"total ${(t3 - t0) / 1e9}%.2f s")
+          .persist()
+        try {
+          pairs.write.format("noop").mode("overwrite").save()
+          val t1 = System.nanoTime()
+          // loopParts = 1: mirror the wired dedup_survivors plan exactly
+          val losers = Dedup.duplicateClusters(pairs, loopParts = 1)
+            .filter(col("doc_id") =!= col("cluster"))
+          val t2 = System.nanoTime()
+          docs.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
+            .write.format("noop").mode("overwrite").save()
+          val t3 = System.nanoTime()
+          println(f"[profile] rep $i pairs ${(t1 - t0) / 1e9}%.2f s " +
+            f"loop ${(t2 - t1) / 1e9}%.2f s survivors ${(t3 - t2) / 1e9}%.2f s " +
+            f"total ${(t3 - t0) / 1e9}%.2f s")
+        } finally pairs.unpersist(blocking = true)
         graft.Bench.drain(spark)
       }
       spark.stop()
