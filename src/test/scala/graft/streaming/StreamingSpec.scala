@@ -426,6 +426,7 @@ class StreamingSpec extends SparkSpecBase {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_ingest_src_").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_out_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt_").toString
+    try {
     def mkDocs(ids: Range) = ids.map { i =>
       (i.toLong, s"document number $i carries several distinct words $i", s"src${i % 3}")
     }
@@ -463,6 +464,13 @@ class StreamingSpec extends SparkSpecBase {
     assert(after2 == batchAll, s"incremental run diverged: $after2 vs $batchAll")
     assert(after2.exists(_ > 40L), "epoch-2 docs must be picked up")
     assert(after2.size > after1.size)
+    } finally {
+      // the sibling IVF tests' cleanup pattern: repeated suite runs must
+      // not accumulate parquet/checkpoint debris in tmp
+      import scala.reflect.io.Directory
+      Seq(srcDir, outDir, ckpt).foreach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
   }
 
   test("stateless curation stages (quality filter + corpus mix) run unchanged on a stream") {
