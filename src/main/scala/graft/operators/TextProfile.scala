@@ -139,4 +139,74 @@ object TextProfile {
             log(col("n_total").cast("double") / s.getField("c").cast("double")))
           / col("n_tokens").cast("double")).as("surprisal"))
   }
+
+  /**
+   * ITERATIVE BPE vocabulary induction (Sennrich et al., "Neural Machine
+   * Translation of Rare Words with Subword Units") — the full merge loop
+   * that `bpe_pairs` is step one of. Runs `k` merge steps; each step
+   * counts adjacent symbol pairs over the corpus token stream, merges the
+   * most frequent pair everywhere (ties broken by (lhs, rhs) string
+   * order, making every step — and therefore the whole merge table —
+   * deterministic), and repeats on the merged segmentation. Returns the
+   * merge table: (step, lhs, rhs, n) — the induced vocabulary, in merge
+   * order.
+   *
+   * Representation: a word's segmentation is its symbols joined by U+001F
+   * (unit separator — outside every corpus charset; asserted nowhere
+   * because a violation only mis-segments that word, never crashes).
+   * Applying a merge is then one native `replace(seg, lhs␟rhs, lhsrhs)` —
+   * left-to-right non-overlapping replacement, which is EXACTLY BPE's
+   * greedy merge semantics ("aaa" + merge(a,a) → [aa, a]) and is
+   * identical in Spark (`UTF8String.replace`) and DuckDB, so the oracle
+   * replays the whole loop op-for-op.
+   *
+   * Scale shape: the working set is the DISTINCT-word table with counts
+   * (Zipf-bounded — millions of rows at 100 TB, not trillions), persisted
+   * once through [[Caches.persistTracked]]; each step's pair count is a
+   * partial-aggregated groupBy over a pair domain bounded by the observed
+   * symbol alphabet squared, and only the single argmax row is ever
+   * collected (the bounded-eager pattern of `nearDupAuto`). Step i
+   * re-derives segmentations by chaining i native `replace` calls over
+   * the cached words — k² string work for k merges, the standard
+   * trade-off against materializing a new corpus-wide state table per
+   * step (which would cost k persists + k lineage cuts for the same k
+   * scans at the k ≤ tens this targets).
+   */
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"bpeMerges: k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val SEP = "\u001F"
+    val words = Caches.persistTracked(docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt")))
+    // initial segmentation: one symbol per character ("abc" → "a␟b␟c")
+    val seg0 = rtrim(regexp_replace(col("w"), "(.)", "$1" + SEP), SEP)
+    var seg = seg0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val best = words
+        .select(col("cnt"), split(seg, SEP).as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("cnt"), col("sy"),
+          explode(sequence(lit(1), size(col("sy")) - 1)).as("i"))
+        .select(element_at(col("sy"), col("i")).as("lhs"),
+          element_at(col("sy"), col("i") + 1).as("rhs"), col("cnt"))
+        .groupBy("lhs", "rhs").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val r = best.head
+        val (lhs, rhs) = (r.getString(0), r.getString(1))
+        merges += ((step, lhs, rhs, r.getLong(2)))
+        seg = replace(seg, lit(lhs + SEP + rhs), lit(lhs + rhs))
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "n")
+  }
 }

@@ -231,6 +231,42 @@ object LlmQueries {
       |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Oracle for `bpe_merges`: replays TextProfile.bpeMerges' k-step loop
+    * as a k-level CTE chain — seg{i} applies level i's argmax merge (the
+    * scalar subqueries) to seg{i-1} with the SAME left-to-right `replace`
+    * semantics, so segmentation strings, per-level pair counts, and the
+    * tie-broken argmax all match the engine exactly. chr(31) = the U+001F
+    * symbol separator (outside the corpus charset). */
+  private def bpeMergesOracle(k: Int): String = {
+    val head =
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |), w AS (
+        |  SELECT t AS w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY t
+        |), seg0 AS (
+        |  SELECT rtrim(regexp_replace(w, '(.)', '\1' || chr(31), 'g'), chr(31)) AS seg, cnt FROM w
+        |)""".stripMargin
+    val levels = (1 to k).map { i =>
+      s""", p$i AS (
+         |  SELECT sy[i] AS lhs, sy[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT string_split(seg, chr(31)) AS sy, cnt,
+         |               unnest(generate_series(1, len(string_split(seg, chr(31))) - 1)) AS i
+         |        FROM seg${i - 1} WHERE len(string_split(seg, chr(31))) >= 2)
+         |  GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT $i AS step, lhs, rhs, n FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1
+         |), seg$i AS (
+         |  SELECT replace(seg, (SELECT lhs || chr(31) || rhs FROM b$i),
+         |                      (SELECT lhs || rhs FROM b$i)) AS seg, cnt
+         |  FROM seg${i - 1}
+         |)""".stripMargin
+    }.mkString
+    val union = (1 to k).map(i => s"SELECT step, lhs, rhs, n FROM b$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+    head + levels + union
+  }
+
   /** Shared oracle for both exact-dedup variants: their contract is the
     * same — grouping by content IS grouping by text. */
   private val exactDedupOracle: String =
@@ -758,6 +794,21 @@ object LlmQueries {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    },
+
+    // ITERATIVE BPE merges — the full Sennrich et al. vocabulary-induction
+    // loop (bpe_pairs is its step 1): 6 merge steps, each counting adjacent
+    // symbol pairs over the distinct-word table, merging the argmax pair
+    // (ties by (lhs, rhs) string order — every step deterministic) and
+    // re-segmenting via native left-to-right `replace` (= BPE's greedy
+    // merge). All-integer counts + deterministic tie-breaks, so the oracle
+    // replays the WHOLE loop op-for-op as a 6-level CTE chain: same
+    // segmentation strings, same argmax per level, same merge table.
+    // Scale shape in TextProfile.bpeMerges' scaladoc (Zipf-bounded word
+    // table, partial-agg pair counts, 1-row argmax collects).
+    QueryDef.of("bpe_merges", bpeMergesOracle(6)) { (s, dir) =>
+      graft.operators.TextProfile.bpeMerges(Tables.documents(s, dir), k = 6)
+        .orderBy("step")
     },
 
     // Composite quality score per document — oracle mirrors the exact

@@ -666,6 +666,54 @@ object StarQueries {
         .orderBy("l_returnflag")
     },
 
+    // EXACT per-group percentiles — the sketch's exact sibling (the
+    // heavy_hitters pattern applied to quantile_sketch). l_quantity has a
+    // BOUNDED integer domain (1..50), so the exact distribution is a
+    // (flag, value) histogram: partial-aggregated, at most
+    // |flags| × |domain| rows leave the map side at ANY corpus size, and
+    // the percentiles read off the cumulative histogram with the same
+    // discrete nearest-rank definition the sketch uses
+    // (rank = ((n−1)·num) DIV den + 1 over the sorted population, value =
+    // first histogram bin whose cumulative count reaches the rank). The
+    // per-flag window runs over the AGGREGATED histogram (≤ 50 rows per
+    // flag), never the raw table — exact percentiles with no per-key sort
+    // of the data, the 100 TB shape for bounded-domain columns; the
+    // sketch remains the path for unbounded domains (l_extendedprice).
+    // All-integer, so the oracle replays it exactly; SketchSpec certifies
+    // the sketch's estimates against this in-engine exact point.
+    QueryDef.of("quantile_exact",
+      """WITH h AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), e AS (
+        |  SELECT flag, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM h
+        |)
+        |SELECT flag AS l_returnflag, max(n) AS n_rows,
+        |  min(CASE WHEN cum >= ((n - 1) * 1) // 2 + 1 THEN v END) AS p50,
+        |  min(CASE WHEN cum >= ((n - 1) * 9) // 10 + 1 THEN v END) AS p90,
+        |  min(CASE WHEN cum >= ((n - 1) * 99) // 100 + 1 THEN v END) AS p99
+        |FROM e GROUP BY flag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val hist = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("v"))
+        .groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
+      val e = hist
+        .withColumn("cum",
+          sum("cnt").over(Window.partitionBy("flag").orderBy("v")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("flag")))
+      e.groupBy(col("flag").as("l_returnflag"))
+        .agg(max("n").as("n_rows"),
+          min(when(col("cum") >= expr("((n - 1) * 1) DIV 2 + 1"), col("v"))).as("p50"),
+          min(when(col("cum") >= expr("((n - 1) * 9) DIV 10 + 1"), col("v"))).as("p90"),
+          min(when(col("cum") >= expr("((n - 1) * 99) DIV 100 + 1"), col("v"))).as("p99"))
+        .orderBy("l_returnflag")
+    },
+
     // Bloom-prefiltered semi join: lineitem rows whose part is size 5. The
     // dim keys aggregate into a 64 Kbit bitmap (one bounded job, 8 KB to
     // the driver), the fact scan probes it with a native codegen'd

@@ -118,4 +118,43 @@ class SketchSpec extends SparkSpecBase {
     assert(rankErr(got.p90, 0.9) < tol, s"p90=${got.p90}")
     assert(rankErr(got.p99, 0.99) < tol, s"p99=${got.p99}")
   }
+
+  test("quantileSketch vs the in-engine exact point (quantile_exact's histogram) on real data") {
+    // The sketch certified against the ENGINE's own exact percentiles, not
+    // only DuckDB: per returnflag, run the k=256 sketch over l_quantity
+    // and assert each estimate's TRUE cumulative rank (computed from the
+    // same bounded-domain histogram the quantile_exact row aggregates)
+    // sits within a generous sampling bound of its target. Deterministic:
+    // the hash sample is a pure function of the data.
+    import org.apache.spark.sql.functions.{col, concat_ws, count, lit}
+    import graft.functions.TextFunctions
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf0001)
+    val sk = li
+      .select(col("l_returnflag").as("flag"),
+        TextFunctions.fingerprint(
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))).as("hv"),
+        col("l_quantity").as("v"))
+      .groupBy("flag")
+      .agg(Sketch.quantileSketch(256)(col("hv"), col("v")).as("q"))
+      .select(col("flag"), col("q.p50"), col("q.p90"), col("q.p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val hist = li.select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("v"))
+      .groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byFlag = hist.groupBy(_._1)
+    val tol = 5.0 / math.sqrt(256.0) // ~0.31σ-scaled; deterministic, generous
+    for ((flag, (p50, p90, p99)) <- sk) {
+      val bins = byFlag(flag).map(t => (t._2, t._3)).sortBy(_._1)
+      val n = bins.map(_._2).sum.toDouble
+      // true cumulative rank fraction of an estimate within its population
+      def cdf(x: Double): Double =
+        bins.filter(_._1 <= x).map(_._2).sum / n
+      for ((est, q) <- Seq((p50, 0.5), (p90, 0.9), (p99, 0.99)))
+        assert(math.abs(cdf(est) - q) < tol,
+          s"$flag: sketch est $est has true rank ${cdf(est)}, target $q")
+    }
+  }
 }

@@ -39,6 +39,46 @@ class TextProfileSpec extends SparkSpecBase {
       (5L, 1L, 1L, 1.0)))
   }
 
+  test("bpeMerges: hand-computed merge table, greedy overlap, tie-breaks, exhaustion") {
+    // Corpus: "low" ×5, "lower" ×2, "aaaa" ×1  (token stream via repeats)
+    //   step 1 pairs: lo×7, ow×7, we×2, er×2, aa×3  → argmax tied at 7
+    //     between (l,o) and (o,w): tie-break by (lhs, rhs) string order →
+    //     (l,o) wins. Merge: low → [lo,w], lower → [lo,w,e,r], aaaa stays.
+    //   step 2: (lo,w)×7, (w,e)×2, (e,r)×2, (a,a)×3 → (lo,w). Note greedy
+    //     left-to-right on "aaaa": pairs (a,a) at 3 positions count 3.
+    //   step 3: (a,a)×3 beats (w,e)×2/(e,r)×2 → merge (a,a): "aaaa" →
+    //     [aa, aa] (non-overlapping greedy — NOT [aa,a] here: 4 a's pair
+    //     twice).
+    //   step 4: (aa,aa)×1, (w,e)×2, (e,r)×2 → (e,r) vs (w,e): count tie at
+    //     2 → lexicographic: (e,r) wins. lower → [low,e? no: [lo w] merged
+    //     → "low" symbol? step 2 merged (lo,w) → lower = [low,e,r]] → after
+    //     (e,r): [low, er].
+    //   step 5: (aa,aa)×1, (low,er)×2 → (low,er). step 6: (aa,aa)×1.
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "aaaa")
+    ).toDF("doc_id", "text")
+    val got = Caches.scoped {
+      TextProfile.bpeMerges(docs, k = 6).orderBy("step")
+        .as[(Int, String, String, Long)].collect().toSeq
+    }
+    assert(got == Seq(
+      (1, "l", "o", 7L),
+      (2, "lo", "w", 7L),
+      (3, "a", "a", 3L),
+      (4, "e", "r", 2L),
+      (5, "low", "er", 2L),
+      (6, "aa", "aa", 1L)))
+    // exhaustion: k beyond full merging stops early instead of looping
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val g2 = Caches.scoped {
+      TextProfile.bpeMerges(tiny, k = 5).as[(Int, String, String, Long)]
+        .collect().toSeq
+    }
+    assert(g2 == Seq((1, "a", "b", 2L)))
+  }
+
   test("repetitionStats: <= k tokens collapse to one shingle (ShingleHashes rule)") {
     // a 2-token doc has ONE bigram shingle (the whole doc), and a 1-token
     // doc has one token — mirroring ShingleHashes' n <= k branch, which is
