@@ -714,6 +714,39 @@ object StarQueries {
         .orderBy("l_returnflag")
     },
 
+    // EXACT percentiles over an UNBOUNDED double domain — the third point
+    // of the percentile triad (quantile_exact = bounded-domain histogram,
+    // quantile_sketch = one-pass approximate): radix-descent distributed
+    // SELECTION. Per level, one partial-agg histogram pass bucketing
+    // l_extendedprice by a plan-time (lo, step) when-chain; the driver
+    // walks ≤ fanout counts to the bucket holding each target rank and
+    // recurses with step/fanout (EXACT power-of-two refinement — child
+    // buckets partition parents bit-exactly, see Quantiles' scaladoc);
+    // a final pass reads the rank off per-value counts inside the ≤
+    // collectLimit-row bucket. No sort, no per-key shuffle of raw rows —
+    // L = ceil(log_4096(n/100k)) histogram passes (= 1 at sf0.1, 2 at
+    // 10^12 rows). The output doubles are STORED values untouched by
+    // arithmetic, so the oracle's sort-based rank selection returns the
+    // identical bits.
+    QueryDef.of("quantile_radix",
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |)
+        |SELECT flag AS l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+        |  max(CASE WHEN rn = ((n - 1) * 1) // 2 + 1 THEN v END) AS p50,
+        |  max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN v END) AS p90,
+        |  max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN v END) AS p99
+        |FROM r GROUP BY flag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import graft.operators.Quantiles
+      Quantiles.exactPercentilesByRadix(
+          Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")
+    },
+
     // Bloom-prefiltered semi join: lineitem rows whose part is size 5. The
     // dim keys aggregate into a 64 Kbit bitmap (one bounded job, 8 KB to
     // the driver), the fact scan probes it with a native codegen'd
