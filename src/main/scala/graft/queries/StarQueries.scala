@@ -666,6 +666,50 @@ object StarQueries {
         .orderBy("l_returnflag")
     },
 
+    // Windowed first-touch FUNNEL over the events stream — the
+    // behavioral-analytics completion of the events family: users
+    // progressing view → click → purchase, each step within 24 h of the
+    // previous (unwindowed, every user converts on this corpus — the
+    // window is what makes a funnel a funnel). Times compared as
+    // µs-truncated integers on BOTH sides (Spark reads TIMESTAMP(NANOS)
+    // µs-truncated; the oracle floors epoch_ns/1000), so window
+    // arithmetic is exact integer math with no timestamp-precision
+    // hazard. Scale shape in Funnel's scaladoc: per step filter → join
+    // on user against a funnel-shrinking build side → partial-agg min.
+    QueryDef.of("events_funnel",
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(tus) AS t FROM ev WHERE event_type = 'view'
+        |  GROUP BY user_id
+        |), s2 AS (
+        |  SELECT ev.user_id, min(ev.tus) AS t
+        |  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+        |  WHERE ev.event_type = 'click' AND ev.tus > s1.t
+        |    AND ev.tus <= s1.t + 86400000000
+        |  GROUP BY ev.user_id
+        |), s3 AS (
+        |  SELECT ev.user_id, min(ev.tus) AS t
+        |  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+        |  WHERE ev.event_type = 'purchase' AND ev.tus > s2.t
+        |    AND ev.tus <= s2.t + 86400000000
+        |  GROUP BY ev.user_id
+        |)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        |) ORDER BY step""".stripMargin) { (s, dir) =>
+      import graft.operators.Funnel
+      Funnel.stepCounts(
+          Tables.events(s, dir).withColumn("tus", unix_micros(col("ts"))),
+          "user_id", "tus", "event_type",
+          Seq("view", "click", "purchase"), windowUnits = 86400000000L)
+        .orderBy("step")
+    },
+
     // EXACT per-group percentiles — the sketch's exact sibling (the
     // heavy_hitters pattern applied to quantile_sketch). l_quantity has a
     // BOUNDED integer domain (1..50), so the exact distribution is a
