@@ -48,4 +48,38 @@ object CorpusMix {
     docs.filter(
       pmod(TextFunctions.fingerprint(col("text")), lit(granularity.toLong)) < thresh)
   }
+
+  /**
+   * Deterministic train/val/test SPLIT assignment — the held-out-set step
+   * every training pipeline runs after curation. Same content-derived cut
+   * as [[sampleByStratum]] (`fingerprint(text) mod granularity` against
+   * cumulative plan-time integer bounds), which buys the properties a
+   * random split cannot: reproducible on any cluster/retry/engine
+   * (oracle-checkable membership), and exact duplicates always land in the
+   * SAME split — the leakage guarantee (a dup straddling train/test is a
+   * contamination bug this construction makes impossible). One narrow
+   * codegen'd projection; no shuffle, no seed coordination.
+   *
+   * `splits` are (name, fraction) in priority order; fractions must
+   * quantize exactly to `granularity` and sum to 1 (buckets partition the
+   * domain — every doc gets exactly one split).
+   */
+  def assignSplits(docs: DataFrame, splits: Seq[(String, Double)],
+      granularity: Int = 100, splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "split: need at least one bucket")
+    val widths = splits.map { case (n, f) => n -> math.round(f * granularity) }
+    require(widths.forall(_._2 > 0) && widths.map(_._2).sum == granularity,
+      "split: fractions must be positive and quantize exactly to granularity")
+    val bounds = widths.scanLeft(0L)(_ + _._2).tail // cumulative upper bounds
+    val bucket = col("_graft_split_bkt")
+    val expr = widths.zip(bounds).dropRight(1).reverse
+      .foldLeft(lit(widths.last._1): Column) {
+        case (acc, ((name, _), bound)) => when(bucket < bound, lit(name)).otherwise(acc)
+      }
+    docs
+      .withColumn("_graft_split_bkt",
+        pmod(TextFunctions.fingerprint(col("text")), lit(granularity.toLong)))
+      .withColumn(splitCol, expr)
+      .drop("_graft_split_bkt")
+  }
 }

@@ -1514,6 +1514,86 @@ object LlmQueries {
         .packChunks(Tables.documents(s, dir), "doc_id",
           TextFunctions.tokenCount(col("text")), seqLen = 256L, sepTokens = 1L)
         .orderBy("chunk_id", "doc_id")
+    },
+
+    // Deterministic train/val/test split (90/5/5) — the held-out-set
+    // assignment decided by fingerprint(text) % 100 against cumulative
+    // integer bounds (corpus_mix's cut applied to partitioning instead of
+    // sampling). Content-derived, so exact duplicates always land in the
+    // SAME split — the train/test-leakage guarantee — and the EXACT
+    // per-document membership is oracle-checked via the portable
+    // fingerprint fold, not just the split sizes.
+    QueryDef.of("stratified_split",
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT), list_transform(
+        |        string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+        |        t -> list_reduce(
+        |               list_prepend(CAST(17 AS BIGINT), list_transform(
+        |                 generate_series(1, length(t)),
+        |                 i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+        |               (h, c) -> (h * 31 + c) % 2147483647))),
+        |      (h, th) -> (h * 1000003 + th) % 2147483647)
+        |    END AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, source,
+        |  CASE WHEN fp % 100 < 90 THEN 'train'
+        |       WHEN fp % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM fp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.CorpusMix
+      CorpusMix.assignSplits(Tables.documents(s, dir),
+          Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    },
+
+    // CDC upsert MERGE: fold a change batch (updates on doc_id%10=3,
+    // deletes on %10=7, inserts at doc_id+1M derived from %10=5) into the
+    // documents base — the incremental-corpus-refresh primitive (new crawl
+    // snapshot in, retracted docs out) as ONE full-outer-join plan, no
+    // driver materialization. The change batch is derived deterministically
+    // from the corpus itself so the oracle replays derivation + merge
+    // exactly; Merge.applyChanges' last-writer-wins seq resolution is
+    // exercised in MergeSpec (the derived batch here has one change per
+    // key by construction).
+    QueryDef.of("upsert_merge",
+      """WITH upd AS (
+        |  SELECT doc_id, source, n_chars + 1000 AS n_chars FROM documents
+        |  WHERE doc_id % 10 = 3
+        |), del AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 10 = 7
+        |), ins AS (
+        |  SELECT doc_id + 1000000 AS doc_id, source, n_chars FROM documents
+        |  WHERE doc_id % 10 = 5
+        |)
+        |SELECT doc_id, source, n_chars FROM (
+        |  SELECT b.doc_id, coalesce(u.source, b.source) AS source,
+        |    coalesce(u.n_chars, b.n_chars) AS n_chars
+        |  FROM documents b
+        |  LEFT JOIN upd u ON b.doc_id = u.doc_id
+        |  WHERE b.doc_id NOT IN (SELECT doc_id FROM del)
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars FROM ins
+        |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Merge
+      val base = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+      val changes = base
+        .filter(pmod(col("doc_id"), lit(10L)) === 3)
+        .select(col("doc_id"), lit("U").as("op"), col("source"),
+          (col("n_chars") + 1000L).as("n_chars"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(10L)) === 7)
+          .select(col("doc_id"), lit("D").as("op"),
+            lit(null).cast("string").as("source"),
+            lit(null).cast("long").as("n_chars")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(10L)) === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), lit("I").as("op"),
+            col("source"), col("n_chars")))
+      Merge.applyChanges(base, changes, "doc_id")
+        .orderBy("doc_id")
     }
   )
 }

@@ -876,6 +876,64 @@ object StarQueries {
         .withColumnRenamed("F", "qty_f")
         .withColumnRenamed("O", "qty_o")
         .orderBy("l_returnflag")
+    },
+
+    // Blocked fuzzy match (entity resolution): near-identical part names at
+    // edit distance <= 3, candidates generated ONLY within a block (the
+    // name's last token) so the distance runs on an equi-joined vocabulary,
+    // never a cartesian. Support counts ride along so resolution can pick
+    // the frequent spelling. Both engines' levenshtein is the classic
+    // integer edit distance — the oracle replays blocking + distance
+    // exactly. Whitespace spelled as the explicit class (Java \s vs RE2 \s
+    // diverge on U+000B).
+    QueryDef.of("fuzzy_join",
+      """WITH names AS (
+        |  SELECT p_name, CAST(count(*) AS BIGINT) AS n,
+        |    list_extract(string_split_regex(p_name, '[ \t\n\x0B\f\r]+'), -1) AS blk
+        |  FROM part GROUP BY p_name
+        |)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+      import graft.operators.Fuzzy
+      Fuzzy.blockedLevenshteinPairs(Tables.part(s, dir), "p_name",
+          name => element_at(split(name, "\\s+"), -1), maxDist = 3)
+        .orderBy("name_a", "name_b")
+    },
+
+    // Time-RANGE window frame (the rows-frame `window_running`'s
+    // event-time sibling): per-user trailing-1-hour event count and max
+    // value at every event — the rate-limit / rolling-exposure primitive.
+    // The frame is declared over integer MICROSECONDS on both sides
+    // (Spark's rangeBetween and DuckDB's RANGE ... PRECEDING are both
+    // closed intervals over the ORDER BY value), so frame membership is
+    // exact integer arithmetic; the aggregates (count, max) are
+    // order-insensitive, so ties inside a frame can't perturb the hash.
+    // Scale: partitioned by user_id — no global window anywhere
+    // (PlanSpec-pinned), one shuffle on the partition key.
+    QueryDef.of("events_rolling",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+        |)
+        |SELECT user_id, event_id, ts_us,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  max(value) OVER w AS max_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("max_1h", max("value").over(w))
+        .select("user_id", "event_id", "ts_us", "n_1h", "max_1h")
+        .orderBy("user_id", "ts_us", "event_id")
     }
   )
 }

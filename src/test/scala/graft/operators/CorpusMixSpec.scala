@@ -51,4 +51,36 @@ class CorpusMixSpec extends SparkSpecBase {
       CorpusMix.sampleByStratum(docs, "source", Map("src0" -> 1.5))
     }
   }
+
+  test("splits partition the corpus: every doc gets exactly one bucket") {
+    val splits = Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)
+    val assigned = CorpusMix.assignSplits(docs, splits)
+    assert(assigned.count() == docs.count())
+    assert(assigned.filter(col("split").isNull).count() == 0)
+    assert(assigned.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+    // roughly 90/5/5 on distinct-text corpora (hash uniformity)
+    val n = assigned.count().toDouble
+    val trainFrac = assigned.filter(col("split") === "train").count() / n
+    assert(math.abs(trainFrac - 0.90) < 0.07, s"train frac $trainFrac")
+  }
+
+  test("exact duplicates land in the SAME split (the leakage guarantee)") {
+    val splits = Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)
+    val dupped = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 100000L))
+    val bySplit = CorpusMix.assignSplits(dupped, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val origs = docs.select("doc_id").as[Long].collect().toSeq
+    assert(origs.forall(id => bySplit(id) == bySplit(id + 100000L)))
+  }
+
+  test("split fractions must quantize exactly and cover the domain") {
+    intercept[IllegalArgumentException] {
+      CorpusMix.assignSplits(docs, Seq("a" -> 0.5, "b" -> 0.4)) // sums to 0.9
+    }
+    intercept[IllegalArgumentException] {
+      CorpusMix.assignSplits(docs, Seq("a" -> 0.999, "b" -> 0.001)) // 0.1 bucket at g=100
+    }
+  }
 }
