@@ -934,6 +934,140 @@ object StarQueries {
         .withColumn("max_1h", max("value").over(w))
         .select("user_id", "event_id", "ts_us", "n_1h", "max_1h")
         .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // Event-sequence transition matrix (first-order Markov estimate):
+    // which event type follows which, per user, with the row-normalized
+    // probability. Sequences ordered by (µs, event_id) — a unique total
+    // order, so the pair multiset is deterministic. cnt and its from-type
+    // total are exact integers; prob is ONE IEEE division of those two
+    // integers, identical bit-for-bit in both engines (no sums of doubles
+    // anywhere). The lead window partitions by user (bounded); the
+    // normalizing totals frame is ≤ |types| rows — AQE broadcasts it.
+    QueryDef.of("events_markov",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+        |), t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS to_type
+        |  FROM e
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1
+        |)
+        |SELECT c.from_type, c.to_type, c.cnt,
+        |  CAST(c.cnt AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS prob
+        |FROM c JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      graft.operators.Markov.transitions(
+          Tables.events(s, dir).select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("event_type")),
+          key = "user_id", time = "us", typ = "event_type",
+          tieBreak = "event_id")
+        .orderBy("from_type", "to_type")
+    },
+
+    // Cohort retention triangle: users grouped by first-activity week,
+    // counted when active N weeks after their first day. Pure integer
+    // floor division over µs (day = us div 86400e6, offset weeks =
+    // days-since-first div 7) — nonneg everywhere, so Spark's `div`
+    // (truncating) and DuckDB's `//` (flooring) agree exactly. The
+    // distinct (user, day) collapse happens FIRST, so everything after is
+    // sized by active-user-days, not events.
+    QueryDef.of("events_retention",
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+        |), c AS (
+        |  SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1
+        |)
+        |SELECT CAST(cohort_d // 7 AS BIGINT) AS cohort_week,
+        |  CAST((d - cohort_d) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      graft.operators.Cohort.retention(
+          Tables.events(s, dir)
+            .select(col("user_id"), unix_micros(col("ts")).as("us")),
+          key = "user_id", time = "us",
+          unitsPerBucket = 86400000000L, bucketsPerPeriod = 7)
+        .select(col("cohort_period").as("cohort_week"),
+          col("period_offset").as("week_offset"), col("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
+    // Market-basket co-occurrence: top part pairs appearing in the same
+    // order (support counting, the A-Priori first pass). Distinct
+    // (order, part) first; the self-join is equi on the order key with
+    // per-order work C(k,2), k ≤ 7 in TPC-H — linear in orders. Top-100
+    // under a TOTAL order (cnt desc, then both keys) plans as
+    // TakeOrderedAndProject, no global sort.
+    QueryDef.of("basket_pairs",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |)
+        |SELECT a.pk AS item_a, b.pk AS item_b, CAST(count(*) AS BIGINT) AS cnt
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 ORDER BY cnt DESC, item_a, item_b
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      graft.operators.Basket.pairCounts(
+          Tables.lineitem(s, dir), basket = "l_orderkey", item = "l_partkey")
+        .orderBy(desc("cnt"), col("item_a"), col("item_b"))
+        .limit(100)
+    },
+
+    // Entity-resolution CLUSTERS: fuzzy_join's blocked edit-distance pairs
+    // fed through the dedup tier's union-find (duplicateClusters — the
+    // same pointer-jumping RDD loop that powers dedup_survivors), then
+    // joined back to names: every name in the fuzzy graph with its
+    // cluster-canonical spelling. Names map to stable integer node ids
+    // via min(p_partkey) per name; the canonical name is the cluster's
+    // min-id member (the union-find min-label invariant), so the whole
+    // composition — blocking, distance, transitive closure, canonical
+    // pick — replays exactly in the oracle's recursive CTE.
+    QueryDef.of("fuzzy_clusters",
+      """WITH names AS (
+        |  SELECT p_name, min(p_partkey) AS nid,
+        |    list_extract(string_split_regex(p_name, '[ \t\n\x0B\f\r]+'), -1) AS blk
+        |  FROM part GROUP BY p_name
+        |), pr AS (
+        |  SELECT a.nid AS s, b.nid AS d FROM names a JOIN names b
+        |    ON a.blk = b.blk AND a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |), edges AS (
+        |  SELECT s, d FROM pr UNION ALL SELECT d, s FROM pr
+        |), reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT DISTINCT s, s FROM edges
+        |    UNION
+        |    SELECT r.src, e.d FROM r JOIN edges e ON r.node = e.s
+        |  ) SELECT src, min(node) AS cluster FROM r GROUP BY src
+        |)
+        |SELECT n.p_name AS name, c.p_name AS canon
+        |FROM reach JOIN names n ON reach.src = n.nid
+        |           JOIN names c ON reach.cluster = c.nid
+        |ORDER BY name""".stripMargin) { (s, dir) =>
+      import graft.operators.{Fuzzy, Dedup}
+      val part = Tables.part(s, dir)
+      val ids = part.groupBy("p_name").agg(min("p_partkey").as("nid"))
+      val pairs = Fuzzy.blockedLevenshteinPairs(part, "p_name",
+          name => element_at(split(name, "\\s+"), -1), maxDist = 3)
+        .join(ids.select(col("p_name").as("name_a"), col("nid").as("doc_a")),
+          "name_a")
+        .join(ids.select(col("p_name").as("name_b"), col("nid").as("doc_b")),
+          "name_b")
+        .select("doc_a", "doc_b")
+      // loopParts pinned — the fuzzy graph is far under one 50k-pair
+      // partition at every driver SF (see dedup_survivors' rationale)
+      Dedup.duplicateClusters(pairs, loopParts = 1)
+        .join(ids.select(col("nid").as("doc_id"), col("p_name").as("name")),
+          "doc_id")
+        .join(ids.select(col("nid").as("cluster"), col("p_name").as("canon")),
+          "cluster")
+        .select("name", "canon")
+        .orderBy("name")
     }
   )
 }

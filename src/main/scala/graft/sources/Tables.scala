@@ -28,10 +28,20 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a long
-    * and convert ns → µs with exact integer division (`div`; a double
-    * division would lose precision — ns-since-epoch exceeds 2^53).
+  /** The events table's `ts` physical type has varied across driver data
+    * generations — TIMESTAMP(NANOS) (which Spark's reader rejects outright,
+    * [PARQUET_TYPE_ILLEGAL]) and naive TIMESTAMP(MICROS) (which Spark reads
+    * as TIMESTAMP_NTZ) have both shipped. This accessor normalizes every
+    * layout to a plain µs TIMESTAMP so `unix_micros(ts)` downstream always
+    * resolves and always equals DuckDB's `epoch_us(ts)` on the same file:
+    *   - NANOS: read nanos as a long and convert ns → µs with exact integer
+    *     division (`div`; a double division would lose precision —
+    *     ns-since-epoch exceeds 2^53), matching the oracle's
+    *     `epoch_ns(ts) // 1000` truncation.
+    *   - NTZ (µs): cast to TIMESTAMP — epoch-preserving because every
+    *     session entry point (Verify, Bench, SparkSpecBase) pins
+    *     `spark.sql.session.timeZone=UTC`, mirroring DuckDB's reading of a
+    *     naive parquet timestamp.
     *
     * SIDE EFFECT, deliberate: `nanosAsLong` is a session-level SQL conf (no
     * per-read option exists, and the conf is consulted again at execution,
@@ -40,12 +50,17 @@ object Tables {
     * LongType. Sessions built via Verify/Bench/the test harness set it up
     * front; this runtime set covers ad-hoc sessions. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+class BasketSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def counts(rows: Seq[(Long, Long)]) =
+    Basket.pairCounts(rows.toDF("bk", "it"), basket = "bk", item = "it")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+
+  test("hand-computed supports over three baskets") {
+    // b1 {1,2,3}, b2 {1,2}, b3 {2,3} → (1,2)x2 (1,3)x1 (2,3)x2
+    val got = counts(Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L)))
+    assert(got == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 2L)))
+  }
+
+  test("an item repeated within one basket counts once (distinct-first)") {
+    val got = counts(Seq((1L, 7L), (1L, 7L), (1L, 7L), (1L, 9L)))
+    assert(got == Seq((7L, 9L, 1L)))
+  }
+
+  test("pairs are canonical (a < b) and never self-paired or cross-basket") {
+    val got = counts(Seq((1L, 5L), (1L, 3L), (2L, 5L), (2L, 8L), (3L, 1L)))
+    assert(got.forall(p => p._1 < p._2))
+    assert(got == Seq((3L, 5L, 1L), (5L, 8L, 1L)))
+  }
+
+  test("singleton baskets produce nothing") {
+    assert(counts(Seq((1L, 1L), (2L, 2L), (3L, 3L))).isEmpty)
+  }
+
+  test("per-basket pair count is exactly C(k,2)") {
+    val got = counts((1L to 7L).map(i => (1L, i)))
+    assert(got.length == 21 && got.forall(_._3 == 1L))
+  }
+}

@@ -58,4 +58,28 @@ class FuzzySpec extends SparkSpecBase {
     val keys = got.map(p => (p._1, p._2))
     assert(keys.distinct.length == keys.length)
   }
+
+  test("clusters: fuzzy pairs + union-find resolve transitive chains to one canon (the fuzzy_clusters composition)") {
+    // chain a–b–c where lev(a,c)=2 > 1: only transitivity links a to c.
+    // ids by min row-id per name, canon = the cluster's min-id name —
+    // exactly what the fuzzy_clusters query wires.
+    val named = Seq(
+      (10L, "bolt aa"), (20L, "bolt ab"), (30L, "bolt bb"), // aa–ab–bb chain;
+      (40L, "ring zz")).toDF("id", "name")                  // lev(aa,bb)=2
+    val ids = named.groupBy("name").agg(min("id").as("nid"))
+    val prs = Fuzzy.blockedLevenshteinPairs(named, "name",
+        n => element_at(split(n, "\\s+"), 1), maxDist = 1)
+      .join(ids.select(col("name").as("name_a"), col("nid").as("doc_a")), "name_a")
+      .join(ids.select(col("name").as("name_b"), col("nid").as("doc_b")), "name_b")
+      .select("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(prs, loopParts = 1)
+      .join(ids.select(col("nid").as("doc_id"), col("name")), "doc_id")
+      .join(ids.select(col("nid").as("cluster"), col("name").as("canon")), "cluster")
+      .select("name", "canon").as[(String, String)].collect().toSet
+    // all three chain members resolve to "bolt aa" (min id 10) even though
+    // lev(aa,bb)=2 > maxDist; the isolated name appears in no pair, hence
+    // in no cluster row
+    assert(got == Set(("bolt aa", "bolt aa"), ("bolt ab", "bolt aa"),
+      ("bolt bb", "bolt aa")))
+  }
 }
