@@ -24,16 +24,45 @@ import org.apache.spark.sql.functions._
  */
 object Basket {
 
-  /** (item_a, item_b, cnt): canonicalized same-basket co-occurrence
-    * counts, one row per unordered item pair with support ≥ 1. */
-  def pairCounts(rows: DataFrame, basket: String, item: String): DataFrame = {
-    val items = rows
-      .select(col(basket).as("bk"), col(item).as("it")).distinct()
+  private def distinctItems(rows: DataFrame, basket: String,
+      item: String): DataFrame =
+    rows.select(col(basket).as("bk"), col(item).as("it")).distinct()
+
+  private def pairsFromItems(items: DataFrame): DataFrame = {
     val a = items.select(col("bk"), col("it").as("item_a"))
     val b = items.select(col("bk"), col("it").as("item_b"))
     a.join(b, "bk")
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** (item_a, item_b, cnt): canonicalized same-basket co-occurrence
+    * counts, one row per unordered item pair with support ≥ 1. */
+  def pairCounts(rows: DataFrame, basket: String, item: String): DataFrame =
+    pairsFromItems(distinctItems(rows, basket, item))
+
+  /** (item_a, item_b, cnt, jaccard): item–item Jaccard similarity over
+    * basket sets — |baskets(a) ∩ baskets(b)| / |baskets(a) ∪ baskets(b)|,
+    * the memory-based collaborative-filtering / "bought-together" score.
+    * Co-occurrence `cnt` IS the intersection; the union is
+    * n_a + n_b − cnt from per-item basket counts — all exact integers,
+    * and `jaccard` is ONE IEEE division of two of them, so an oracle
+    * reproduces every bit. Only pairs with cnt ≥ 1 appear (Jaccard 0
+    * pairs are the quadratic non-answer a 100 TB catalog cannot emit).
+    *
+    * Scale shape: the distinct (basket, item) pass is computed ONCE and
+    * tracked-persisted (it feeds both the pair join and the per-item
+    * counts); per-item counts are |items| rows — AQE broadcasts them
+    * into the two enrichment joins. */
+  def itemJaccard(rows: DataFrame, basket: String, item: String): DataFrame = {
+    val items = Caches.persistTracked(distinctItems(rows, basket, item))
+    val counts = items.groupBy("it").agg(count(lit(1)).as("n"))
+    pairsFromItems(items)
+      .join(counts.select(col("it").as("item_a"), col("n").as("n_a")), "item_a")
+      .join(counts.select(col("it").as("item_b"), col("n").as("n_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("cnt"),
+        (col("cnt").cast("double") /
+          (col("n_a") + col("n_b") - col("cnt")).cast("double")).as("jaccard"))
   }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * GRAPH TRIANGLE STATISTICS — exact triangle / wedge counting with the
+ * global clustering coefficient, over an undirected edge list (e.g. an
+ * item co-occurrence graph, a near-dup pair graph, a citation mesh).
+ * Extension tier — the reference has no graph ops at all; this completes
+ * the graph toolkit next to the dedup tier's connected components
+ * ([[Dedup.duplicateClusters]]).
+ *
+ * Algorithm: the classic DEGREE ORIENTATION (Chiba–Nishizeki / the
+ * "compact-forward" join form): orient every undirected edge from its
+ * lower-(degree, id) endpoint to its higher one — a total order, so each
+ * triangle is discovered EXACTLY once, as the wedge (u→v, u→w) with
+ * ord(v) < ord(w) closed by the oriented edge v→w. Orientation bounds
+ * every out-neighborhood by O(√m), so the wedge join does O(m^1.5) work
+ * total regardless of degree skew — the hub that would explode a naive
+ * neighbor join fans its edges OUT to its low-degree endpoints instead.
+ * That is the property that survives a power-law graph at 100 TB; the
+ * id-only canonical orientation (a < b) does not have it.
+ *
+ * Everything is exact integer arithmetic (counts, degrees, wedge
+ * binomials in BIGINT) except the final clustering coefficient — ONE
+ * IEEE division 3·T / W of two exact integers (NULL when the graph has
+ * no wedges), so an oracle reproduces every output bit.
+ *
+ * Scale shape: canonical edges are computed once and tracked-persisted
+ * (they feed degrees, orientation, and the closing semi-join); degrees
+ * partial-aggregate; the orientation joins are equi-joins on node ids
+ * (the degree table is |V| rows — AQE broadcasts it when small); the
+ * wedge join is equi on the source node with the ord() comparison as a
+ * post-join filter; the closing check is a LEFT SEMI join on the
+ * (v, w) pair — never a cartesian, never a per-key window.
+ */
+object Graph {
+
+  /** One-row exact summary of the undirected graph given by (`src`,`dst`)
+    * pairs (self-loops dropped, parallel/reversed duplicates collapsed):
+    * n_nodes, n_edges, n_wedges (= Σ_v C(deg v, 2)), n_triangles, and
+    * clustering = 3·triangles / wedges (NULL on a wedge-free graph). */
+  def triangleStats(edges: DataFrame, src: String = "src",
+      dst: String = "dst"): DataFrame = {
+    val e = Caches.persistTracked(edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct())
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // |V| and Σ C(deg, 2): deg·(deg−1) is even, so the integer div is exact
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    // orient each edge toward the higher (deg, id); carry the head's
+    // degree — the wedge join orders the two heads by the same key
+    val lt = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val or = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(lt, col("a")).otherwise(col("b")).as("u"),
+        when(lt, col("b")).otherwise(col("a")).as("v"),
+        when(lt, col("db")).otherwise(col("da")).as("dv"))
+    val x = or.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val y = or.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val wedges = x.join(y, Seq("u"))
+      .filter((col("d1") < col("d2")) ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    val triStats = wedges
+      .join(or.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    nodeStats.crossJoin(edgeStats).crossJoin(triStats)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(null).cast("double"))
+          .otherwise((col("n_triangles") * lit(3)).cast("double") /
+            col("n_wedges").cast("double")).as("clustering"))
+  }
+}

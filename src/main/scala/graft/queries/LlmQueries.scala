@@ -448,6 +448,56 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source duplication REPORT — the curation-dashboard view of the
+    // dedup tier: for every document source, total docs, docs the exact
+    // survivors pipeline would drop, and the drop rate. Same exact
+    // detector + union-find as dedup_survivors (no separation assumption
+    // — exact at any corpus), aggregated per source instead of listed;
+    // n_docs/n_dups are exact integers and dup_rate is ONE IEEE division
+    // of them. The left join against the losers list is on doc_id —
+    // losers ≪ docs, AQE broadcasts it.
+    QueryDef.of("dedup_rate_by_source",
+      shingleCte +
+        """,
+          |pr AS (
+          |  SELECT doc_a, doc_b FROM p
+          |  WHERE CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE) >= 0.5
+          |),
+          |edges AS (
+          |  SELECT doc_a AS s, doc_b AS d FROM pr
+          |  UNION ALL SELECT doc_b, doc_a FROM pr
+          |),
+          |reach AS (
+          |  WITH RECURSIVE r(src, node) AS (
+          |    SELECT DISTINCT s, s FROM edges
+          |    UNION
+          |    SELECT r.src, e.d FROM r JOIN edges e ON r.node = e.s
+          |  ) SELECT src, min(node) AS cluster FROM r GROUP BY src
+          |),
+          |losers AS (SELECT src AS doc_id FROM reach WHERE cluster <> src)
+          |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(l.doc_id) AS BIGINT) AS n_dups,
+          |  CAST(count(l.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+          |FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+          |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, k = 3, threshold = 0.5,
+        maxShingleDf = 1000, hashShingles = true, prefixFilter = true)
+        .select("doc_a", "doc_b")
+      // loopParts pinned — see dedup_survivors' rationale
+      val losers = Dedup.duplicateClusters(pairs, loopParts = 1)
+        .filter(col("doc_id") =!= col("cluster"))
+        .select("doc_id").withColumn("is_dup", lit(1))
+      docs.select("doc_id", "source")
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("is_dup")).as("n_dups"))
+        .select(col("source"), col("n_docs"), col("n_dups"),
+          (col("n_dups").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"))
+        .orderBy("source")
+    },
+
     // Train/eval decontamination (the GPT-3/Pile benchmark-overlap step):
     // eval = every 7th doc_id (standing in for a benchmark), train = the
     // rest; for every train doc the count of its distinct 3-shingles that

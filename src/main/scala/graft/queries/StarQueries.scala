@@ -1068,6 +1068,135 @@ object StarQueries {
           "cluster")
         .select("name", "canon")
         .orderBy("name")
+    },
+
+    // Item–item Jaccard over basket sets — "bought together" similarity,
+    // the memory-based collaborative-filtering score. cnt (intersection)
+    // and the per-item basket counts are exact integers; jaccard is ONE
+    // IEEE division (cnt / (n_a + n_b − cnt)) — identical bits in both
+    // engines, so even the jaccard-DESC ordering agrees (ties broken by
+    // the key pair → a total order → TakeOrderedAndProject).
+    QueryDef.of("item_similarity",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), n AS (
+        |  SELECT pk, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY pk
+        |), p AS (
+        |  SELECT a.pk AS item_a, b.pk AS item_b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2
+        |)
+        |SELECT item_a, item_b, cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(na.n + nb.n - cnt AS DOUBLE) AS jaccard
+        |FROM p JOIN n na ON p.item_a = na.pk JOIN n nb ON p.item_b = nb.pk
+        |ORDER BY jaccard DESC, item_a, item_b
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      graft.operators.Basket.itemJaccard(
+          Tables.lineitem(s, dir), basket = "l_orderkey", item = "l_partkey")
+        .orderBy(desc("jaccard"), col("item_a"), col("item_b"))
+        .limit(100)
+    },
+
+    // Exact triangle census of the part co-occurrence graph (edges =
+    // part pairs sharing ≥ 2 orders): node/edge/wedge/triangle counts +
+    // the global clustering coefficient. The engine counts via DEGREE
+    // ORIENTATION (O(m^1.5) regardless of skew — the 100 TB-safe form);
+    // the oracle counts the a<b<c canonical way — every output is an
+    // exact integer except the one 3T/W division, so the two algorithms
+    // must (and do) agree bit-for-bit.
+    QueryDef.of("graph_triangles",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e AS (
+        |  SELECT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+        |    (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY n
+        |), ns AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+        |), es AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        |ts AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges = 0 THEN NULL
+        |       ELSE CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+        |  END AS clustering
+        |FROM ns, es, ts ORDER BY n_nodes""".stripMargin) { (s, dir) =>
+      val edges = graft.operators.Basket.pairCounts(
+          Tables.lineitem(s, dir), basket = "l_orderkey", item = "l_partkey")
+        .filter(col("cnt") >= 2)
+        .select(col("item_a").as("src"), col("item_b").as("dst"))
+      graft.operators.Graph.triangleStats(edges)
+        .orderBy("n_nodes")
+    },
+
+    // Top user journeys: each user's first-5 event-type sequence, counted
+    // across users. Ranks pivot into fixed columns (each rank matches
+    // exactly ONE row under the unique (µs, event_id) order) and
+    // concat_ws skips the NULL tail of short journeys identically in
+    // both engines — no collect_list, no HOF, all codegen'd.
+    QueryDef.of("session_paths",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+        |), r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |  FROM e
+        |), p AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS t1,
+        |    max(CASE WHEN rn = 2 THEN event_type END) AS t2,
+        |    max(CASE WHEN rn = 3 THEN event_type END) AS t3,
+        |    max(CASE WHEN rn = 4 THEN event_type END) AS t4,
+        |    max(CASE WHEN rn = 5 THEN event_type END) AS t5
+        |  FROM r WHERE rn <= 5 GROUP BY user_id
+        |)
+        |SELECT concat_ws('>', t1, t2, t3, t4, t5) AS path,
+        |  CAST(count(*) AS BIGINT) AS n_keys
+        |FROM p GROUP BY path
+        |ORDER BY n_keys DESC, path LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.operators.Paths.topPaths(
+          Tables.events(s, dir).select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("event_type")),
+          key = "user_id", time = "us", tieBreak = "event_id",
+          typ = "event_type", len = 5)
+        .orderBy(desc("n_keys"), col("path"))
+        .limit(20)
+    },
+
+    // Customer RFM (recency / frequency / monetary) from orders. Recency
+    // (max order µs) and frequency are exact integers; the monetary sum
+    // of o_totalprice doubles runs as a SORTED FOLD over each customer's
+    // amount list (the lm_surprisal determinism pattern), replayed
+    // value-for-value by DuckDB's list_sort + list_reduce — a plain
+    // SUM would be partition-order nondeterministic.
+    QueryDef.of("rfm_scores",
+      """WITH o AS (
+        |  SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, o_totalprice AS amt
+        |  FROM orders
+        |), g AS (
+        |  SELECT k, max(t) AS recency_us, CAST(count(*) AS BIGINT) AS frequency,
+        |    list_sort(list(amt)) AS amts
+        |  FROM o GROUP BY k
+        |)
+        |SELECT k AS c_custkey, recency_us, frequency,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), amts),
+        |    (a, x) -> a + x) AS monetary
+        |FROM g ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      graft.operators.Rfm.scores(
+          Tables.orders(s, dir).select(col("o_custkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+            col("o_totalprice")),
+          key = "o_custkey", time = "t_us", amount = "o_totalprice")
+        .select(col("k").as("c_custkey"), col("recency").as("recency_us"),
+          col("frequency"), col("monetary"))
+        .orderBy("c_custkey")
     }
   )
 }

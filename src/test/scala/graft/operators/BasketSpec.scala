@@ -37,4 +37,37 @@ class BasketSpec extends SparkSpecBase {
     val got = counts((1L to 7L).map(i => (1L, i)))
     assert(got.length == 21 && got.forall(_._3 == 1L))
   }
+
+  private def jac(rows: Seq[(Long, Long)]) = {
+    val got = Basket.itemJaccard(rows.toDF("bk", "it"), basket = "bk", item = "it")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    Caches.releaseAll()
+    got
+  }
+
+  test("itemJaccard: hand-computed intersection-over-union") {
+    // item 1 in {b1,b2}, item 2 in {b1,b2,b3}, item 3 in {b3}
+    // (1,2): ∩=2, ∪=3 → 2/3;  (2,3): ∩=1, ∪=3 → 1/3;  (1,3): ∩=0 → absent
+    val got = jac(Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 2L), (3L, 3L)))
+    assert(got == Seq((1L, 2L, 2L, 2.0 / 3.0), (2L, 3L, 1L, 1.0 / 3.0)))
+  }
+
+  test("itemJaccard: identical basket sets score exactly 1.0") {
+    val got = jac(Seq((1L, 4L), (1L, 5L), (2L, 4L), (2L, 5L)))
+    assert(got == Seq((4L, 5L, 2L, 1.0)))
+  }
+
+  test("itemJaccard: the division is the exact-integer quotient (bit law)") {
+    // every emitted jaccard must equal cnt.toDouble / (n_a+n_b-cnt).toDouble
+    // recomputed from the same integers — the oracle's replay contract
+    val rows = for (b <- 1L to 6L; i <- 1L to (b % 4 + 1)) yield (b, i)
+    val items = rows.distinct
+    val n = items.groupBy(_._2).map { case (i, xs) => i -> xs.size.toLong }
+    val got = jac(rows)
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, cnt, j) =>
+      assert(j == cnt.toDouble / (n(a) + n(b) - cnt).toDouble)
+    }
+  }
 }

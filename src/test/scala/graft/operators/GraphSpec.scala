@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def stats(edges: Seq[(Long, Long)]) = {
+    val got = Graph.triangleStats(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    Caches.releaseAll()
+    got
+  }
+
+  /** Plain-Scala reference census: canonicalize, then count triangles by
+    * brute-force a<b<c membership — the naive twin the degree-oriented
+    * engine must agree with exactly. */
+  private def reference(edges: Seq[(Long, Long)]) = {
+    val e = edges.collect { case (x, y) if x != y =>
+      (math.min(x, y), math.max(x, y)) }.distinct.toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2))
+    val deg = nodes.map(n => n -> e.count(p => p._1 == n || p._2 == n)).toMap
+    val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+    val ns = nodes.toSeq.sorted
+    val tris = (for {
+      i <- ns.indices; j <- (i + 1) until ns.size; k <- (j + 1) until ns.size
+      if e((ns(i), ns(j))) && e((ns(j), ns(k))) && e((ns(i), ns(k)))
+    } yield 1).size.toLong
+    (nodes.size.toLong, e.size.toLong, wedges, tris)
+  }
+
+  test("one triangle with a pendant edge, all fields hand-computed") {
+    // K3 on {1,2,3} plus 3–4: degs 2,2,3,1 → wedges 1+1+3+0 = 5, T = 1
+    val got = stats(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(got == ((4L, 4L, 5L, 1L, Some(3.0 / 5.0))))
+  }
+
+  test("self-loops, duplicates, and reversed duplicates collapse away") {
+    val got = stats(Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L),
+      (2L, 3L), (1L, 3L)))
+    assert(got == ((3L, 3L, 3L, 1L, Some(1.0))))
+  }
+
+  test("a star has wedges but no triangles; clustering is an exact 0") {
+    // star K1,4: center deg 4 → wedges C(4,2)=6, T=0, clustering 0.0
+    val got = stats(Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)))
+    assert(got == ((5L, 4L, 6L, 0L, Some(0.0))))
+  }
+
+  test("a single edge has no wedges — clustering is NULL, not a 0/0") {
+    val got = stats(Seq((1L, 2L)))
+    assert(got == ((2L, 1L, 0L, 0L, None)))
+  }
+
+  test("complete graph K5: C(5,3) triangles, clustering exactly 1.0") {
+    val edges = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val got = stats(edges)
+    assert(got == ((5L, 10L, 30L, 10L, Some(1.0))))
+  }
+
+  test("degree-oriented count equals the naive census on random graphs (incl. skewed)") {
+    val rnd = new scala.util.Random(42)
+    // three shapes: sparse, dense, and hub-skewed (one node in most edges
+    // — the case degree orientation exists to keep linear)
+    val shapes = Seq(
+      Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)),
+      Seq.fill(200)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong)),
+      Seq.fill(80)((0L, rnd.nextInt(30).toLong)) ++
+        Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)))
+    shapes.foreach { edges =>
+      val (n, m, w, t) = reference(edges)
+      val got = stats(edges)
+      assert((got._1, got._2, got._3, got._4) == ((n, m, w, t)),
+        s"diverged from naive census on $edges")
+      val expClustering = if (w == 0) None else Some(3.0 * t / w.toDouble)
+      assert(got._5 == expClustering)
+    }
+  }
+}

@@ -199,10 +199,12 @@ class PlanSpec extends SparkSpecBase {
     //  - term_search_bm25: the broadcast of the 1-row corpus-constants
     //    frame (N, avgdl, per-term df) against the scored docs;
     //  - lm_surprisal: the broadcast of the 1-row corpus-total frame
-    //    (N) against the per-doc term lists (same pattern).
+    //    (N) against the per-doc term lists (same pattern);
+    //  - graph_triangles: the cross of its three 1-ROW stat aggregates
+    //    (node/wedge, edge, triangle counts) into the summary row.
     val allowedProduct =
       Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search",
-        "term_search_bm25", "lm_surprisal")
+        "term_search_bm25", "lm_surprisal", "graph_triangles")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
