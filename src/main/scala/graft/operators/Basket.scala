@@ -51,12 +51,13 @@ object Basket {
     * reproduces every bit. Only pairs with cnt ≥ 1 appear (Jaccard 0
     * pairs are the quadratic non-answer a 100 TB catalog cannot emit).
     *
-    * Scale shape: the distinct (basket, item) pass is computed ONCE and
-    * tracked-persisted (it feeds both the pair join and the per-item
-    * counts); per-item counts are |items| rows — AQE broadcasts them
-    * into the two enrichment joins. */
+    * Scale shape: the distinct (basket, item) pass is computed ONCE,
+    * materialized as a lineage-truncated leaf (checkpointTracked — it
+    * feeds FOUR subtrees: both sides of the pair join and the per-item
+    * counts twice); per-item counts are |items| rows — AQE broadcasts
+    * them into the two enrichment joins. */
   def itemJaccard(rows: DataFrame, basket: String, item: String): DataFrame = {
-    val items = Caches.persistTracked(distinctItems(rows, basket, item))
+    val items = Caches.checkpointTracked(distinctItems(rows, basket, item))
     val counts = items.groupBy("it").agg(count(lit(1)).as("n"))
     pairsFromItems(items)
       .join(counts.select(col("it").as("item_a"), col("n").as("n_a")), "item_a")

@@ -41,6 +41,21 @@ object Caches {
     ds
   }
 
+  /** Eagerly materialize `ds` through `localCheckpoint` (executor-local,
+    * lineage-truncating) and register it for the next [[releaseAll]] —
+    * the QUERY-lifetime twin of the IVF tier's checkpoint generations.
+    * Use over [[persistTracked]] when the plan consumes the intermediate
+    * from MANY subtrees: a checkpoint is a leaf, so consumers cannot
+    * re-derive it and the printed plan stays shallow, where a cache
+    * entry is re-planned (and its cached derivation re-printed/re-walked)
+    * at every reference. Eager: the derivation runs HERE, not at first
+    * downstream action. */
+  private[graft] def checkpointTracked[T](ds: Dataset[T]): Dataset[T] = {
+    val cp = ds.localCheckpoint()
+    tracked.add(cp)
+    cp
+  }
+
   /** Persist `ds` into the INDEX registry: caches whose lifetime is an
     * index object's (IVF assignments), which must SURVIVE the per-query
     * [[releaseAll]] drain — an ANN service probes one materialized
@@ -100,12 +115,15 @@ object Caches {
   def trackedIndexCount: Int = indexTracked.size()
 
   /** Unpersist every tracked dataset; returns how many were released.
-    * Thread-safe; entries are drained, so a second call is a no-op. */
+    * Thread-safe; entries are drained, so a second call is a no-op.
+    * Deep: also releases `localCheckpoint` backing RDDs
+    * ([[checkpointTracked]] entries), which `Dataset.unpersist` alone
+    * cannot reach; a no-op for plain cached entries. */
   def releaseAll(blocking: Boolean = false): Int = {
     var n = 0
     var ds = tracked.poll()
     while (ds != null) {
-      ds.unpersist(blocking)
+      unpersistDeep(ds, blocking)
       n += 1
       ds = tracked.poll()
     }

@@ -810,6 +810,40 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus-wide top word bigrams — the collocation census (the n-gram
+    // LM / phrase-mining first pass). Token positions explode once into
+    // a tracked-persisted frame; adjacency is a co-partitioned
+    // SELF-EQUI-JOIN on (doc_id, position) — no HOF over token arrays,
+    // no per-doc window — and the bigram count partial-aggregates
+    // map-side. All-integer, ties at the top-20 cut broken by the ngram
+    // string → a total order → TakeOrderedAndProject.
+    QueryDef.of("top_ngrams",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |), bi AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i + 1])) AS ngram
+        |  FROM toks WHERE len(ts) >= 2
+        |)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM bi GROUP BY ngram
+        |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin) { (s, dir) =>
+      import graft.operators.Caches
+      val toks = Caches.persistTracked(Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w"))))
+      toks.as("a")
+        .join(toks.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("b.pos") === col("a.pos") + 1)
+        .select(concat_ws(" ", col("a.w"), col("b.w")).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("ngram"))
+        .limit(20)
+    },
+
     // BPE vocabulary induction, step one: the top adjacent character-pair
     // counts over the whitespace-token stream — exactly the statistic the
     // first byte-pair-encoding merge maximizes (Sennrich et al.; counts

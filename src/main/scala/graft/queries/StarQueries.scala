@@ -1197,6 +1197,74 @@ object StarQueries {
         .select(col("k").as("c_custkey"), col("recency").as("recency_us"),
           col("frequency"), col("monetary"))
         .orderBy("c_custkey")
+    },
+
+    // Hourly-count anomaly detection per event type: population z-score
+    // of each (type, hour) count within its type's series, top-20 by
+    // |z|. The z is the INTEGER-LIFTED (n·x − Σx)/√(n·Σx² − (Σx)²) —
+    // exact BIGINT moments, ONE division + ONE sqrt, the discriminant
+    // exactly ≥ 0 by Cauchy–Schwarz — so both engines produce identical
+    // bits and even the |z|-DESC ordering agrees.
+    QueryDef.of("events_anomaly",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+        |), c AS (
+        |  SELECT event_type, h, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cnt) AS BIGINT) AS sx,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT c.event_type, c.h AS hour, c.cnt,
+        |  CAST(m.n * c.cnt - m.sx AS DOUBLE) /
+        |    sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)) AS z
+        |FROM c JOIN m USING (event_type)
+        |WHERE m.n * m.sxx - m.sx * m.sx <> 0
+        |ORDER BY abs(z) DESC, event_type, hour LIMIT 20""".stripMargin) { (s, dir) =>
+      val counts = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hour"))
+        .groupBy("event_type", "hour").agg(count(lit(1)).as("cnt"))
+      graft.operators.Timeseries.zscoreAnomalies(counts,
+          key = "event_type", time = "hour", value = "cnt")
+        .filter(col("z").isNotNull)
+        .select(col("k").as("event_type"), col("t").as("hour"),
+          col("x").as("cnt"), col("z"))
+        .orderBy(abs(col("z")).desc, col("event_type"), col("hour"))
+        .limit(20)
+    },
+
+    // Exponentially-smoothed hourly rate per event type (EWMA, α = 0.5):
+    // the recurrence is inherently sequential, so it runs as a SORTED
+    // FOLD over each type's hour series seeded with the first value —
+    // DuckDB's seedless list_reduce replays it step-for-step (its
+    // implicit seed IS the first element, mirrored by folding the tail).
+    QueryDef.of("events_ewma",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+        |), c AS (
+        |  SELECT event_type, h, CAST(count(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+        |    list_transform(
+        |      list_sort(list(struct_pack(t := h, x := CAST(x AS DOUBLE)))),
+        |      s -> s.x) AS xs
+        |  FROM c GROUP BY event_type
+        |)
+        |SELECT event_type, n_points,
+        |  list_reduce(xs, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+        |FROM g ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val counts = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hour"))
+        .groupBy("event_type", "hour").agg(count(lit(1)).as("cnt"))
+      graft.operators.Timeseries.ewma(counts,
+          key = "event_type", time = "hour", value = "cnt", alpha = 0.5)
+        .select(col("k").as("event_type"), col("n_points"), col("ewma"))
+        .orderBy("event_type")
     }
   )
 }
