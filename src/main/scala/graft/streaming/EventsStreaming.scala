@@ -28,6 +28,20 @@ case class AsofOut(left_id: Long, key: Long, ts_us: Long,
 case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long,
     duration_us: Long)
 
+/** A buffered event awaiting watermark finality in
+  * [[EventsStreaming.transitions]]. */
+case class TransEvent(us: Long, eventId: Long, ty: String)
+
+/** Per-user state for [[EventsStreaming.transitions]]: the last FINALIZED
+  * event (the bridge into the next batch of the sequence — fixed size per
+  * key), plus the above-watermark buffer the horizon bounds. */
+case class TransState(hasLast: Boolean, lastUs: Long, lastId: Long,
+    lastTy: String, buffer: List[TransEvent])
+
+/** One finalized consecutive-event transition. */
+case class TransitionOut(user_id: Long, from_type: String, to_type: String,
+    from_us: Long, to_us: Long)
+
 /**
  * Structured Streaming tier. The reference is strictly batch (SURVEY.md
  * §2.10 — finite input, full barrier before results), so everything here is
@@ -313,6 +327,77 @@ object EventsStreaming {
             }
             out.result().iterator
           }
+      }
+  }
+
+  /**
+   * Streaming twin of the batch transition matrix ([[graft.operators
+   * .Markov.transitions]] / the `events_markov` query): emits one row per
+   * FINALIZED consecutive-event pair per user, append-mode. Downstream a
+   * plain streaming `groupBy(from_type, to_type).count()` maintains the
+   * live transition counts.
+   *
+   * Ordering under out-of-order delivery is the asofJoin finality
+   * argument: a pair (a → b) may only be emitted once NO event can still
+   * arrive between a and b — i.e. once the watermark passes b (strict
+   * `us < watermark`; an event exactly AT the watermark can still legally
+   * arrive). So events buffer in state until final, then the finalized
+   * prefix — sorted by the same unique (us, event_id) order the batch
+   * operator uses — emits its consecutive pairs, and the LAST finalized
+   * event is carried as the bridge into the next batch (fixed-size per
+   * key, the asofJoin carry pattern). Buffer size is bounded by the
+   * watermark horizon; an EVENT-TIME TIMEOUT flushes buffered events for
+   * users whose streams go quiet. On a closed stream the emitted pair
+   * multiset equals the batch operator's input pairs exactly
+   * (StreamingSpec asserts this on randomized out-of-order streams).
+   *
+   * `events` needs (userCol, tsCol, idCol, typeCol).
+   */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type",
+      watermarkDelay: String = "2 hours"): Dataset[TransitionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermarked ts column must survive the select for the
+    // event-time timeout to be allowed (same constraint as sessionize)
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col(userCol).cast("long").as("user"),
+        unix_micros(col(tsCol)).as("us"),
+        col(idCol).cast("long").as("event_id"),
+        col(typeCol).cast("string").as("ty"), col(tsCol).as("ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, TransitionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state: GroupState[TransState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption
+            .getOrElse(TransState(false, 0L, 0L, "", Nil))
+          if (!state.hasTimedOut) {
+            val add = rows.map(r => TransEvent(r._2, r._3, r._4)).toList
+            st = st.copy(buffer = st.buffer ++ add)
+          }
+          val (fin, keep) = st.buffer.partition(_.us < wmUs)
+          val ordered = fin.sortBy(e => (e.us, e.eventId))
+          val seq0 =
+            (if (st.hasLast) List(TransEvent(st.lastUs, st.lastId, st.lastTy))
+             else Nil) ++ ordered
+          val out = seq0.zip(seq0.drop(1)).map { case (a, b) =>
+            TransitionOut(userId, a.ty, b.ty, a.us, b.us)
+          }
+          val last = ordered.lastOption.map(e => (e.us, e.eventId, e.ty))
+            .orElse(if (st.hasLast) Some((st.lastUs, st.lastId, st.lastTy))
+                    else None)
+          val ns = TransState(last.isDefined,
+            last.map(_._1).getOrElse(0L), last.map(_._2).getOrElse(0L),
+            last.map(_._3).getOrElse(""), keep)
+          state.update(ns)
+          // only a non-empty buffer needs a watermark-advance wake-up; a
+          // bare carried-last waits for new input (it emits nothing alone)
+          if (ns.buffer.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          out.iterator
       }
   }
 }

@@ -640,4 +640,87 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed.size == 3)
     } finally q.stop()
   }
+
+  test("transitions: out-of-order delivery, watermark finality, carried-last bridge") {
+    implicit val ctx = spark.sqlContext
+    def usOf(ts: Timestamp) = ts.getTime * 1000L
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = EventsStreaming.transitions(
+        in.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: the MIDDLE and LAST events arrive first; the first is
+      // still in flight — nothing may be emitted yet (a pair emitted now
+      // would be wrong once 10:00 lands)
+      in.addData((1L, t(10, 30), 2L, "click"), (1L, t(11, 0), 3L, "buy"))
+      q.processAllAvailable()
+      assert(spark.table("trans_stream").isEmpty)
+      // batch 2: the 10:00 event arrives OUT OF ORDER (inside the 2h
+      // horizon); batch 3 advances the watermark past 11:00 and the
+      // timeout flushes the finalized prefix in (us, id) order
+      in.addData((1L, t(10, 0), 1L, "view"))
+      q.processAllAvailable()
+      in.addData((99L, t(14, 0), 999L, "x"))
+      q.processAllAvailable()
+      in.addData((99L, t(14, 1), 998L, "x"))
+      q.processAllAvailable()
+      val afterFlush = spark.table("trans_stream")
+        .as[TransitionOut].collect().filter(_.user_id != 99L).toSet
+      assert(afterFlush == Set(
+        TransitionOut(1L, "view", "click", usOf(t(10, 0)), usOf(t(10, 30))),
+        TransitionOut(1L, "click", "buy", usOf(t(10, 30)), usOf(t(11, 0)))))
+      // batch 4: a later event bridges off the CARRIED last (buy), which
+      // left the buffer when it finalized
+      in.addData((1L, t(12, 30), 4L, "error"))
+      q.processAllAvailable()
+      in.addData((99L, t(16, 0), 997L, "x"))
+      q.processAllAvailable()
+      in.addData((99L, t(16, 1), 996L, "x"))
+      q.processAllAvailable()
+      val got = spark.table("trans_stream")
+        .as[TransitionOut].collect().filter(_.user_id != 99L).toSet
+      assert(got == afterFlush +
+        TransitionOut(1L, "buy", "error", usOf(t(11, 0)), usOf(t(12, 30))))
+    } finally q.stop()
+  }
+
+  test("transitions pair multiset equals the batch Markov input on randomized out-of-order streams") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    val types = Seq("view", "click", "buy", "error")
+    val events = (1 to 120).map { i =>
+      (rnd.nextInt(5).toLong + 1L, t(9 + rnd.nextInt(4), rnd.nextInt(60)),
+        i.toLong, types(rnd.nextInt(4)))
+    }
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = EventsStreaming.transitions(
+        in.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("trans_rand")
+      .outputMode("append").start()
+    try {
+      // near-ordered delivery (the asofJoin random-test shape): slices
+      // advance in time so the 1-minute watermark drops nothing, while
+      // each slice is internally SHUFFLED for out-of-order arrival
+      events.sortBy(_._2.getTime).grouped(40).foreach { b =>
+        in.addData(rnd.shuffle(b): _*); q.processAllAvailable()
+      }
+      // two sentinel advances: the first moves the watermark past every
+      // event, the second fires the flush timeouts it armed
+      in.addData((99L, t(20, 0), 999L, "x")); q.processAllAvailable()
+      in.addData((99L, t(20, 1), 998L, "x")); q.processAllAvailable()
+      val streamed = spark.table("trans_rand")
+        .as[TransitionOut].collect().filter(_.user_id != 99L)
+        .groupBy(o => (o.from_type, o.to_type)).map { case (k, v) => k -> v.size.toLong }
+      val batch = graft.operators.Markov.transitions(
+          events.toDF("user_id", "ts", "event_id", "event_type")
+            .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type"),
+          key = "user_id", time = "us", typ = "event_type",
+          tieBreak = "event_id")
+        .as[(String, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
