@@ -63,6 +63,29 @@ object Similarity {
   }
 
   /**
+   * k-NEAREST-NEIGHBOR CLASSIFICATION — majority vote over the exact
+   * cosine top-k (self-pairs excluded): the simplest embedding-space
+   * classifier, and the standard label-propagation / weak-labeling
+   * primitive of a training-data pipeline. Votes are exact integers and
+   * the winner is picked under the TOTAL order (votes DESC, label ASC) —
+   * a deterministic tie-break an oracle replays exactly; the per-query
+   * rank window is bounded by k rows per query, never data-sized.
+   * `corpus` needs (vec_id, embedding, labelCol). Returns
+   * (query_id, pred_label, votes).
+   */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("votes"), col("pred_label"))
+    bruteForceTopK(queries, corpus, k)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col(labelCol).as("pred_label")), "neighbor_id")
+      .groupBy("query_id", "pred_label").agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("query_id", "pred_label", "votes")
+  }
+
+  /**
    * LSH-bucketed approximate top-k: both sides get `bands` band values from a
    * `nBits` hyperplane signature; a query meets only corpus vectors sharing a
    * band value (multi-probe across bands), then exact cosine rescoring and

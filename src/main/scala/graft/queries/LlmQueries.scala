@@ -545,6 +545,37 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // kNN CLASSIFICATION over the certified exact top-5 (same query set
+    // as ann_topk, whose per-rank neighbor set is hash-certified): the
+    // label-propagation / weak-labeling primitive. Votes are exact
+    // integers; the winner is rank 1 under the TOTAL order (votes DESC,
+    // label ASC) — the per-query window is ≤ k rows, never data-sized.
+    QueryDef.of("knn_classify",
+      """WITH nn AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10
+        |), v AS (
+        |  SELECT nn.query_id, e.label AS pred_label,
+        |    CAST(count(*) AS BIGINT) AS votes
+        |  FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+        |  WHERE nn.rnk <= 5 GROUP BY 1, 2
+        |), p AS (
+        |  SELECT query_id, pred_label, votes, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY votes DESC, pred_label) AS rn
+        |  FROM v
+        |)
+        |SELECT query_id, pred_label, votes FROM p WHERE rn = 1
+        |ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnClassify(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .orderBy("query_id")
+    },
+
     // LSH-bucketed ANN (the 100 TB path): approximate by construction at
     // this operating point, so rows-only — exactness of the bucketing
     // machinery is covered by SimilaritySpec against the brute-force path.

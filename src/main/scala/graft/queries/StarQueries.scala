@@ -1265,6 +1265,42 @@ object StarQueries {
           key = "event_type", time = "hour", value = "cnt", alpha = 0.5)
         .select(col("k").as("event_type"), col("n_points"), col("ewma"))
         .orderBy("event_type")
+    },
+
+    // Per-brand Pearson correlation of order quantity vs part size — the
+    // grouped-statistics row. Both variables are integer-valued, so all
+    // five moments are exact BIGINTs and r is the INTEGER-LIFTED
+    // (n·Σxy − Σx·Σy)/(√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²)) — one division
+    // over a product of two exact-integer sqrts, no cancellation hazard,
+    // identical bits in both engines. The part dim joins broadcast.
+    QueryDef.of("corr_brand",
+      """WITH j AS (
+        |  SELECT p.p_brand, CAST(l.l_quantity AS BIGINT) AS x,
+        |    CAST(p.p_size AS BIGINT) AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |), m AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT p_brand, n AS n_rows,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |       ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |            (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |             sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |  END AS r
+        |FROM m ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      graft.operators.Stats.pearsonByGroup(
+          Tables.lineitem(s, dir)
+            .join(Tables.part(s, dir),
+              col("l_partkey") === col("p_partkey"))
+            .select(col("p_brand"), col("l_quantity"), col("p_size")),
+          group = "p_brand", x = "l_quantity", y = "p_size")
+        .select(col("g").as("p_brand"), col("n_rows"), col("r"))
+        .orderBy("p_brand")
     }
   )
 }

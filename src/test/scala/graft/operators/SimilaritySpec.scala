@@ -44,6 +44,33 @@ class SimilaritySpec extends SparkSpecBase {
     for (q <- qids) assert(got(q) == ref(q), s"query $q")
   }
 
+  test("knnClassify: majority vote, self-exclusion, deterministic min-label tie-break") {
+    // 2-d toy space: two "A" (label 1) vectors hug the x-axis, one "B"
+    // (label 2) sits on y; query 10 points essentially at x
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.0f, 1.0f), 2),
+      (10L, Array(1.0f, 0.05f), 2)).toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") === 10L)
+    // k=3: neighbors {1,2,3} (self excluded) → votes 1→2, 2→1 → label 1;
+    // the query's OWN label (2) must not leak into the vote
+    val got3 = Similarity.knnClassify(q, corpus, k = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got3 == Seq((10L, 1, 2L)))
+    // k=1: single nearest (vec 1, label 1)
+    val got1 = Similarity.knnClassify(q, corpus, k = 1)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got1 == Seq((10L, 1, 1L)))
+    // vote tie: two labels at 1 vote each → the SMALLER label wins
+    val q2 = Seq((20L, Array(0.7f, 0.7f), 9)).toDF("vec_id", "embedding", "label")
+    val gotTie = Similarity.knnClassify(q2,
+        corpus.filter(col("vec_id") === 1L || col("vec_id") === 3L)
+          .unionByName(q2), k = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(gotTie == Seq((20L, 1, 1L)))
+  }
+
   test("lshTopK returns ranked, deduped, correctly-scored candidates") {
     val out = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, k = 4,
       nBits = 16, bands = 8).collect()

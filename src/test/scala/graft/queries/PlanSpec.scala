@@ -201,10 +201,12 @@ class PlanSpec extends SparkSpecBase {
     //  - lm_surprisal: the broadcast of the 1-row corpus-total frame
     //    (N) against the per-doc term lists (same pattern);
     //  - graph_triangles: the cross of its three 1-ROW stat aggregates
-    //    (node/wedge, edge, triangle counts) into the summary row.
+    //    (node/wedge, edge, triangle counts) into the summary row;
+    //  - knn_classify: the ann_topk broadcast QUERY BATCH (it composes
+    //    bruteForceTopK) under the vote aggregation.
     val allowedProduct =
       Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search",
-        "term_search_bm25", "lm_surprisal", "graph_triangles")
+        "term_search_bm25", "lm_surprisal", "graph_triangles", "knn_classify")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
