@@ -261,6 +261,55 @@ object StarQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // GROUPING SETS: caller-chosen set list — the general form ROLLUP and
+    // CUBE specialize ((rf, ls), (ls), ()) here, deliberately NOT the
+    // rollup chain). Exact integer sums (quantity is integer-valued), so
+    // no rounding anywhere; NULLS FIRST pinned on both sides.
+    QueryDef.of("grouping_sets_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // Inter-arrival time histogram: per-user lag deltas (the unique
+    // (µs, event_id) order), bucketed to minutes — all exact integer
+    // arithmetic (deltas nonneg, so Spark `div` ≡ DuckDB `//`). The lag
+    // window is the bounded per-user sessionization class; the histogram
+    // domain is |buckets|, partial-aggregated map-side.
+    QueryDef.of("events_interarrival",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |), d AS (
+        |  SELECT us - lag(us) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS delta
+        |  FROM e
+        |)
+        |SELECT CAST(delta // 60000000 AS BIGINT) AS minute_bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM d WHERE delta IS NOT NULL
+        |GROUP BY 1 ORDER BY minute_bucket""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("delta", col("us") - lag("us", 1).over(w))
+        .filter(col("delta").isNotNull)
+        .groupBy(expr("delta div 60000000").as("minute_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("minute_bucket")
+    },
+
     // CUBE: all grouping-set combinations.
     QueryDef.of("cube_agg",
       """SELECT l_returnflag, l_linestatus,
