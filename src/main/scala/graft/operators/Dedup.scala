@@ -424,6 +424,76 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /**
+   * INCREMENTAL ingest dedup: near-dup an incoming `batch` against an
+   * already-accepted `base` corpus — the daily-ingest shape (the dedup
+   * analogue of [[Similarity]]'s incremental IVF append). Returns the
+   * batch docs that survive: a batch doc is DROPPED iff its duplicate
+   * component (over near-dup pairs at `threshold`) contains ANY base doc
+   * (the base is immutable — a new copy of existing content never
+   * displaces it, whatever the ids say), or iff it is not the min-id
+   * member of a pure-batch component (the [[ngramJaccard]] survivor rule
+   * applied within the batch).
+   *
+   * THE scale property: no base×base work. Prefix postings
+   * (rare-`df`-first global order, same exactness theorem as
+   * [[ngramJaccard]](prefixFilter=true) — two qualifying prefixes must
+   * intersect) are built over base ∪ batch, but the candidate join's LEFT
+   * leg is restricted to BATCH prefixes, so candidate cost is
+   * Σ_batch-postings df — linear in the batch, never quadratic in the
+   * corpus — and the edge set handed to [[duplicateClusters]] only ever
+   * touches pairs with a batch member. Re-ingesting an empty batch costs
+   * one metadata-sized pass. Exactness: every qualifying (batch, any)
+   * pair shares a prefix shingle, and base-bridged batch merges (b1—e—b2)
+   * are found because base docs keep their full prefix on the right leg.
+   *
+   * Caller contract: `base.doc_id` and `batch.doc_id` are disjoint; both
+   * frames carry (doc_id, text). Output: surviving batch (doc_id) rows.
+   * Tracked-persist intermediates — materialize, then `Caches.releaseAll()`.
+   */
+  def incrementalNearDup(base: DataFrame, batch: DataFrame, k: Int = 3,
+      threshold: Double = 0.5, maxShingleDf: Int = 1000,
+      loopParts: Int = 0): DataFrame = {
+    val batchIds = batch.select(col("doc_id"))
+    val union = base.select(col("doc_id"), col("text"))
+      .unionAll(batch.select(col("doc_id"), col("text")))
+    val (shSets, dfTable) = shingleSets(union, k, maxShingleDf,
+      hashShingles = true)
+    // rare-first prefix per doc — identical construction to ngramJaccard's
+    // prefix path (ceil nudge and all); see the rationale there.
+    val nSh = size(col("ordered"))
+    val prefixLen = nSh - ceil(nSh * threshold - lit(1e-9)).cast("int") + 1
+    val prefixes = Caches.persistTracked(shSets
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(dfTable, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+      .select(col("doc_id"), prefixLen.as("plen"),
+        posexplode(col("ordered")).as(Seq("pos", "o")))
+      .filter(col("pos") < col("plen"))
+      .select(col("doc_id"), col("o").getField("s").as("s")))
+    // LEFT leg: batch prefixes only (broadcast id semi-join — ids, not text)
+    val l = prefixes.join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+      .select(col("s"), col("doc_id").as("ida"))
+    val r = prefixes.select(col("s"), col("doc_id").as("idb"))
+    val cand = l.join(r, "s")
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val pairs = verifyJaccard(cand, shSets, threshold)
+      .select("doc_a", "doc_b")
+    val comp = duplicateClusters(pairs, loopParts = loopParts)
+    // pure-batch component ⇔ every member is a batch doc
+    val isBase = comp.join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      .select(col("cluster")).distinct().withColumn("has_base", lit(1))
+    val dropped = comp.join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+      .join(isBase, Seq("cluster"), "left")
+      .filter(col("has_base").isNotNull || col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    batchIds.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** The decision [[nearDupAuto]] made: which engine, on what evidence. */
   final case class NearDupPlan(engine: String, dupFraction: Double,
       sampledDocs: Long, pairs: DataFrame)

@@ -448,6 +448,53 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // INCREMENTAL ingest dedup — the daily-ingest shape: batch = every
+    // 5th doc_id (standing in for today's crawl), base = the rest
+    // (already-accepted corpus). A batch doc is dropped iff its duplicate
+    // component over the RESTRICTED pair graph (only pairs touching the
+    // batch — the operator never does base×base work) contains a base doc,
+    // or iff it is not the min-id member of a pure-batch component. The
+    // oracle replays exactly that: exact-Jaccard pairs filtered to
+    // batch-touching edges, recursive-CTE components, base-anchored +
+    // min-id survivor rule. Exact on any corpus (prefix-filter exactness
+    // theorem — no separation assumption).
+    QueryDef.of("dedup_incremental",
+      shingleCte +
+        """,
+          |pr AS (
+          |  SELECT doc_a, doc_b FROM p
+          |  WHERE CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE) >= 0.5
+          |    AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+          |),
+          |edges AS (
+          |  SELECT doc_a AS s, doc_b AS d FROM pr
+          |  UNION ALL SELECT doc_b, doc_a FROM pr
+          |),
+          |reach AS (
+          |  WITH RECURSIVE r(src, node) AS (
+          |    SELECT DISTINCT s, s FROM edges
+          |    UNION
+          |    SELECT r.src, e.d FROM r JOIN edges e ON r.node = e.s
+          |  ) SELECT src, min(node) AS cluster,
+          |      max(CASE WHEN node % 5 <> 0 THEN 1 ELSE 0 END) AS has_base
+          |    FROM r GROUP BY src
+          |),
+          |dropped AS (
+          |  SELECT src AS doc_id FROM reach
+          |  WHERE src % 5 = 0 AND (has_base = 1 OR src <> cluster)
+          |)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      // loopParts pinned — see dedup_survivors' rationale
+      Dedup.incrementalNearDup(base, batch, k = 3, threshold = 0.5,
+          maxShingleDf = 1000, loopParts = 1)
+        .orderBy("doc_id")
+    },
+
     // Per-source duplication REPORT — the curation-dashboard view of the
     // dedup tier: for every document source, total docs, docs the exact
     // survivors pipeline would drop, and the drop rate. Same exact

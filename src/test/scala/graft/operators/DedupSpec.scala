@@ -227,6 +227,60 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("incrementalNearDup ≡ restricted-graph reference on the planted corpus") {
+    // reference semantics, computed locally: edges = true >=0.5 pairs with a
+    // batch member; components via union-find; batch doc drops iff its
+    // component holds a base doc, or it isn't the min-id of a pure-batch one
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val batchIds = all.map(_._1).filter(_ % 5 == 0).toSet
+    val edges = truePairs(0.5).filter(p => batchIds(p._1) || batchIds(p._2)).toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val byComp = parent.keys.toSeq.groupBy(find)
+    val dropped = byComp.values.flatMap { ms =>
+      val batchMs = ms.filter(batchIds)
+      if (ms.exists(!batchIds(_))) batchMs else batchMs.filter(_ != batchMs.min)
+    }.toSet
+    val expected = batchIds.diff(dropped)
+    val base = docs.select("doc_id", "text").filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.select("doc_id", "text").filter(col("doc_id") % 5 === 0)
+    val got = Dedup.incrementalNearDup(base, batch)
+      .as[Long].collect().toSet
+    Caches.releaseAll()
+    assert(got == expected)
+  }
+
+  test("incrementalNearDup: base anchors drops whatever the ids say; empty base = survivor rule") {
+    // batch doc 1 duplicates base doc 100 — the SMALLER id does not save it:
+    // the base is immutable, the copy drops. batch 2/3 are a pure-batch dup
+    // pair (min id 2 survives), batch 4 is untouched.
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq((100L, dupText)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, dupText),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "one two three four five six seven eight nine ten twelve"),
+      (4L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(base, batch).as[Long].collect().toSet
+    Caches.releaseAll()
+    assert(got == Set(2L, 4L))
+    // empty base: within-batch survivor rule only (≡ dedup_survivors on batch)
+    val emptyBase = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val solo = Dedup.incrementalNearDup(emptyBase, batch).as[Long].collect().toSet
+    Caches.releaseAll()
+    assert(solo == Set(1L, 2L, 4L))
+  }
+
   test("minhash hot-bucket cap drops boilerplate floods without skew windows") {
     // 200 identical docs → one giant band bucket; cap at 50 → bucket dropped,
     // so no candidate explosion and no pairs from the flood
