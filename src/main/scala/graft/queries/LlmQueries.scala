@@ -188,6 +188,61 @@ object LlmQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Oracle for `tfidf_topk`: recomputes the portable 62-bit shingle
+    * hashes (same folds as [[simhashScaleOracle]]) so the posting-join
+    * keys and the sorted-fold addition order match the engine exactly;
+    * tf/df/N are integer aggregates, weights/norms/dots mirror the Spark
+    * arithmetic op-for-op (ln, sorted list_reduce folds, sqrt, one
+    * division). */
+  private val tfidfOracle: String = {
+    def fold(mult: Int) =
+      s"""list_reduce(list_prepend(CAST(17 AS BIGINT),
+         |      list_transform(generate_series(1, length(t)),
+         |                     i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+         |      (h, c) -> (h * $mult + c) % 2147483647)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ts FROM documents
+       |), shl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+       |         ELSE list_transform(generate_series(1, len(ts) - 2),
+       |                             i -> array_to_string(ts[i:i+2], ' ')) END AS s
+       |  FROM toks
+       |), hx AS (
+       |  SELECT doc_id, unnest(list_transform(s, t ->
+       |    ${fold(31)}
+       |    | (${fold(37)} << 31))) AS h
+       |  FROM shl
+       |), tf AS (
+       |  SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf FROM hx GROUP BY 1, 2
+       |), dfx AS (
+       |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY h
+       |  HAVING count(*) <= 1000
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |w AS (
+       |  SELECT doc_id, h,
+       |    CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+       |  FROM tf JOIN dfx USING (h) CROSS JOIN nn
+       |), norms AS (
+       |  SELECT doc_id, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(list_sort(list(struct_pack(h := h, w := w))),
+       |                   x -> x.w * x.w)), (a, x) -> a + x)) AS nrm
+       |  FROM w GROUP BY doc_id
+       |), dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list_sort(list(struct_pack(h := a.h, p := a.w * b.w))),
+       |                     x -> x.p)), (acc, x) -> acc + x) AS dot
+       |  FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, dot / (na.nrm * nb.nrm) AS cosine
+       |FROM dots JOIN norms na ON dots.doc_a = na.doc_id
+       |          JOIN norms nb ON dots.doc_b = nb.doc_id
+       |WHERE na.nrm > 0.0 AND nb.nrm > 0.0
+       |ORDER BY cosine DESC, doc_a, doc_b LIMIT 100""".stripMargin
+  }
+
   /** Shared oracle for both survivors queries (exact-engine and composed
     * scale-engine detection — on the separated Verify corpora their pair
     * sets are provably equal, so one oracle certifies both): resolve
@@ -1546,6 +1601,21 @@ object LlmQueries {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+    },
+
+    // TF-IDF weighted cosine similarity join (top-100 pairs) — the
+    // weighted sibling of ngram_jaccard: rare shared shingles count more,
+    // boilerplate counts less. Terms are the PORTABLE 62-bit shingle
+    // hashes (the dedup_simhash_scale fold), which the oracle recomputes
+    // in SQL so join keys AND the sorted-fold order match bit-for-bit;
+    // tf/df/N are integer aggregates, each weight is one mirrored double
+    // expression, and every unbounded double sum (norms, dots) runs as
+    // the repo's standard sorted fold. Ranking lands in
+    // TakeOrderedAndProject; ties broken by ids in both engines.
+    QueryDef.of("tfidf_topk", tfidfOracle) { (s, dir) =>
+      graft.operators.Tfidf.cosinePairsTopK(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        k = 3, topK = 100, maxShingleDf = 1000)
     },
 
     // Corpus-overlap matrix: pairwise shingle-set Jaccard between SOURCES
