@@ -1284,6 +1284,51 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Contrastive training-pair generation (ICT-style): anchor = first
+    // half of each doc, positive = its own second half, negatives =
+    // other docs' second halves picked by pure modular arithmetic over
+    // the dense id domain (partner = (id + 1 + mix(id, j) mod (N-1))
+    // mod N — never the anchor itself, no global sort/window/rank, and
+    // the mix pre-reduces so DuckDB's overflow-checked BIGINT never
+    // trips). One positive + two negatives per doc; the oracle replays
+    // halving, mix, and partner join verbatim.
+    QueryDef.of("contrastive_pairs",
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents
+        |), hh AS (
+        |  SELECT doc_id, CAST(ceil(len(ts) / 2.0) AS BIGINT) AS hl,
+        |         len(ts) AS l, ts
+        |  FROM d WHERE len(ts) >= 4
+        |), halves AS (
+        |  SELECT doc_id, array_to_string(ts[1:hl], ' ') AS text_a,
+        |         array_to_string(ts[hl+1:l], ' ') AS text_b
+        |  FROM hh
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM halves),
+        |pos AS (
+        |  SELECT doc_id AS doc_a, doc_id AS doc_b, CAST(1 AS BIGINT) AS label,
+        |         CAST(0 AS BIGINT) AS nix, text_a, text_b
+        |  FROM halves
+        |), neg AS (
+        |  SELECT a.doc_id AS doc_a, CAST(c.nix AS BIGINT) AS nix,
+        |    (a.doc_id + 1 + (((a.doc_id * 1000003 + c.nix * 10007) % 1048573)
+        |       * 2654435761) % (n - 1)) % n AS doc_b,
+        |    a.text_a
+        |  FROM halves a CROSS JOIN nn
+        |       CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS nix) c
+        |), negj AS (
+        |  SELECT g.doc_a, g.doc_b, CAST(0 AS BIGINT) AS label, g.nix,
+        |         g.text_a, b.text_b
+        |  FROM neg g JOIN halves b ON g.doc_b = b.doc_id
+        |)
+        |SELECT doc_a, doc_b, label, nix, text_a, text_b FROM pos
+        |UNION ALL
+        |SELECT doc_a, doc_b, label, nix, text_a, text_b FROM negj
+        |ORDER BY doc_a, nix""".stripMargin) { (s, dir) =>
+      graft.operators.Contrastive.ictPairs(
+        Tables.documents(s, dir).select("doc_id", "text"), negatives = 2)
+    },
+
     // The curated corpus handed STRAIGHT to the trainer: curation pipeline
     // composed with sequence packing as one plan — the full
     // documents-to-training-sequences path, oracle-checked end-to-end.

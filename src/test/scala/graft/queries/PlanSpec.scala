@@ -204,12 +204,13 @@ class PlanSpec extends SparkSpecBase {
     //    (node/wedge, edge, triangle counts) into the summary row;
     //  - knn_classify: the ann_topk broadcast QUERY BATCH (it composes
     //    bruteForceTopK) under the vote aggregation.
-    //  - tfidf_topk: the broadcast of the 1-row corpus-size frame (N)
-    //    against the postings (the lm_surprisal pattern).
+    //  - tfidf_topk / contrastive_pairs: the broadcast of the 1-row
+    //    corpus-size frame (N) against the postings / anchors (the
+    //    lm_surprisal pattern).
     val allowedProduct =
       Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search",
         "term_search_bm25", "lm_surprisal", "graph_triangles", "knn_classify",
-        "tfidf_topk")
+        "tfidf_topk", "contrastive_pairs")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
