@@ -425,6 +425,65 @@ object Dedup {
   }
 
   /**
+   * CONTAINMENT-similarity join — the ASYMMETRIC near-dup detector:
+   * C(src→dst) = |sh(src) ∩ sh(dst)| / |sh(src)| is the fraction of the
+   * SOURCE doc's shingles found in dst, which is what excerpt/quote/
+   * boilerplate-envelope detection needs (a paragraph quoted inside a
+   * long page has tiny Jaccard — the union is dominated by the page —
+   * but containment ≈ 1 in the quote→page direction). Jaccard is the
+   * symmetric special case; this emits ORDERED (src, dst) pairs.
+   *
+   * Exact on any corpus, same prefix-filter theorem as [[ngramJaccard]]
+   * applied one-sided: C(src→dst) ≥ t needs ⌈t·n_src⌉ shared shingles,
+   * so if NONE of src's rarest n_src − ⌈t·n_src⌉ + 1 shingles (global
+   * rare-`df`-first order) hit dst, the shared set fits inside the
+   * remaining ⌈t·n_src⌉ − 1 — contradiction. Hence: PROBE-side prefixes
+   * join against FULL postings on the dst side (dst has no usable prefix
+   * — it may be arbitrarily larger than src), then exact verification on
+   * the full sets. At t = 0.8 the probe posts ~n/5 + 1 shingles per doc,
+   * so candidate cost is Σ_prefix-postings df — the same Zipf-robust
+   * bound as the Jaccard engine, one-sided.
+   *
+   * Output: (src, dst, containment ≥ `threshold`), exact scores.
+   * Tracked-persist intermediates — materialize, then
+   * `Caches.releaseAll()`.
+   */
+  def containmentPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val (shSets, dfTable) = shingleSets(docs, k, maxShingleDf,
+      hashShingles = true)
+    val postings = Caches.persistTracked(
+      shSets.select(col("doc_id"), explode(col("sh")).as("s")))
+    // rare-first probe prefix — ngramJaccard's construction (ceil nudge
+    // and all), only ever applied to the src side
+    val nSh = size(col("ordered"))
+    val prefixLen = nSh - ceil(nSh * threshold - lit(1e-9)).cast("int") + 1
+    val prefixes = postings
+      .join(dfTable, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+      .select(col("doc_id"), prefixLen.as("plen"),
+        posexplode(col("ordered")).as(Seq("pos", "o")))
+      .filter(col("pos") < col("plen"))
+      .select(col("doc_id").as("src"), col("o").getField("s").as("s"))
+    val cand = prefixes
+      .join(postings.select(col("s"), col("doc_id").as("dst")), "s")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .dropDuplicates("src", "dst")
+    cand
+      .join(shSets.select(col("doc_id").as("src"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "src")
+      .join(shSets.select(col("doc_id").as("dst"), col("sh").as("sh_b")),
+        "dst")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("src", "dst", "containment")
+  }
+
+  /**
    * INCREMENTAL ingest dedup: near-dup an incoming `batch` against an
    * already-accepted `base` corpus — the daily-ingest shape (the dedup
    * analogue of [[Similarity]]'s incremental IVF append). Returns the

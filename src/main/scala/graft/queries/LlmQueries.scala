@@ -503,6 +503,30 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Containment-similarity join — ASYMMETRIC near-dup: the fraction of
+    // the SOURCE doc's shingles found in dst (excerpt/quote detection —
+    // tiny Jaccard, containment ≈ 1 in the quote→page direction). Exact
+    // on any corpus via the one-sided prefix filter (probe prefixes ×
+    // full postings); the oracle derives both ordered directions from
+    // the same exact intersection CTE, the score is one mirrored integer
+    // division. Ordered pairs, total order on (src, dst).
+    QueryDef.of("dedup_containment",
+      shingleCte +
+        """
+          |SELECT src, dst, containment FROM (
+          |  SELECT doc_a AS src, doc_b AS dst,
+          |    CAST(i AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+          |  FROM p
+          |  UNION ALL
+          |  SELECT doc_b, doc_a, CAST(i AS DOUBLE) / CAST(n_b AS DOUBLE)
+          |  FROM p
+          |) WHERE containment >= 0.8
+          |ORDER BY src, dst""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), k = 3,
+          threshold = 0.8, maxShingleDf = 1000)
+        .orderBy("src", "dst")
+    },
+
     // INCREMENTAL ingest dedup — the daily-ingest shape: batch = every
     // 5th doc_id (standing in for today's crawl), base = the rest
     // (already-accepted corpus). A batch doc is dropped iff its duplicate

@@ -227,6 +227,34 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("containmentPairs ≡ exact asymmetric reference on the planted corpus") {
+    val local = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val expected = (for {
+      (ida, a) <- local.toSeq; (idb, b) <- local.toSeq
+      if ida != idb
+      sa = refShingles(a); sb = refShingles(b)
+      c = (sa & sb).size.toDouble / sa.size.toDouble
+      if c >= 0.8
+    } yield (ida, idb, c)).sortBy(p => (p._1, p._2))
+    val got = Dedup.containmentPairs(docs)
+      .orderBy("src", "dst").as[(Long, Long, Double)].collect().toSeq
+    Caches.releaseAll()
+    assert(got == expected) // exact scores — one integer division each
+  }
+
+  test("containment is direction-aware: an excerpt is found quote→page, not page→quote") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val page = quote + " followed by a much longer body of entirely " +
+      "unrelated prose that keeps going on and on about other things " +
+      "for many more tokens than the quoted fragment itself contains"
+    val corpus = Seq((1L, quote), (2L, page)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    Caches.releaseAll()
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L))) // one direction only
+    assert(got.head._3 == 1.0) // every quote shingle is in the page
+  }
+
   test("incrementalNearDup ≡ restricted-graph reference on the planted corpus") {
     // reference semantics, computed locally: edges = true >=0.5 pairs with a
     // batch member; components via union-find; batch doc drops iff its

@@ -162,7 +162,8 @@ class PlanSpec extends SparkSpecBase {
     // arithmetic; this pin keeps it that way.
     for (name <- Seq("dedup_minhash", "dedup_simhash", "dedup_simhash_scale",
         "ngram_jaccard", "dedup_exact", "dedup_fingerprint", "dedup_embedding",
-        "dedup_survivors", "dedup_survivors_composed", "corpus_sample",
+        "dedup_survivors", "dedup_survivors_composed", "dedup_containment",
+        "dedup_incremental", "corpus_sample",
         "decontaminate", "text_repetition", "corpus_mix", "curation_pipeline",
         "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_exact")) {
       val p = plan(name)
