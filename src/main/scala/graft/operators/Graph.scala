@@ -37,6 +37,65 @@ import org.apache.spark.sql.functions._
  */
 object Graph {
 
+  /**
+   * PAGERANK (Page et al. 1999) over a DIRECTED distinct edge list, k
+   * fixed power-iteration steps — the graph-centrality completion of the
+   * toolkit (components: [[Dedup.duplicateClusters]]; local structure:
+   * [[triangleStats]]).
+   *
+   * Caller contract: `edges` are distinct (src, dst) pairs and every
+   * node appears as a src (no dangling nodes — pass both directions for
+   * an undirected graph, which guarantees it); the graph is non-empty.
+   *
+   * Determinism is engineered the repo's standard way: degrees and N are
+   * integer aggregates; each iteration's per-node incoming mass is a
+   * SORTED fold (sort_array by contributor id → aggregate), so the
+   * double-addition order is a pure function of the graph and DuckDB
+   * replays it term-for-term (list_sort + list_reduce); the update
+   * (1−d)/N + d·Σ is one fixed-shape expression with the jump constant
+   * computed ONCE driver-side ((1.0 − d)/N — the oracle spells the same
+   * subtraction, never a pre-folded 0.15 literal, because 1.0 − 0.85
+   * is NOT 0.15 in IEEE doubles).
+   *
+   * Scale shape: the (src, dst, deg) contribution base is built once and
+   * checkpoint-tracked (k iterations re-read it without re-deriving);
+   * each step is one equi-join (rank onto src) + one partial-aggregated
+   * groupBy(dst) — never a window, never a cartesian; node count N is
+   * the one bounded driver-side collect (a single long). k=O(10) steps
+   * of join+agg is the standard distributed PageRank shape — at 1000
+   * executors each step is one shuffle of |E| (long, long, double) rows.
+   *
+   * Output: (node, pr) — rank after `iterations` steps.
+   */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+      damping: Double = 0.85, src: String = "src", dst: String = "dst"):
+      DataFrame = {
+    val e = edges.select(col(src), col(dst)).distinct()
+    val deg = e.groupBy(src).agg(count(lit(1)).as("deg"))
+    val base = Caches.checkpointTracked(e.join(deg, src))
+    val nodes = Caches.checkpointTracked(deg.select(col(src).as("node")))
+    val n = nodes.count() // bounded eager job: ONE driver-side long
+    val jump = (1.0 - damping) / n.toDouble
+    var r = nodes.select(col("node"), lit(1.0 / n.toDouble).as("pr"))
+    for (_ <- 1 to iterations) {
+      val sums = base
+        .join(r.select(col("node").as(src), col("pr")), src)
+        .select(col(dst),
+          struct(col(src), (col("pr") / col("deg").cast("double")).as("c"))
+            .as("sc"))
+        .groupBy(dst)
+        .agg(sort_array(collect_list(col("sc"))).as("cs"))
+        .select(col(dst).as("node"),
+          aggregate(col("cs"), lit(0.0d),
+            (a, x) => a + x.getField("c")).as("s"))
+      r = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(jump) + lit(damping) * coalesce(col("s"), lit(0.0d)))
+            .as("pr"))
+    }
+    r
+  }
+
   /** One-row exact summary of the undirected graph given by (`src`,`dst`)
     * pairs (self-loops dropped, parallel/reversed duplicates collapsed):
     * n_nodes, n_edges, n_wedges (= Σ_v C(deg v, 2)), n_triangles, and

@@ -17,6 +17,49 @@ import graft.sources.Tables
  */
 object StarQueries {
 
+  /** Oracle for `graph_pagerank`: k power-iteration steps unrolled as a
+    * CTE chain (the bpe_merges technique). Each level replays the
+    * engine's update exactly: per-node incoming mass as a sorted fold
+    * over (contributor id, rank/deg) structs, then
+    * (1.0 − 0.85)/N + 0.85·Σ — the jump term spelled as the SAME
+    * subtraction the driver computes, with BOTH literals cast to DOUBLE:
+    * DuckDB parses bare 1.0/0.85 as DECIMAL and folds the subtraction
+    * EXACTLY to 0.15, which is NOT the binary (1.0 − 0.85) =
+    * 0.15000000000000002 the JVM computes — a one-ulp mismatch that
+    * compounds through the iterations (measured: last-digit drift at
+    * sf0.01 before the casts). */
+  private def pageRankOracle(k: Int): String = {
+    def level(i: Int): String =
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(n AS DOUBLE)
+         |      + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
+         |  FROM nodes nd CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_sort(list(struct_pack(src := e.src,
+         |        c := r.pr / CAST(d.deg AS DOUBLE)))), x -> x.c)),
+         |      (a, x) -> a + x) AS s
+         |    FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY e.dst
+         |  ) s ON nd.node = s.dst
+         |)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e AS (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+       |), deg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+       |), nodes AS (SELECT src AS node FROM deg),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT node, 1.0 / CAST(n AS DOUBLE) AS pr FROM nodes CROSS JOIN nn
+       |),
+       |${(1 to k).map(level).mkString(",\n")}
+       |SELECT node, pr FROM r$k ORDER BY node""".stripMargin
+  }
+
   /** Deliberately-skewed fact: every even orderkey maps to skew_key 0 (50%
     * of lineitem — 300k rows at sf0.1 on one key), the rest spread over
     * 1..199. qty is exact (l_quantity is integer-valued; summed as BIGINT
@@ -1350,6 +1393,26 @@ object StarQueries {
           group = "p_brand", x = "l_quantity", y = "p_size")
         .select(col("g").as("p_brand"), col("n_rows"), col("r"))
         .orderBy("p_brand")
+    },
+
+    // PageRank over the item co-purchase graph (5 power-iteration steps,
+    // damping 0.85): which parts sit centrally in the "bought together"
+    // network — the graph-centrality view next to graph_triangles' local
+    // structure and basket_pairs' raw co-occurrence. The symmetrized
+    // distinct edge set guarantees no dangling nodes; degrees/N are
+    // integers, every per-node incoming sum is a sorted fold, and the
+    // oracle unrolls the 5 steps as a CTE chain (the bpe_merges
+    // technique) replaying each fold with list_sort + list_reduce.
+    QueryDef.of("graph_pagerank", pageRankOracle(5)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.pageRank(e, iterations = 5)
+        .orderBy("node")
     },
 
     // Declarative data-quality audit over the star schema — the

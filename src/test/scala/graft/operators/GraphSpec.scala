@@ -76,4 +76,50 @@ class GraphSpec extends SparkSpecBase {
       assert(got._5 == expClustering)
     }
   }
+
+  /** Plain-Scala power iteration with the operator's exact fold order
+    * (contributions sorted by source id, jump = (1.0−d)/n). */
+  private def prReference(edges: Seq[(Long, Long)], k: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = deg.keys.toSeq.sorted
+    val n = nodes.size
+    val jump = (1.0 - d) / n.toDouble
+    var r = nodes.map(_ -> 1.0 / n.toDouble).toMap
+    for (_ <- 1 to k) {
+      val in = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(_._1).sorted.foldLeft(0.0)((a, s) =>
+          a + r(s) / deg(s).toDouble)
+      }
+      r = nodes.map(v => v -> (jump + d * in.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("pageRank is bit-equal to a plain power-iteration reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val raw = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+    val sym = raw ++ raw.map(_.swap) // no dangling nodes
+    val got = Graph.pageRank(sym.toDF("src", "dst"), iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    Caches.releaseAll()
+    assert(got == prReference(sym, 5)) // exact doubles — same fold order
+    // total mass stays ~1 (jump + conservation; fp-tolerant check)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank ranks a star's hub above its spokes") {
+    import spark.implicits._
+    val spokes = (1L to 8L)
+    val edges = spokes.flatMap(s => Seq((0L, s), (s, 0L)))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    Caches.releaseAll()
+    assert(spokes.forall(s => got(0L) > got(s)))
+    // spokes are symmetric — identical rank, bit-for-bit
+    assert(spokes.map(got).distinct.size == 1)
+  }
 }
