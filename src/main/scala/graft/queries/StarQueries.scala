@@ -1395,6 +1395,62 @@ object StarQueries {
         .orderBy("p_brand")
     },
 
+    // Robust per-type location/scale/outlier summary of the events value
+    // stream: lower median, MAD, and the |v − med| > 3·MAD outlier count
+    // — the robust sibling of events_anomaly's mean/stddev z-score
+    // (~11% of events sit in the heavy tail the robust rule flags and a
+    // stddev absorbs). EVERY output is a BIGINT (floored values,
+    // rank-selected medians, integer comparisons) — no floating point to
+    // mirror; the windows run over the bounded per-(type, value)
+    // histogram, never the raw stream.
+    QueryDef.of("robust_stats",
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), e AS (
+        |  SELECT event_type, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h
+        |), med AS (
+        |  SELECT event_type, max(n) AS n_rows,
+        |    min(CASE WHEN cum >= (n - 1) // 2 + 1 THEN v END) AS median
+        |  FROM e GROUP BY event_type
+        |), dev AS (
+        |  SELECT h.event_type, abs(h.v - m.median) AS v,
+        |    CAST(sum(h.cnt) AS BIGINT) AS cnt
+        |  FROM h JOIN med m ON h.event_type = m.event_type GROUP BY 1, 2
+        |), e2 AS (
+        |  SELECT event_type, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM dev
+        |), mad AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum >= (n - 1) // 2 + 1 THEN v END) AS mad
+        |  FROM e2 GROUP BY event_type
+        |), outl AS (
+        |  SELECT h.event_type,
+        |    CAST(sum(CASE WHEN abs(h.v - m.median) > 3 * d.mad
+        |      THEN h.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM h JOIN med m ON h.event_type = m.event_type
+        |         JOIN mad d ON h.event_type = d.event_type
+        |  GROUP BY h.event_type
+        |)
+        |SELECT m.event_type, m.n_rows, m.median, d.mad, o.n_outliers
+        |FROM med m JOIN mad d ON m.event_type = d.event_type
+        |           JOIN outl o ON m.event_type = o.event_type
+        |ORDER BY m.event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Stats.robustStatsByGroup(
+          Tables.events(s, dir)
+            .select(col("event_type"), floor(col("value")).as("vf")),
+          group = "event_type", value = "vf", k = 3)
+        .select(col("g").as("event_type"), col("n_rows"), col("median"),
+          col("mad"), col("n_outliers"))
+        .orderBy("event_type")
+    },
+
     // PageRank over the item co-purchase graph (5 power-iteration steps,
     // damping 0.85): which parts sit centrally in the "bought together"
     // network — the graph-centrality view next to graph_triangles' local

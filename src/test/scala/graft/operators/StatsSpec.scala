@@ -52,4 +52,36 @@ class StatsSpec extends SparkSpecBase {
     assert(got("lin")._2 == Some(1.0) && got("anti")._2 == Some(-1.0) &&
       got("flat")._2.isEmpty)
   }
+
+  private def robust(rows: Seq[(String, Long)], k: Int = 3) =
+    Stats.robustStatsByGroup(rows.toDF("g", "v"), group = "g", value = "v",
+        k = k)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+
+  test("robustStatsByGroup matches a sort-based reference (lower median, MAD, k·MAD rule)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (for (g <- Seq("a", "b"); _ <- 1 to 301)
+      yield (g, rnd.nextInt(50).toLong)) ++
+      Seq.fill(10)(("a", 500L)) // planted far outliers in one group
+    val got = robust(rows)
+    Caches.releaseAll()
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val vs = xs.map(_._2).sorted
+      val med = vs((vs.size - 1) / 2)
+      val devs = vs.map(v => math.abs(v - med)).sorted
+      val mad = devs((devs.size - 1) / 2)
+      val out = vs.count(v => math.abs(v - med) > 3 * mad)
+      assert(got(g) == ((vs.size.toLong, med, mad, out.toLong)), g)
+    }
+    // the planted spikes are outliers in 'a' and don't leak into 'b'
+    assert(got("a")._4 >= 10L && got("b")._4 == 0L)
+  }
+
+  test("MAD is immune to the tail that moves a stddev (constant group: MAD 0)") {
+    val got = robust(Seq(("c", 7L), ("c", 7L), ("c", 7L), ("c", 7L),
+      ("c", 9000L))) // one wild value
+    Caches.releaseAll()
+    assert(got("c") == ((5L, 7L, 0L, 1L))) // median/MAD untouched; 1 outlier
+  }
 }
