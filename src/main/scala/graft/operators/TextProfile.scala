@@ -173,10 +173,46 @@ object TextProfile {
    * scans at the k ≤ tens this targets).
    */
   def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
-    require(k >= 1, s"bpeMerges: k must be >= 1, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
-    val SEP = "\u001F"
+    val (merges, _, _) = bpeLoop(docs, k)
+    merges.toDF("step", "lhs", "rhs", "n")
+  }
+
+  /**
+   * BPE ENCODING — the merge table APPLIED: per document, the whitespace
+   * token count and the token count under the k-merge BPE vocabulary
+   * (every word starts as characters; each learned merge shrinks its
+   * segmentation). The trainer-facing number: n_bpe is what a context
+   * window actually holds, and n_bpe/n_tokens tracks how much the
+   * vocabulary compresses the corpus. Integer outputs only.
+   *
+   * Scale shape: the merge loop runs on the Zipf-bounded DISTINCT-word
+   * table (exactly as [[bpeMerges]]); encoding is then ONE equi-join of
+   * per-word symbol counts onto the doc-to-word stream plus a
+   * partial-aggregated groupBy(doc_id) — the corpus text is never
+   * re-segmented per document.
+   */
+  def bpeEncode(docs: DataFrame, k: Int): DataFrame = {
+    val (_, words, seg) = bpeLoop(docs, k)
+    val wsym = words.select(col("w"),
+      size(split(seg, SEP)).cast("long").as("n_sym"))
+    docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(wsym, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("n_sym").as("n_bpe"))
+  }
+
+  private val SEP = "\u001F"
+
+  /** The k-step merge loop shared by [[bpeMerges]] and [[bpeEncode]]:
+    * returns (merge table, tracked-persisted distinct-word table, the
+    * final segmentation Column over `w`). */
+  private def bpeLoop(docs: DataFrame, k: Int):
+      (Seq[(Int, String, String, Long)], DataFrame, org.apache.spark.sql.Column) = {
+    require(k >= 1, s"bpe: k must be >= 1, got $k")
     val words = Caches.persistTracked(docs
       .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
       .select(explode(tokens(col("text"))).as("w"))
@@ -207,6 +243,6 @@ object TextProfile {
         step += 1
       }
     }
-    merges.toSeq.toDF("step", "lhs", "rhs", "n")
+    (merges.toSeq, words, seg)
   }
 }

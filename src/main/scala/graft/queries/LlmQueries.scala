@@ -292,7 +292,10 @@ object LlmQueries {
     * semantics, so segmentation strings, per-level pair counts, and the
     * tie-broken argmax all match the engine exactly. chr(31) = the U+001F
     * symbol separator (outside the corpus charset). */
-  private def bpeMergesOracle(k: Int): String = {
+  /** Shared CTE chain for the BPE oracles: distinct words (with counts
+    * AND the word itself carried through every segmentation level, so
+    * the encode oracle can join symbol counts back to documents). */
+  private def bpeChain(k: Int): String = {
     val head =
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS t
@@ -300,7 +303,7 @@ object LlmQueries {
         |), w AS (
         |  SELECT t AS w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY t
         |), seg0 AS (
-        |  SELECT rtrim(regexp_replace(w, '(.)', '\1' || chr(31), 'g'), chr(31)) AS seg, cnt FROM w
+        |  SELECT w, rtrim(regexp_replace(w, '(.)', '\1' || chr(31), 'g'), chr(31)) AS seg, cnt FROM w
         |)""".stripMargin
     val levels = (1 to k).map { i =>
       s""", p$i AS (
@@ -312,15 +315,34 @@ object LlmQueries {
          |), b$i AS (
          |  SELECT $i AS step, lhs, rhs, n FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1
          |), seg$i AS (
-         |  SELECT replace(seg, (SELECT lhs || chr(31) || rhs FROM b$i),
-         |                      (SELECT lhs || rhs FROM b$i)) AS seg, cnt
+         |  SELECT w, replace(seg, (SELECT lhs || chr(31) || rhs FROM b$i),
+         |                         (SELECT lhs || rhs FROM b$i)) AS seg, cnt
          |  FROM seg${i - 1}
          |)""".stripMargin
     }.mkString
-    val union = (1 to k).map(i => s"SELECT step, lhs, rhs, n FROM b$i")
-      .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
-    head + levels + union
+    head + levels
   }
+
+  private def bpeMergesOracle(k: Int): String =
+    bpeChain(k) + (1 to k).map(i => s"SELECT step, lhs, rhs, n FROM b$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+
+  /** Oracle for `bpe_encode`: the same chain, closed by joining each
+    * word's final symbol count back onto the doc→word stream. */
+  private def bpeEncodeOracle(k: Int): String =
+    bpeChain(k) +
+      s""",
+         |wsym AS (
+         |  SELECT w, CAST(len(string_split(seg, chr(31))) AS BIGINT) AS n_sym
+         |  FROM seg$k
+         |), dt AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+         |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_bpe
+         |FROM dt JOIN wsym USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shared oracle for both exact-dedup variants: their contract is the
     * same — grouping by content IS grouping by text. */
@@ -1050,6 +1072,17 @@ object LlmQueries {
     QueryDef.of("bpe_merges", bpeMergesOracle(6)) { (s, dir) =>
       graft.operators.TextProfile.bpeMerges(Tables.documents(s, dir), k = 6)
         .orderBy("step")
+    },
+
+    // The learned vocabulary APPLIED: per doc, whitespace token count vs
+    // token count under the 6-merge BPE segmentation — the trainer-facing
+    // sequence length. Same distinct-word merge loop as bpe_merges, then
+    // one symbol-count equi-join onto the doc→word stream (text is never
+    // re-segmented per document). Integer outputs; the oracle closes the
+    // shared CTE chain with the same join.
+    QueryDef.of("bpe_encode", bpeEncodeOracle(6)) { (s, dir) =>
+      graft.operators.TextProfile.bpeEncode(Tables.documents(s, dir), k = 6)
+        .orderBy("doc_id")
     },
 
     // Composite quality score per document — oracle mirrors the exact

@@ -90,4 +90,35 @@ class TextProfileSpec extends SparkSpecBase {
       (1L, 1L, 1L, 1L, 1.0, 1L, 1.0),
       (2L, 2L, 2L, 1L, 0.5, 1L, 1.0)))
   }
+
+  test("bpeEncode ≡ replaying bpeMerges' table over each word (sf0.001 corpus)") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val k = 4
+    val merges = TextProfile.bpeMerges(docs, k)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    Caches.releaseAll()
+    val got = TextProfile.bpeEncode(docs, k).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    Caches.releaseAll()
+    // reference: per word, char-split then apply each merge left-to-right
+    // (same non-overlapping replace semantics), count final symbols
+    val SEP = "\u001F"
+    def encodeWord(w: String): Long = {
+      var seg = w.map(_.toString).mkString(SEP)
+      merges.foreach { case (_, lhs, rhs, _) =>
+        seg = seg.replace(lhs + SEP + rhs, lhs + rhs)
+      }
+      (seg.split(SEP, -1).length).toLong
+    }
+    val expected = docs.as[(Long, String)].collect().toSeq
+      .filter(d => d._2 != null && d._2.trim.nonEmpty)
+      .map { case (id, t) =>
+        val ws = t.trim.split("\\s+").toSeq
+        (id, ws.size.toLong, ws.map(encodeWord).sum)
+      }.sortBy(_._1)
+    assert(got == expected)
+    // merging can only shrink: n_tokens <= n_bpe <= total chars
+    got.foreach(r => assert(r._2 <= r._3))
+  }
 }
