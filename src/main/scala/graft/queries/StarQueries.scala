@@ -1395,6 +1395,64 @@ object StarQueries {
         .orderBy("p_brand")
     },
 
+    // Quantile feature binning — ntile WITHOUT a data-sized window: exact
+    // per-group quartile boundaries come off the bounded (group, value)
+    // histogram (the quantile_exact rank rule), broadcast back, and each
+    // row buckets by three integer comparisons — at 100 TB the raw table
+    // is scanned twice (histogram + assignment) and never sorted, where
+    // ntile(4) OVER (ORDER BY v) is a single-task global sort. Counts per
+    // (priority, quartile) are exact BIGINTs; boundary semantics: bucket
+    // b = 1 + Σ (v > q_b), so ties sit in the lowest eligible bucket in
+    // both engines.
+    QueryDef.of("feature_bins",
+      """WITH h AS (
+        |  SELECT o_orderpriority AS g, CAST(floor(o_totalprice) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2
+        |), e AS (
+        |  SELECT g, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM h
+        |), q AS (
+        |  SELECT g,
+        |    min(CASE WHEN cum >= ((n - 1) * 1) // 4 + 1 THEN v END) AS q25,
+        |    min(CASE WHEN cum >= ((n - 1) * 2) // 4 + 1 THEN v END) AS q50,
+        |    min(CASE WHEN cum >= ((n - 1) * 3) // 4 + 1 THEN v END) AS q75
+        |  FROM e GROUP BY g
+        |)
+        |SELECT o.o_orderpriority,
+        |  1 + (CASE WHEN CAST(floor(o.o_totalprice) AS BIGINT) > q.q25 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(floor(o.o_totalprice) AS BIGINT) > q.q50 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(floor(o.o_totalprice) AS BIGINT) > q.q75 THEN 1 ELSE 0 END)
+        |    AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o JOIN q ON o.o_orderpriority = q.g
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("g"),
+          floor(col("o_totalprice")).as("v"))
+      val hist = orders.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      val e = hist
+        .withColumn("cum",
+          sum("cnt").over(Window.partitionBy("g").orderBy("v")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("g")))
+      val q = e.groupBy("g").agg(
+        min(when(col("cum") >= expr("((n - 1) * 1) DIV 4 + 1"), col("v"))).as("q25"),
+        min(when(col("cum") >= expr("((n - 1) * 2) DIV 4 + 1"), col("v"))).as("q50"),
+        min(when(col("cum") >= expr("((n - 1) * 3) DIV 4 + 1"), col("v"))).as("q75"))
+      orders.join(broadcast(q), "g")
+        .select(col("g").as("o_orderpriority"),
+          (lit(1)
+            + when(col("v") > col("q25"), 1).otherwise(0)
+            + when(col("v") > col("q50"), 1).otherwise(0)
+            + when(col("v") > col("q75"), 1).otherwise(0)).as("bucket"),
+          col("v"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority", "bucket")
+    },
+
     // Robust per-type location/scale/outlier summary of the events value
     // stream: lower median, MAD, and the |v − med| > 3·MAD outlier count
     // — the robust sibling of events_anomaly's mean/stddev z-score

@@ -641,6 +641,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("Quality.audit runs unchanged as a streaming aggregation (live ingest gate)") {
+    // The single-scan rule bundle is one aggregation, so Structured
+    // Streaming holds its sums as state and the SAME rule definitions
+    // gate a live ingest in complete mode; an FK rule is a stream-static
+    // join + aggregate, equally streamable (as its own query — two
+    // stateful aggregations can't share one streaming plan). Unique is
+    // the documented boundary: count(DISTINCT) is unsupported in
+    // streaming — at stream scale that check runs as a KMV estimate
+    // (Sketch.kmvDistinct), not an exact count.
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Quality
+    import graft.operators.Quality._
+    val rows = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 5.0, "a"), (2L, -1.0, "b"), (3L, 3.0, "zz"),
+      (null, 2.0, "a"), (9L, null, null))
+    val localRules = Seq(NotNull("id"),
+      Range("v", lo = Some(0.0), hi = Some(4.0)), InSet("cat", Seq("a", "b")))
+    val parent = Seq(1L, 2L, 3L).toDF("pid")
+    val fkRule = Seq(ForeignKey("id", parent, "parent", "pid"))
+
+    val in = MemoryStream[(java.lang.Long, java.lang.Double, String)]
+    val stream = in.toDF().toDF("id", "v", "cat")
+    val qLocal = Quality.audit(stream, localRules)
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode("complete").start()
+    val qFk = Quality.audit(stream, fkRule)
+      .writeStream.format("memory").queryName("quality_fk_stream")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(2).foreach { b =>
+        in.addData(b: _*)
+        qLocal.processAllAvailable(); qFk.processAllAvailable()
+      }
+      val streamed = spark.table("quality_stream")
+        .unionAll(spark.table("quality_fk_stream"))
+        .collect().map(_.toString).sorted.toSeq
+      val batch = Quality.audit(rows.toDF("id", "v", "cat"), localRules)
+        .unionAll(Quality.audit(rows.toDF("id", "v", "cat"), fkRule))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+      assert(streamed.size == 4)
+    } finally { qLocal.stop(); qFk.stop() }
+  }
+
   test("transitions: out-of-order delivery, watermark finality, carried-last bridge") {
     implicit val ctx = spark.sqlContext
     def usOf(ts: Timestamp) = ts.getTime * 1000L
