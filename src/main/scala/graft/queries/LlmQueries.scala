@@ -352,6 +352,49 @@ object LlmQueries {
       |  FROM documents GROUP BY text
       |) ORDER BY keep_id""".stripMargin
 
+  /** Shared lang-ID CTE: replays the LangId heuristic per doc
+    * (doc_id carried so both the distribution and the confusion
+    * matrix close over it). */
+  private val langPredCte: String =
+    """WITH sc AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, 'ing ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END) AS s_en,
+        |    (CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, 'sch') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END) AS s_de,
+        |    (CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' et ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END) AS s_fr,
+        |    (CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' que ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' los ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' una ') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, ' es ') THEN 1 ELSE 0 END) AS s_es,
+        |    (CASE WHEN contains(p, '的') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, '了') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, '是') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, '我') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN contains(p, '不') THEN 1 ELSE 0 END) AS s_zh
+        |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)
+        |), sel AS (
+        |  SELECT doc_id, CASE
+        |    WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+        |    WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+        |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+        |    WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+        |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+        |    ELSE 'de' END AS lang_pred
+        |  FROM sc
+        |)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- deduplication -------------------------------------------------
@@ -1149,44 +1192,7 @@ object LlmQueries {
     // lexicographically-later language (struct-max in Spark ≡ the
     // descending-lex CASE cascade in the oracle).
     QueryDef.of("lang_id_dist",
-      """WITH sc AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, 'ing ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END) AS s_en,
-        |    (CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, 'sch') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END) AS s_de,
-        |    (CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' et ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END) AS s_fr,
-        |    (CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' que ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' los ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' una ') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, ' es ') THEN 1 ELSE 0 END) AS s_es,
-        |    (CASE WHEN contains(p, '的') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, '了') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, '是') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, '我') THEN 1 ELSE 0 END) +
-        |    (CASE WHEN contains(p, '不') THEN 1 ELSE 0 END) AS s_zh
-        |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)
-        |), sel AS (
-        |  SELECT CASE
-        |    WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
-        |    WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
-        |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
-        |    WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
-        |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
-        |    ELSE 'de' END AS lang_pred
-        |  FROM sc
-        |)
+      langPredCte + """
         |SELECT lang_pred, CAST(count(*) AS BIGINT) AS cnt
         |FROM sel GROUP BY lang_pred ORDER BY lang_pred""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
@@ -1194,6 +1200,25 @@ object LlmQueries {
         .groupBy("lang_pred")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang_pred")
+    },
+
+    // Lang-ID CONFUSION MATRIX — the classifier EVALUATED against the
+    // corpus's ground-truth `lang` column (the model-eval view of the
+    // component lang_id_dist only profiles): (truth, prediction, count)
+    // cells, all integer. One scan + a |langs|²-bounded partial-agg
+    // groupBy; per-class precision/recall derive from the cells
+    // downstream. The oracle joins the same replayed heuristic back to
+    // the truth column.
+    QueryDef.of("langid_confusion",
+      langPredCte + """
+        |SELECT d.lang, s.lang_pred, CAST(count(*) AS BIGINT) AS cnt
+        |FROM sel s JOIN documents d ON s.doc_id = d.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "lang_pred")
     },
 
     // Stratified corpus sampling — the curation step after scoring: keep
