@@ -559,6 +559,15 @@ object Bench {
           () => Similarity.ivfTopK(qHard, idx64, k = 5, nProbe = 8)).toSeq
         idx64.release()
         r64
+      } ++ {
+        // PQ at the wired operating point (m=8, ksub=16, shortlist=4k):
+        // the code-table scan + shortlist rescore's graded recall next to
+        // the LSH/IVF points on the same hard corpus
+        val pq = Similarity.buildPqIndex(embHard, m = 8, ksub = 16)
+        val rPq = recallOf("pq",
+          () => Similarity.pqTopK(qHard, pq, embHard, k = 5, shortlist = 20)).toSeq
+        pq.release()
+        rPq
       }
       truth.unpersist(blocking = false)
       embHard.unpersist(blocking = false)

@@ -60,6 +60,18 @@ object VectorFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Asymmetric product-quantization distance via the native
+    * [[graft.expressions.PqAdcDistance]] — squared L2 between a raw query
+    * vector and a coded corpus vector reconstructed from the plan-constant
+    * codebooks (see the expression's scaladoc for the 100 TB IO story). */
+  def pqAdc(queryVec: Column, codes: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.PqAdcDistance(
+      ColumnBridge.expression(queryVec), ColumnBridge.expression(codes),
+      codebooks))
+  }
+
   /** Squared L2 distance (cheaper than sqrt when only ordering matters). */
   def l2Sq(a: Column, b: Column): Column =
     aggregate(

@@ -96,6 +96,49 @@ object Graph {
     r
   }
 
+  /**
+   * SYNCHRONOUS LABEL PROPAGATION (Raghavan et al. 2007) over a DIRECTED
+   * distinct edge list, k fixed rounds — the community-detection
+   * completion of the graph toolkit (centrality: [[pageRank]]; local
+   * structure: [[triangleStats]]; components: the dedup tier's
+   * union-find). Every node starts labeled with its own id; each round
+   * it adopts the most frequent label among its IN-neighbors, ties
+   * broken by the SMALLEST label — a total order, so the whole k-round
+   * trajectory is a pure function of the graph (classic async LPA is
+   * run-order dependent; this synchronous deterministic variant is the
+   * one an oracle can replay).
+   *
+   * Caller contract mirrors [[pageRank]]: `edges` distinct (src, dst),
+   * every node appears as a dst for in-neighbors to exist (symmetrize
+   * for an undirected graph, which guarantees it).
+   *
+   * Scale shape: the edge list is checkpoint-tracked once (k rounds
+   * re-read it); each round is one equi-join (labels onto src) + a
+   * partial-aggregated count per (dst, label) + a partial-aggregated
+   * `max_by` argmax per dst under the (count, −label) total order — all
+   * integers, never a window (the per-node candidate set is bounded by
+   * in-degree, but it still lives in aggregates, not per-key sorts),
+   * never a cartesian. Output: (node, label) after `iterations` rounds.
+   */
+  def labelPropagation(edges: DataFrame, iterations: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = Caches.checkpointTracked(edges.select(col(src), col(dst)).distinct())
+    val nodes = Caches.checkpointTracked(
+      e.select(col(dst).as("node")).distinct())
+    var lab = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iterations) {
+      lab = e
+        .join(lab.select(col("node").as(src), col("label")), src)
+        .groupBy(col(dst), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col(dst))
+        .agg(max_by(col("label"),
+          struct(col("c"), (-col("label")).as("nl"))).as("label"))
+        .select(col(dst).as("node"), col("label"))
+    }
+    lab
+  }
+
   /** One-row exact summary of the undirected graph given by (`src`,`dst`)
     * pairs (self-loops dropped, parallel/reversed duplicates collapsed):
     * n_nodes, n_edges, n_wedges (= Σ_v C(deg v, 2)), n_triangles, and

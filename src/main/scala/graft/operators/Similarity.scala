@@ -176,19 +176,26 @@ object Similarity {
    * codegen'd map via [[graft.expressions.NearestCells]] (centroids baked
    * into the plan as constants).
    */
-  def buildIvfIndex(corpus: DataFrame, nCells: Int = 16, sampleSize: Int = 2048,
-      iterations: Int = 10): IvfIndex = {
-    // deterministic pseudo-random sample: hash-of-id order, TakeOrdered scan
-    val sample: Array[Array[Double]] = corpus
+  /** Deterministic pseudo-random sample: hash-of-id order, one TakeOrdered
+    * scan (shared by the IVF and PQ quantizer fits — the cost stays bounded
+    * at any corpus size). */
+  private def sampleVectors(corpus: DataFrame, sampleSize: Int): Array[Array[Double]] =
+    corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(sampleSize)
       .select(transform(col("embedding"), x => x.cast("double")).as("e"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "buildIvfIndex: empty corpus")
+
+  /** Driver-side Lloyd's k-means over a bounded sample (deterministic:
+    * init = first k sample vectors, empty cells keep their previous
+    * centroid). Extracted verbatim from the IVF build so the PQ
+    * per-subspace fit is the SAME quantizer arithmetic. */
+  private def lloyd(sample: Array[Array[Double]], k: Int,
+      iterations: Int): Array[Array[Double]] = {
     val dim = sample.head.length
-    val kEff = math.min(nCells, sample.length)
+    val kEff = math.min(k, sample.length)
     // init: first kEff sampled vectors (hash order ≈ random, deterministic)
     val centroids = Array.tabulate(kEff)(i => sample(i).clone())
     val counts = new Array[Long](kEff)
@@ -220,6 +227,14 @@ object Similarity {
       }
       iter += 1
     }
+    centroids
+  }
+
+  def buildIvfIndex(corpus: DataFrame, nCells: Int = 16, sampleSize: Int = 2048,
+      iterations: Int = 10): IvfIndex = {
+    val sample = sampleVectors(corpus, sampleSize)
+    require(sample.nonEmpty, "buildIvfIndex: empty corpus")
+    val centroids = lloyd(sample, nCells, iterations)
     val cSeq: Seq[Seq[Double]] = centroids.map(_.toSeq).toSeq
     val assigned = Caches.persistIndex(corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
@@ -368,5 +383,93 @@ object Similarity {
       .collect().map(_.getLong(0)).sorted
     if (counts.isEmpty) 0.0
     else counts.last.toDouble / counts(counts.length / 2).toDouble
+  }
+
+  /**
+   * A fitted PRODUCT-QUANTIZATION index (Jégou et al. 2011): per-subspace
+   * codebooks (m × ksub × (dim/m) doubles, driver-side tiny) plus the
+   * corpus ENCODED to (neighbor_id, codes: array<int> of length m) — the
+   * third point of the ANN quantization triad next to LSH (random
+   * hyperplanes) and IVF (coarse cells). What PQ buys that the other two
+   * don't: the candidate scan carries m small ints per corpus row instead
+   * of the dim-float embedding (64× smaller at dim 64 / m 4), so the
+   * approximate scoring pass is bounded by CODE-table IO, not
+   * embedding-table IO — the difference that matters when the embedding
+   * table is the 100 TB object and the code table fits warm storage. The
+   * encoded frame persists in the INDEX cache registry (the IvfIndex
+   * lifecycle contract — survives per-query drains, tracked for hygiene).
+   */
+  final case class PqIndex(codebooks: Seq[Seq[Seq[Double]]], encoded: DataFrame) {
+    def release(blocking: Boolean = false): Unit =
+      Caches.releaseIndex(encoded, blocking)
+  }
+
+  /**
+   * Fit PQ codebooks and encode the corpus. The fit is [[lloyd]] run
+   * INDEPENDENTLY per subspace over the SAME bounded hash-ordered sample
+   * as the IVF build (one TakeOrdered scan, m driver-side k-means); the
+   * encode is one narrow full-corpus map — per subspace, the nearest
+   * sub-centroid via the same [[graft.expressions.NearestCells]]
+   * expression as IVF assignment (`slice` carves the subvector natively;
+   * no UDF/HOF anywhere), so assignment determinism and null semantics
+   * (malformed vector → null code → null ADC score → dropped) are
+   * inherited rather than re-implemented.
+   */
+  def buildPqIndex(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
+      sampleSize: Int = 2048, iterations: Int = 10): PqIndex = {
+    val sample = sampleVectors(corpus, sampleSize)
+    require(sample.nonEmpty, "buildPqIndex: empty corpus")
+    val dim = sample.head.length
+    require(m >= 1 && dim % m == 0,
+      s"buildPqIndex: dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
+      val subSample =
+        sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      lloyd(subSample, ksub, iterations).map(_.toSeq).toSeq
+    }
+    val codeCols = (0 until m).map { mi =>
+      element_at(
+        nearestCells(slice(col("embedding"), mi * sub + 1, sub),
+          codebooks(mi), 1), 1)
+    }
+    val encoded = Caches.persistIndex(corpus
+      .select(col("vec_id").as("neighbor_id"), array(codeCols: _*).as("codes")))
+    PqIndex(codebooks, encoded)
+  }
+
+  /**
+   * PQ approximate top-k: scan the CODES (never the corpus embeddings)
+   * scoring every candidate with the native asymmetric distance
+   * [[graft.expressions.PqAdcDistance]], keep a per-query SHORTLIST via
+   * the bounded partial-agg TopK (score = −distance² — smaller is
+   * better), then exact-rescore only the shortlist: the corpus embedding
+   * table is touched for Q × shortlist rows via a BROADCAST of the
+   * shortlist pairs (the big side streams, nothing data-sized shuffles).
+   * Recall is governed by `shortlist` (L ≥ k; L = corpus size degenerates
+   * to exact brute force — the certification point `ann_topk_pq_exact`
+   * uses, the ivf_exact pattern); the operating point trades L for the
+   * 64×-thinner approximate scan.
+   */
+  def pqTopK(queries: DataFrame, index: PqIndex, corpus: DataFrame, k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"pqTopK: shortlist $shortlist must be ≥ k=$k")
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val short = index.encoded
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        VectorFunctions.pqAdc(col("q_emb"), col("codes"), index.codebooks))
+      .filter(col("adc").isNotNull)
+      .groupBy("query_id")
+      .agg(TopK.topK(shortlist)(col("neighbor_id"), -col("adc")).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("s"))
+      .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"))
+    val pairs = short.join(broadcast(q), "query_id")
+    val cand = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(pairs), "neighbor_id")
+    rescoreTopK(cand, k)
   }
 }

@@ -141,6 +141,60 @@ object TextProfile {
   }
 
   /**
+   * Add-one-smoothed BIGRAM predictability — the next model order up from
+   * [[unigramSurprisal]]: per document, the mean INVERSE transition
+   * probability 1/P(w₂|w₁) = (c(w₁·) + V) / (c(w₁w₂) + 1) over the doc's
+   * adjacent token pairs, under the corpus's own Laplace-smoothed bigram
+   * model (c(w₁·) = bigram-prefix count, V = corpus unigram vocabulary).
+   * The arithmetic-mean inverse probability is the rational-arithmetic
+   * sibling of perplexity (exp of mean ln of the same terms): monotone in
+   * how surprising the doc's transitions are, so it buckets
+   * templated/boilerplate vs garbled text the same way — chosen over the
+   * ln form DELIBERATELY: +,×,/ are IEEE-pinned and replay bit-for-bit in
+   * any engine, while ln diverges by 1 ulp between Catalyst
+   * (StrictMath/fdlibm) and DuckDB (libm) on some arguments — measured on
+   * this corpus at sf0.01 (lm_surprisal / BM25 pass with ln only because
+   * their argument spaces happen to dodge the divergent inputs; a
+   * per-(c1,c12)-pair argument space does not).
+   *
+   * Same determinism engineering as [[unigramSurprisal]]: every aggregate
+   * integer (k, c12, c1, V), one per-doc double fold over the bigram list
+   * SORTED by bigram string, replayed term-for-term by the oracle.
+   * Scale shape: ONE tokenize pass (tracked persist); adjacency as the
+   * co-partitioned positional self-equi-join (the top_ngrams shape — no
+   * HOF over token arrays, no per-doc window); the bigram frame persists
+   * once and feeds c12 / c1 / per-doc counts, all partial-aggregated;
+   * V and nothing else crosses as a 1-row broadcast.
+   */
+  def bigramPredictability(docs: DataFrame): DataFrame = {
+    val toks = Caches.persistTracked(docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w"))))
+    val bi = Caches.persistTracked(toks.as("a")
+      .join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .select(col("a.doc_id").as("doc_id"), col("a.w").as("w1"),
+        concat_ws(" ", col("a.w"), col("b.w")).as("g")))
+    val vocab = toks.agg(count_distinct(col("w")).as("v"))
+    val c12 = bi.groupBy("g").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val perDoc = bi.groupBy("doc_id", "g", "w1").agg(count(lit(1)).as("k"))
+      .join(c12, "g").join(c1, "w1")
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(
+          struct(col("g"), col("k"), col("c12"), col("c1")))).as("ts"),
+        sum("k").as("n_bigrams"))
+    perDoc.crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n_bigrams"),
+        (aggregate(col("ts"), lit(0.0d), (acc, s) =>
+          acc + s.getField("k").cast("double") *
+            ((s.getField("c1").cast("double") + col("v").cast("double")) /
+              (s.getField("c12").cast("double") + lit(1.0d))))
+          / col("n_bigrams").cast("double")).as("mean_inv_prob"))
+  }
+
+  /**
    * ITERATIVE BPE vocabulary induction (Sennrich et al., "Neural Machine
    * Translation of Rare Words with Subword Units") — the full merge loop
    * that `bpe_pairs` is step one of. Runs `k` merge steps; each step

@@ -810,6 +810,41 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // PRODUCT QUANTIZATION ANN (Jégou et al. 2011) — the third point of
+    // the quantization triad (LSH / IVF / PQ): 8 subspace codebooks of 16
+    // centroids each (codes = 8 small ints ≈ 32× thinner than the dim-64
+    // embedding — the approximate scan reads the CODE table, never the
+    // embedding table; m = 8 because the corpus is unit-norm near-random,
+    // where m = 4's reconstruction error swamps the tight cosine gaps —
+    // measured recall@3 0.2 → ≥ 0.5 at m = 8, SimilaritySpec), native
+    // PqAdcDistance scoring, bounded-aggregator shortlist (4k), exact
+    // cosine rescore of the shortlist only. Approximate by construction →
+    // rows-only, same as ann_topk_lsh/_ivf; the machinery is
+    // oracle-certified by the _exact sibling below.
+    QueryDef.rowsOnly("ann_topk_pq") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.buildPqIndex(emb, m = 8, ksub = 16)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), idx, emb, k = 5,
+          shortlist = 20)
+        .orderBy("query_id", "rank")
+    },
+
+    // PQ at the EXACT operating point: shortlist ≥ corpus size keeps every
+    // candidate, so the exact rescore sees the full corpus and the result
+    // is ≡ brute force — certifying the PQ machinery (per-subspace
+    // sample-fit codebooks, native slice+NearestCells encoding, ADC
+    // shortlist scan, broadcast rescore join) against the same DuckDB
+    // oracle as ann_topk (the ann_topk_ivf_exact pattern). The
+    // corpus-sized shortlist aggregator is certification-scale only —
+    // the operating point above is what's benched.
+    QueryDef.of("ann_topk_pq_exact", annTopkOracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.buildPqIndex(emb, m = 8, ksub = 16)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), idx, emb, k = 5,
+          shortlist = 100000)
+        .orderBy("query_id", "rank")
+    },
+
     // Hybrid retrieval: weighted LINEAR fusion of lexical and vector
     // scores — fused = 0.1·term_tf + cosine(embedding, query vector).
     // Per-row arithmetic only (no rank windows — reciprocal-rank fusion
@@ -1628,6 +1663,43 @@ object LlmQueries {
         .limit(10)
     },
 
+    // PHRASE search — exact adjacency ("table hash" as consecutive
+    // tokens), the positional-postings completion of the retrieval tier:
+    // term_search/bm25 score bags of words; phrases need positions. One
+    // tokenize-with-positions pass (tracked persist), each phrase term
+    // filters its own posting list BEFORE the positional self-equi-join
+    // on (doc_id, pos+1) — the top_ngrams adjacency shape, never a HOF
+    // over token arrays — then count per doc, top-10 via
+    // TakeOrderedAndProject (ties broken by doc_id).
+    QueryDef.of("term_search_phrase",
+      """WITH toks AS (
+        |  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)),
+        |      i -> struct_pack(pos := i, w := ts[i]))) AS u
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+        |          FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0))
+        |)
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS score
+        |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.w = 'table' AND b.w = 'hash'
+        |GROUP BY a.doc_id
+        |ORDER BY score DESC, a.doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      import graft.operators.Caches
+      val toks = Caches.persistTracked(Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w"))))
+      toks.filter(col("w") === "table").as("a")
+        .join(toks.filter(col("w") === "hash").as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("b.pos") === col("a.pos") + 1)
+        .select(col("a.doc_id").as("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // BM25 term scoring over the SAME plan shape as term_search — the
     // README claim ("BM25 swaps in without changing the plan shape") as an
     // oracle row. Double determinism is engineered, not hoped for: every
@@ -1952,6 +2024,94 @@ object LlmQueries {
           .select((col("doc_id") + 1000000L).as("doc_id"), lit("I").as("op"),
             col("source"), col("n_chars")))
       Merge.applyChanges(base, changes, "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // C4/RefinedWeb line-level exact dedup: a line occurring in several
+    // documents survives only at its FIRST corpus position (min encoded
+    // (doc_id, line_no) — a partial-agg groupBy + semi join, never a
+    // window; Lines.dedupLines scaladoc has the 100 TB shape). The driver
+    // corpus is single-line, so the multi-line input is derived
+    // deterministically: doc i's text becomes the 3 lines
+    // (text_i, text_{i+1}, text_{i+2}) — every line recurs in 3 docs and
+    // the survivor pattern (doc 0 keeps 3 lines, every later doc keeps
+    // exactly its last) exercises first-occurrence semantics corpus-wide.
+    // The oracle replays derivation + dedup exactly.
+    QueryDef.of("line_dedup",
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |synth AS (
+        |  SELECT a.doc_id, a.text || chr(10) || b.text || chr(10) || c.text AS text
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |           JOIN d c ON c.doc_id = a.doc_id + 2
+        |), ln AS (
+        |  SELECT doc_id, u.no AS line_no, u.ln AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)),
+        |      i -> struct_pack(no := CAST(i - 1 AS BIGINT),
+        |        ln := regexp_replace(ts[i],
+        |                '^[ \t\x0B\f\r]+|[ \t\x0B\f\r]+$', '', 'g')))) AS u
+        |    FROM (SELECT doc_id, string_split(text, chr(10)) AS ts FROM synth))
+        |  WHERE length(u.ln) > 0
+        |), fst AS (
+        |  SELECT line, min(doc_id * 1048576 + line_no) AS enc FROM ln GROUP BY line
+        |)
+        |SELECT l.doc_id, l.line_no, l.line
+        |FROM ln l JOIN fst f ON l.line = f.line
+        |WHERE l.doc_id * 1048576 + l.line_no = f.enc
+        |ORDER BY doc_id, line_no""".stripMargin) { (s, dir) =>
+      import graft.operators.Lines
+      val d = Tables.documents(s, dir)
+        .filter(col("text").isNotNull).select("doc_id", "text")
+      val synth = d
+        .join(d.select((col("doc_id") - 1).as("doc_id"), col("text").as("t1")),
+          "doc_id")
+        .join(d.select((col("doc_id") - 2).as("doc_id"), col("text").as("t2")),
+          "doc_id")
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"), col("t1"), col("t2")).as("text"))
+      Lines.dedupLines(synth).orderBy("doc_id", "line_no")
+    },
+
+    // Laplace-smoothed BIGRAM predictability — the model-order step up
+    // from lm_surprisal's unigram score (KenLM-style quality bucketing
+    // one order higher): per doc, mean 1/P(w2|w1) under the corpus's own
+    // add-one bigram model — the rational-arithmetic perplexity sibling
+    // (all +,×,/ — ln diverges 1 ulp between Catalyst's StrictMath and
+    // DuckDB's libm on this argument space; measured, see
+    // TextProfile.bigramPredictability). Integer aggregates (k, c12, c1,
+    // V) + the per-doc sorted fold; the oracle replays the fold
+    // term-for-term (list_sort + list_reduce — the lm_surprisal pattern).
+    QueryDef.of("lm_bigram",
+      """WITH toks AS (
+        |  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)),
+        |      i -> struct_pack(pos := i, w := ts[i]))) AS u
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+        |          FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0))
+        |), bi AS (
+        |  SELECT a.doc_id, a.w AS w1, a.w || ' ' || b.w AS g
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM toks),
+        |c12 AS (SELECT g, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY g),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+        |dg AS (SELECT doc_id, g, w1, CAST(count(*) AS BIGINT) AS k
+        |       FROM bi GROUP BY doc_id, g, w1),
+        |terms AS (
+        |  SELECT d.doc_id,
+        |    list_sort(list(struct_pack(g := d.g, k := d.k, c12 := c12.c12,
+        |                               c1 := c1.c1))) AS ts,
+        |    CAST(sum(d.k) AS BIGINT) AS n_bigrams
+        |  FROM dg d JOIN c12 ON d.g = c12.g JOIN c1 ON d.w1 = c1.w1
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT doc_id, n_bigrams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ts,
+        |    s -> CAST(s.k AS DOUBLE) * ((CAST(s.c1 AS DOUBLE) + CAST(v AS DOUBLE))
+        |         / (CAST(s.c12 AS DOUBLE) + CAST(1.0 AS DOUBLE))))),
+        |    (a, x) -> a + x) / CAST(n_bigrams AS DOUBLE) AS mean_inv_prob
+        |FROM terms CROSS JOIN v
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextProfile.bigramPredictability(
+          Tables.documents(s, dir).select("doc_id", "text"))
         .orderBy("doc_id")
     }
   )

@@ -60,6 +60,36 @@ object StarQueries {
        |SELECT node, pr FROM r$k ORDER BY node""".stripMargin
   }
 
+  /** Oracle for `graph_lpa`: k synchronous label-propagation rounds
+    * unrolled as a CTE chain (the pageRankOracle technique). Each level
+    * replays the engine's update exactly: count in-neighbor labels, then
+    * the argmax under the (count DESC, label ASC) total order — all
+    * integers, so there is no floating-point to mirror; the window runs
+    * over the per-node aggregated label counts (bounded by in-degree),
+    * which is the oracle's affordance — the engine side does the same
+    * argmax as a partial-aggregated max_by, never a window. */
+  private def lpaOracle(k: Int): String = {
+    def level(i: Int): String =
+      s"""l$i AS (
+         |  SELECT dst AS node, label FROM (
+         |    SELECT e.dst, l.label, count(*) AS c,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM e JOIN l${i - 1} l ON e.src = l.node
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e AS (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+       |), nodes AS (SELECT DISTINCT dst AS node FROM e),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |${(1 to k).map(level).mkString(",\n")}
+       |SELECT node, label FROM l$k ORDER BY node""".stripMargin
+  }
+
   /** Deliberately-skewed fact: every even orderkey maps to skew_key 0 (50%
     * of lineitem — 300k rows at sf0.1 on one key), the rest spread over
     * 1..199. qty is exact (l_quantity is integer-valued; summed as BIGINT
@@ -1529,6 +1559,26 @@ object StarQueries {
         .orderBy("node")
     },
 
+    // Label-propagation communities over the same co-purchase graph
+    // (4 synchronous rounds, Raghavan et al.): which parts cluster into
+    // "bought-together" neighborhoods — the community view next to
+    // graph_pagerank's centrality and graph_triangles' local structure.
+    // Deterministic BY CONSTRUCTION (most-frequent in-neighbor label,
+    // ties to the smallest — classic async LPA is run-order dependent
+    // and no oracle could replay it); all-integer, so the CTE-chain
+    // oracle replays every round exactly.
+    QueryDef.of("graph_lpa", lpaOracle(4)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.labelPropagation(e, iterations = 4)
+        .orderBy("node")
+    },
+
     // Declarative data-quality audit over the star schema — the
     // expectation gate an ingest pipeline runs before data goes live.
     // Every non-FK rule on a table folds into ONE single-scan aggregate;
@@ -1611,6 +1661,178 @@ object StarQueries {
         rep.select(lit(t).as("tbl"), col("rule"), col("violations"),
           col("total"))
       }.reduce(_ unionAll _).orderBy("tbl", "rule")
+    },
+
+    // Unpivot / melt — wide measure columns to long (measure, value) rows,
+    // the feature-table → training-example-stream reshape (inverse of
+    // pivot_agg). Uses the built-in Dataset.unpivot, which plans as ONE
+    // Expand over the scan (no join, no shuffle; 4× row fan-out, same as
+    // table_profile's documented Expand trade). The pushed-down key filter
+    // composes with the Expand — predicate pushdown survives the reshape.
+    // Doubles are stored values untouched by arithmetic → bit-exact.
+    QueryDef.of("unpivot_melt",
+      """WITH f AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |         l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey % 97 = 0
+        |)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |       l_quantity AS value FROM f
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM f
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM f
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM f
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(97L)) === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
+    // Snapshot diff — the table-versioning delta (Delta/Iceberg
+    // time-travel DIFF; nightly crawl-snapshot comparison): classify every
+    // key as added / removed / changed with old and new values side by
+    // side, unchanged keys dropped (at 100 TB you ship the delta, never
+    // the intersection). ONE full-outer join, AQE-managed; no window. The
+    // "new" snapshot is derived deterministically from the corpus (removes
+    // at key%13=0, a priority rewrite at %13=1, inserts at %13=2 offset
+    // +10M) so the oracle replays derivation + diff exactly.
+    QueryDef.of("snapshot_diff",
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |), n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 1 THEN '0-RUSH'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM b WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_orderpriority
+        |  FROM b WHERE o_orderkey % 13 = 2
+        |)
+        |SELECT COALESCE(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'A'
+        |       WHEN n.o_orderkey IS NULL THEN 'R'
+        |       ELSE 'C' END AS change,
+        |  b.o_orderstatus AS old_o_orderstatus,
+        |  n.o_orderstatus AS new_o_orderstatus,
+        |  b.o_orderpriority AS old_o_orderpriority,
+        |  n.o_orderpriority AS new_o_orderpriority
+        |FROM b FULL JOIN n ON b.o_orderkey = n.o_orderkey
+        |WHERE b.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR b.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |   OR b.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import graft.operators.Snapshot
+      val base = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      val mod13 = pmod(col("o_orderkey"), lit(13L))
+      val newSnap = base.filter(mod13 =!= 0)
+        .withColumn("o_orderpriority",
+          when(mod13 === 1, lit("0-RUSH")).otherwise(col("o_orderpriority")))
+        .unionByName(base.filter(mod13 === 2)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_orderpriority")))
+      Snapshot.diff(base, newSnap, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
+    // SCD Type 2 history: each customer's order-status runs as validity
+    // intervals — change-detection lag + closing lead, windows PARTITIONED
+    // by the customer key (bounded per-key history; the Kimball dimension
+    // primitive and the temporal completion of upsert_merge's
+    // latest-wins). `version` (run ordinal) makes the output order total
+    // even when several runs open on the same date. Times in integer µs
+    // (the events-tier currency); valid_to null = current version.
+    QueryDef.of("scd2_history",
+      """WITH e AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |         epoch_us(o_orderdate) AS us
+        |  FROM orders
+        |), m AS (
+        |  SELECT o_custkey, o_orderstatus, us, o_orderkey,
+        |    lag(o_orderstatus) OVER w AS prev
+        |  FROM e WINDOW w AS (PARTITION BY o_custkey ORDER BY us, o_orderkey)
+        |), c AS (
+        |  SELECT o_custkey, o_orderstatus, us, o_orderkey FROM m
+        |  WHERE prev IS NULL OR prev <> o_orderstatus
+        |), r AS (
+        |  SELECT o_custkey, o_orderstatus,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    us AS valid_from_us,
+        |    lead(us) OVER w AS valid_to_us
+        |  FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY us, o_orderkey)
+        |)
+        |SELECT o_custkey, o_orderstatus, version, valid_from_us, valid_to_us
+        |FROM r ORDER BY o_custkey, version""".stripMargin) { (s, dir) =>
+      import graft.operators.Scd
+      Scd.history(Tables.orders(s, dir), key = "o_custkey",
+          tsCol = "o_orderdate", tieCol = "o_orderkey",
+          attrs = Seq("o_orderstatus"))
+        .select(col("o_custkey"), col("o_orderstatus"), col("version"),
+          unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
+          unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"))
+        .orderBy("o_custkey", "version")
+    },
+
+    // Multi-touch LINEAR attribution: every purchase splits its value
+    // equally across the user's clicks in the 24 h lookback (tc ≤ tp,
+    // tp − tc < 24 h — µs-integer half-open window, the events_funnel
+    // currency). Output is the (purchase, click, credit) PAIR set — per
+    // pair, credit = value / n_touch is ONE IEEE division of a stored
+    // double by an exact integer, bit-replayable; emitting pairs instead
+    // of per-click credit SUMS is deliberate (a sum of credits would be
+    // partition-order nondeterministic — downstream rollups can fold the
+    // pairs under whatever order they pin). Plan: user-key equi-join
+    // bounded by per-user activity in the window, pairs tracked-persist
+    // feeding the n_touch partial agg + the final join — no window, no
+    // driver materialization.
+    QueryDef.of("events_attribution",
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, us AS tp, value
+        |  FROM e WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS click_id, user_id, us AS tc
+        |  FROM e WHERE event_type = 'click'
+        |), pairs AS (
+        |  SELECT p.purchase_id, c.click_id, p.value
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE c.tc <= p.tp AND p.tp - c.tc < 86400000000
+        |), n AS (
+        |  SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_touch
+        |  FROM pairs GROUP BY purchase_id
+        |)
+        |SELECT pr.purchase_id, pr.click_id,
+        |  pr.value / CAST(n.n_touch AS DOUBLE) AS credit
+        |FROM pairs pr JOIN n ON pr.purchase_id = n.purchase_id
+        |ORDER BY pr.purchase_id, pr.click_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Caches
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("tp"), col("value"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("tc"))
+      val pairs = Caches.persistTracked(p.join(c, "user_id")
+        .filter(col("tc") <= col("tp") &&
+          col("tp") - col("tc") < lit(86400000000L))
+        .select("purchase_id", "click_id", "value"))
+      val n = pairs.groupBy("purchase_id").agg(count(lit(1)).as("n_touch"))
+      pairs.join(n, "purchase_id")
+        .select(col("purchase_id"), col("click_id"),
+          (col("value") / col("n_touch").cast("double")).as("credit"))
+        .orderBy("purchase_id", "click_id")
     }
   )
 }

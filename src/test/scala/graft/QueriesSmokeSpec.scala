@@ -15,7 +15,7 @@ class QueriesSmokeSpec extends SparkSpecBase {
     // rows-only queries are the documented exceptions (approximate-by-
     // construction ANN operating points whose output no SQL characterizes)
     val rowsOnly = q.diff(o)
-    assert(rowsOnly == Set("ann_topk_lsh", "ann_topk_ivf"),
+    assert(rowsOnly == Set("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

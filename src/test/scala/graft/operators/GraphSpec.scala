@@ -122,4 +122,49 @@ class GraphSpec extends SparkSpecBase {
     // spokes are symmetric — identical rank, bit-for-bit
     assert(spokes.map(got).distinct.size == 1)
   }
+
+  /** Plain-Scala synchronous LPA with the operator's exact semantics:
+    * in-neighbor label counts, argmax under (count desc, label asc). */
+  private def lpaReference(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.map(_._2).distinct.sorted
+    var lab = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to k) {
+      lab = nodes.map { v =>
+        val counts = e.filter(_._2 == v).map(x => lab(x._1))
+          .groupBy(identity).map { case (l, ls) => (l, ls.size) }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    lab
+  }
+
+  test("labelPropagation equals the reference on random symmetric graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val raw = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+    val sym = raw ++ raw.map(_.swap)
+    for (k <- Seq(1, 3)) {
+      val got = Graph.labelPropagation(sym.toDF("src", "dst"), iterations = k)
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      assert(got == lpaReference(sym, k), s"k=$k")
+    }
+  }
+
+  test("labelPropagation: two cliques with one bridge settle to per-clique labels") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edges = clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((3L, 10L), (10L, 3L))
+    val got = Graph.labelPropagation(edges.toDF("src", "dst"), iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    // every member of the first clique carries its minimum label 0, the
+    // second settles on 10 (the bridge can't outvote 3 clique neighbors)
+    assert(Seq(0L, 1L, 2L, 3L).forall(v => got(v) == 0L), got.toString)
+    assert(Seq(10L, 11L, 12L, 13L).forall(v => got(v) == 10L), got.toString)
+  }
 }

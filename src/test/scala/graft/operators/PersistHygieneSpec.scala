@@ -151,6 +151,24 @@ class PersistHygieneSpec extends SparkSpecBase {
     }
   }
 
+  test("PQ lifecycle (build → query → release) leaks nothing; index survives releaseAll") {
+    clean()
+    Caches.releaseAllIndexes(blocking = true)
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val idx = Similarity.buildPqIndex(emb, m = 4, ksub = 8)
+    Similarity.pqTopK(emb.filter(col("vec_id") < 3), idx, emb, k = 3,
+        shortlist = 10)
+      .write.format("noop").mode("overwrite").save()
+    assert(Caches.trackedCount == 0,
+      "PQ caches must not land in the per-query registry")
+    assert(Caches.trackedIndexCount == 1, "encoded corpus should be index-tracked")
+    Caches.releaseAll(blocking = true)
+    assert(Caches.trackedIndexCount == 1, "releaseAll must not evict the PQ index")
+    idx.release(blocking = true)
+    assert(Caches.trackedIndexCount == 0)
+    assertAllReleased("PQ lifecycle")
+  }
+
   test("Caches.scoped releases on success AND on failure") {
     clean()
     Caches.scoped {

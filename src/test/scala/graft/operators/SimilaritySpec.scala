@@ -145,6 +145,46 @@ class SimilaritySpec extends SparkSpecBase {
     assert(full == bf)
   }
 
+  test("pqTopK: shortlist ≥ corpus ≡ brute force exactly; planted duplicate recalled") {
+    val q = emb.filter(col("vec_id") < 5)
+    val idx = Similarity.buildPqIndex(emb, m = 8, ksub = 16)
+    try {
+      // exact point: the full-corpus shortlist degenerates to brute force
+      val full = Similarity.pqTopK(q, idx, emb, k = 3, shortlist = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val bf = Similarity.bruteForceTopK(q, emb, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(full == bf)
+      // planted exact duplicate: identical vector → identical codes → ADC
+      // score ties the best possible → survives any shortlist ≥ k; exact
+      // rescore then pins it at rank 1 / cosine 1
+      val self = emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+      val out = Similarity.pqTopK(self, idx, emb, k = 3, shortlist = 10).collect()
+      val rank1 = out.find(_.getLong(1) == 1L).get
+      assert(rank1.getLong(2) == 0L && rank1.getDouble(3) == 1.0)
+      // operating-point recall@3 vs brute force on the real corpus
+      val opPoint = Similarity.pqTopK(q, idx, emb, k = 3, shortlist = 30)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val bfPairs = bf.map(t => (t._1, t._3))
+      val recall = bfPairs.count(opPoint.contains).toDouble / bfPairs.size
+      assert(recall >= 0.5, s"pq recall@3 too low: $recall")
+    } finally idx.release(blocking = true)
+  }
+
+  test("buildPqIndex: codes cover all subspaces; release drops the index cache") {
+    val idx = Similarity.buildPqIndex(emb, m = 4, ksub = 8)
+    val codes = idx.encoded.select("codes").collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val a = r.getSeq[Int](0)
+      assert(a.size == 4 && a.forall(c => c >= 0 && c < 8))
+    }
+    val before = Caches.trackedIndexCount
+    idx.release(blocking = true)
+    assert(Caches.trackedIndexCount == before - 1)
+  }
+
   test("lshTopK puts a planted identical vector at rank 1 with cosine 1") {
     val q = emb.filter(col("vec_id") === 0)
       .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))

@@ -39,6 +39,26 @@ class TextProfileSpec extends SparkSpecBase {
       (5L, 1L, 1L, 1.0)))
   }
 
+  test("bigramPredictability: hand-computed add-one bigram model; sorted fold") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b"×2, "b a"×1
+      (2L, "a b c"),   // "a b", "b c"
+      (3L, "z")        // no bigrams → absent from output
+    ).toDF("doc_id", "text")
+    // corpus: c12("a b")=3, c12("b a")=1, c12("b c")=1; c1(a)=3, c1(b)=2; V=4
+    val got = Caches.scoped {
+      TextProfile.bigramPredictability(docs).orderBy("doc_id")
+        .as[(Long, Long, Double)].collect().toSeq
+    }
+    // folds run over the per-doc list sorted by bigram string; pure
+    // rational arithmetic (1/P terms), so the expectation is exact
+    val e1 = ((0.0 + 2.0 * ((3.0 + 4.0) / (3.0 + 1.0)))
+      + 1.0 * ((2.0 + 4.0) / (1.0 + 1.0))) / 3.0
+    val e2 = ((0.0 + 1.0 * ((3.0 + 4.0) / (3.0 + 1.0)))
+      + 1.0 * ((2.0 + 4.0) / (1.0 + 1.0))) / 2.0
+    assert(got == Seq((1L, 3L, e1), (2L, 2L, e2)))
+  }
+
   test("bpeMerges: hand-computed merge table, greedy overlap, tie-breaks, exhaustion") {
     // Corpus: "low" ×5, "lower" ×2, "aaaa" ×1  (token stream via repeats)
     //   step 1 pairs: lo×7, ow×7, we×2, er×2, aa×3  → argmax tied at 7

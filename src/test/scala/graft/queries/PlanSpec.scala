@@ -208,10 +208,16 @@ class PlanSpec extends SparkSpecBase {
     //  - tfidf_topk / contrastive_pairs: the broadcast of the 1-row
     //    corpus-size frame (N) against the postings / anchors (the
     //    lm_surprisal pattern).
+    //  - lm_bigram: the broadcast of the 1-row vocabulary-size frame (V)
+    //    against the per-doc bigram lists (the lm_surprisal pattern).
+    //  - ann_topk_pq / ann_topk_pq_exact: the broadcast QUERY BATCH
+    //    against the CODE table (the ann_topk class — and the scanned
+    //    side here is m ints per row, not the embedding).
     val allowedProduct =
       Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search",
         "term_search_bm25", "lm_surprisal", "graph_triangles", "knn_classify",
-        "tfidf_topk", "contrastive_pairs")
+        "tfidf_topk", "contrastive_pairs", "lm_bigram", "ann_topk_pq",
+        "ann_topk_pq_exact")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
