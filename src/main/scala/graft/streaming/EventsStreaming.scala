@@ -262,6 +262,47 @@ object EventsStreaming {
   }
 
   /**
+   * Watermarked STREAM-STREAM INTERVAL JOIN — the streaming twin of the
+   * batch `events_attribution` pair set, and the one streaming join class
+   * the tier didn't yet exercise (asofJoin is custom
+   * flatMapGroupsWithState state; THIS is Spark's built-in two-sided
+   * join-state machinery, which the preference order says to reach for
+   * first). Each purchase meets every click of the same user inside the
+   * event-time lookback (tc ≤ tp, tp − tc < lookback): the range
+   * condition plus both sides' watermarks is exactly what lets Spark
+   * bound the join state — a click older than (watermark − lookback) can
+   * never match a future purchase and its buffered state is dropped;
+   * without the time bound a stream-stream inner join would buffer both
+   * streams forever.
+   *
+   * Inputs are event-shaped frames (event_id, user_id, ts [, value]).
+   * Output: one row per qualifying (purchase, click) pair with µs times —
+   * the same pair-set contract as the batch row (credit division is a
+   * downstream fold). Source-agnostic: on batch frames `withWatermark` is
+   * a no-op and the join is the plain interval join, so batch ≡ streaming
+   * is asserted directly in StreamingSpec.
+   */
+  def attributionPairs(purchases: DataFrame, clicks: DataFrame,
+      lookback: String = "24 hours",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermarkDelay)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") > col("p_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("tp_us"),
+        unix_micros(col("c_ts")).as("tc_us"), col("value"))
+  }
+
+  /**
    * Streaming sessionization — the custom-state tier the built-in operators
    * can't express: per-user sessions split at `gapMinutes` of event-time
    * silence, held open in `GroupState` and closed either by a later event

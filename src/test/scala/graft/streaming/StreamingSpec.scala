@@ -6,6 +6,10 @@ import java.sql.Timestamp
 
 case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 
+/** Event with a distinct user key for the stream-stream interval join. */
+case class AttEv(event_id: Long, user_id: Long, ts: Timestamp,
+    event_type: String, value: Double)
+
 /** Structured Streaming twin of the batch events queries, driven end-to-end
   * over MemoryStream. */
 class StreamingSpec extends SparkSpecBase {
@@ -165,6 +169,55 @@ class StreamingSpec extends SparkSpecBase {
       val sigs = Seq(base, "  " + base + "  ").toDF("text")
         .select(simhashSig(shingleHashes(col("text"), 3))).as[Long].collect()
       assert(sigs(0) == sigs(1))
+    } finally q.stop()
+  }
+
+  test("attributionPairs: watermarked stream-stream interval join, out-of-order click, ≡ batch") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[AttEv]
+    val df = in.toDF()
+    val q = EventsStreaming.attributionPairs(
+        df.filter($"event_type" === "purchase"),
+        df.filter($"event_type" === "click"),
+        lookback = "1 hour", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    def us(h: Int, m: Int) = t(h, m).getTime * 1000L
+    try {
+      in.addData(
+        AttEv(10, 1, t(10, 0), "click", 0),    // exactly lookback before → excluded
+        AttEv(11, 1, t(10, 30), "click", 0),
+        AttEv(20, 1, t(11, 0), "purchase", 50.0),
+        AttEv(12, 2, t(11, 30), "click", 0),
+        AttEv(21, 2, t(11, 45), "purchase", 20.0),
+        AttEv(22, 3, t(11, 50), "purchase", 9.0)) // no clicks → no pair
+      q.processAllAvailable()
+      // a LATE click (above watermark) matching the already-arrived
+      // purchase 21 — two-sided join state must still pair it
+      in.addData(AttEv(13, 2, t(11, 40), "click", 0))
+      q.processAllAvailable()
+      // advance both sides' watermarks with non-matching users
+      in.addData(AttEv(98, 8, t(15, 0), "click", 0),
+        AttEv(99, 9, t(15, 0), "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == Set(
+        (20L, 11L, 1L, us(11, 0), us(10, 30), 50.0),
+        (21L, 12L, 2L, us(11, 45), us(11, 30), 20.0),
+        (21L, 13L, 2L, us(11, 45), us(11, 40), 20.0)))
+      // batch ≡ streaming: the same transform over the closed static frame
+      val all = Seq(
+        AttEv(10, 1, t(10, 0), "click", 0), AttEv(11, 1, t(10, 30), "click", 0),
+        AttEv(20, 1, t(11, 0), "purchase", 50.0),
+        AttEv(12, 2, t(11, 30), "click", 0), AttEv(21, 2, t(11, 45), "purchase", 20.0),
+        AttEv(22, 3, t(11, 50), "purchase", 9.0), AttEv(13, 2, t(11, 40), "click", 0),
+        AttEv(98, 8, t(15, 0), "click", 0), AttEv(99, 9, t(15, 0), "purchase", 0))
+        .toDF()
+      val batch = EventsStreaming.attributionPairs(
+          all.filter($"event_type" === "purchase"),
+          all.filter($"event_type" === "click"), lookback = "1 hour")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      assert(batch == got)
     } finally q.stop()
   }
 
