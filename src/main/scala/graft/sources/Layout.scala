@@ -75,4 +75,38 @@ object Layout {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
   }
+
+  /**
+   * SMALL-FILE COMPACTION — the OPTIMIZE/maintenance rewrite every
+   * incremental ingest eventually needs: streaming epochs
+   * (`Trigger.AvailableNow` runs), CDC merges and appends each write a few
+   * rows per task, and a 100 TB table quietly becomes millions of tiny
+   * files — at which point every scan pays per-file open/footer overhead
+   * and the driver pays the listing (the classic small-files failure; a
+   * 1 MB-file million-object prefix is a cluster-killer independent of
+   * data volume). This shapes a frame into `ceil(rows / targetRows)`
+   * output files for rewrite.
+   *
+   * Cost: ONE counting job to size the output (for a parquet-backed frame
+   * that is a footer-metadata scan, no data pages) + the one exchange the
+   * rewrite needs anyway. With `sortCols` the exchange is a RANGE
+   * partition + in-file sort, so the rewrite PRESERVES (or establishes)
+   * clustering and its min/max-stats pruning — compaction and [[zordered]]
+   * compose: pass the Morton key as the sort column. Without `sortCols`
+   * it is a round-robin exchange — even file sizes, no ordering claim.
+   *
+   * Deliberately a frame-in/frame-out lever like [[zordered]] (caller owns
+   * the `.write`): the engine has no table-format transaction log to swap
+   * files atomically — that is Delta/Iceberg territory — so the contract
+   * is rewrite-to-new-path, verify, swap.
+   */
+  def compact(df: DataFrame, targetRows: Long,
+      sortCols: Seq[Column] = Nil): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val total = df.count()
+    val nFiles = math.max(1L, (total + targetRows - 1L) / targetRows).toInt
+    if (sortCols.isEmpty) df.repartition(nFiles)
+    else df.repartitionByRange(nFiles, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+  }
 }

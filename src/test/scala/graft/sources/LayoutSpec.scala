@@ -121,6 +121,42 @@ class LayoutSpec extends SparkSpecBase {
     assert(!kp.toLowerCase.contains("scalaudf"), kp)
   }
 
+  test("compact: many tiny files rewrite to ceil(n/target); sorted mode keeps pruning stats") {
+    val dir = Files.createTempDirectory("graft_compact").toFile
+    dir.deleteOnExit()
+    val (pSmall, pOut, pSorted) = (dir.getAbsolutePath + "/small",
+      dir.getAbsolutePath + "/out", dir.getAbsolutePath + "/sorted")
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // the ingest pathology: 64 files of ~16 rows each
+    spark.range(0, 1024).select(col("id").as("k"))
+      .repartition(64).write.mode("overwrite").parquet(pSmall)
+    assert(parquetFiles(pSmall).length == 64)
+    val small = spark.read.parquet(pSmall)
+
+    // round-robin compaction: 1024/400 → 3 files, identical data
+    Layout.compact(small, targetRows = 400)
+      .write.mode("overwrite").parquet(pOut)
+    assert(parquetFiles(pOut).length == 3)
+    val back = spark.read.parquet(pOut)
+    assert(back.count() == 1024 && back.except(small).count() == 0 &&
+      small.except(back).count() == 0)
+
+    // sorted compaction: files carry DISJOINT key ranges — the rewrite
+    // establishes the min/max-stats clustering a pruning reader uses
+    Layout.compact(small, targetRows = 300, sortCols = Seq(col("k")))
+      .write.mode("overwrite").parquet(pSorted)
+    val ranges = parquetFiles(pSorted).toSeq.flatMap { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("k"), max("k")).collect().head
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    }.sorted
+    assert(ranges.size >= 3)
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping compacted ranges: $ranges")
+    }
+  }
+
   test("schema evolution: mergeSchema unions old and new file schemas on read") {
     // a 100 TB table accretes columns over years of writes — old files
     // must stay readable next to new ones, with the missing column null
