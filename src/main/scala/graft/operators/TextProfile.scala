@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -192,6 +192,52 @@ object TextProfile {
             ((s.getField("c1").cast("double") + col("v").cast("double")) /
               (s.getField("c12").cast("double") + lit(1.0d))))
           / col("n_bigrams").cast("double")).as("mean_inv_prob"))
+  }
+
+  /**
+   * T5-STYLE SPAN CORRUPTION (Raffel et al., JMLR 2020 §3.1.4) — the
+   * denoising-objective data former: fixed-length token spans are masked
+   * and replaced by numbered sentinels in the INPUT; the TARGET is the
+   * sentinel-delimited masked content. `spanLen = 3, maskEvery = 7`
+   * masks every 7th span ≈ 14% of tokens in 3-token spans — the paper's
+   * 15%/span-3 operating point, made DETERMINISTIC by position (span s
+   * masked iff s ≡ 0 mod maskEvery) instead of sampled: the repo's
+   * oracle bar excludes RNG, and deterministic masking additionally
+   * makes the example set reproducible across pipeline re-runs (the
+   * same doc always yields the same example — incremental-ingest
+   * friendly, like [[CorpusMix]]'s fingerprint cuts).
+   *
+   * Pure per-row string/integer work (HOFs over the token array — the
+   * curation-tier affordance, as lm_surprisal's fold; no shuffle at all
+   * beyond the scan): embarrassingly parallel at any corpus size.
+   */
+  def spanCorruption(docs: DataFrame, spanLen: Int = 3,
+      maskEvery: Int = 7): DataFrame = {
+    require(spanLen >= 1 && maskEvery >= 2,
+      s"spanCorruption: need spanLen ≥ 1, maskEvery ≥ 2 ($spanLen, $maskEvery)")
+    val ts = tokens(col("text"))
+    def spanOf(i: Column) = floor(i / lit(spanLen)).cast("long")
+    def isMasked(i: Column) = pmod(spanOf(i), lit(maskEvery.toLong)) === 0L
+    def sentinel(i: Column) = concat(lit("<extra_id_"),
+      floor(spanOf(i) / lit(maskEvery)).cast("long").cast("string"), lit(">"))
+    val inputPieces = transform(ts, (x, i) =>
+      when(!isMasked(i), x)
+        .when(pmod(i, lit(spanLen)) === 0, sentinel(i))
+        .otherwise(lit("")))
+    val targetPieces = transform(ts, (x, i) =>
+      when(isMasked(i) && pmod(i, lit(spanLen)) === 0,
+        concat(sentinel(i), lit(" "), x))
+        .when(isMasked(i), x)
+        .otherwise(lit("")))
+    def joined(p: Column) = array_join(filter(p, x => length(x) > 0), " ")
+    docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        joined(inputPieces).as("input"),
+        joined(targetPieces).as("target"),
+        size(ts).cast("long").as("n_tokens"),
+        size(filter(transform(ts, (_, i) => isMasked(i)), x => x))
+          .cast("long").as("n_masked"))
   }
 
   /**

@@ -2113,6 +2113,44 @@ object LlmQueries {
       graft.operators.TextProfile.bigramPredictability(
           Tables.documents(s, dir).select("doc_id", "text"))
         .orderBy("doc_id")
+    },
+
+    // T5 span corruption (Raffel et al. §3.1.4) — the denoising-objective
+    // example former: every 7th 3-token span masked (≈14%, the paper's
+    // operating point), sentinels numbered in order, target = sentinel-
+    // delimited masked content. Deterministic BY POSITION instead of
+    // sampled (no RNG under the oracle bar; re-runs reproduce the same
+    // examples). Pure per-row string/int work, replayed token-for-token
+    // in DuckDB (list_transform + list_filter + array_to_string).
+    QueryDef.of("span_corruption",
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |), p AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(ts)), i -> CASE
+        |      WHEN ((i-1)//3) % 7 <> 0 THEN ts[i]
+        |      WHEN (i-1) % 3 = 0 THEN '<extra_id_' ||
+        |        CAST(((i-1)//3)//7 AS VARCHAR) || '>'
+        |      ELSE '' END) AS pin,
+        |    list_transform(generate_series(1, len(ts)), i -> CASE
+        |      WHEN ((i-1)//3) % 7 = 0 AND (i-1) % 3 = 0 THEN '<extra_id_' ||
+        |        CAST(((i-1)//3)//7 AS VARCHAR) || '> ' || ts[i]
+        |      WHEN ((i-1)//3) % 7 = 0 THEN ts[i]
+        |      ELSE '' END) AS ptg,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(generate_series(1, len(ts)),
+        |      i -> ((i-1)//3) % 7 = 0)) AS BIGINT) AS n_masked
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(pin, x -> length(x) > 0), ' ') AS input,
+        |  array_to_string(list_filter(ptg, x -> length(x) > 0), ' ') AS target,
+        |  n_tokens, n_masked
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextProfile.spanCorruption(
+          Tables.documents(s, dir).select("doc_id", "text"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1833,6 +1833,32 @@ object StarQueries {
         .select(col("purchase_id"), col("click_id"),
           (col("value") / col("n_touch").cast("double")).as("credit"))
         .orderBy("purchase_id", "click_id")
+    },
+
+    // 2-D Pareto frontier — multi-objective selection (parts no other part
+    // beats on BOTH size and price): the curation pattern behind
+    // quality-vs-length frontiers, without a weighted scalarization. The
+    // bounded-x collapse (per-size max price, ≤ |size domain| candidates)
+    // makes the dominance test a bounded-by-construction nested-loop
+    // anti-join (the events_resample allowlist class) — nothing data-sized
+    // ever meets an inequality join; winners semi-join back keeping ties.
+    // y doubles are selected/compared, never arithmetic → bit-exact.
+    QueryDef.of("pareto_frontier",
+      """WITH m AS (
+        |  SELECT p_size AS x, max(p_retailprice) AS y FROM part GROUP BY p_size
+        |), f AS (
+        |  SELECT x, y FROM m p WHERE NOT EXISTS (
+        |    SELECT 1 FROM m q
+        |    WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+        |)
+        |SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM part p JOIN f ON p.p_size = f.x AND p.p_retailprice = f.y
+        |ORDER BY p.p_size, p.p_partkey""".stripMargin) { (s, dir) =>
+      import graft.operators.Pareto
+      Pareto.frontier2d(
+          Tables.part(s, dir).select("p_partkey", "p_size", "p_retailprice"),
+          "p_size", "p_retailprice")
+        .orderBy("p_size", "p_partkey")
     }
   )
 }

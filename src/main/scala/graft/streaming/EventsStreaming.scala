@@ -303,6 +303,40 @@ object EventsStreaming {
   }
 
   /**
+   * The BUILT-IN sibling of [[sessionize]]: Spark's native
+   * `session_window` gap aggregation — no custom state, the merging
+   * session windows live in the aggregation operator's state store, and
+   * any aggregate composes per session (the preference-order-first
+   * spelling; [[sessionize]] remains the custom-state tier for outputs an
+   * aggregation can't shape, e.g. per-session event sequences).
+   *
+   * GAP ALIGNMENT, deliberate: the batch rule (`events_sessions`) and
+   * [[sessionize]] SPLIT on strictly-greater-than-gap — an event exactly
+   * `gap` after its predecessor stays in the session. `session_window`
+   * merges on `ts < window.end = last + gap` (exactly-gap SPLITS). The
+   * built-in gap is therefore `gap + 1 µs`, making the two rules
+   * identical on µs-granularity event time (StreamingSpec pins the
+   * exact-gap boundary).
+   *
+   * Output shape = [[SessionOut]]'s columns; `duration_us` is
+   * last-event − start (window.end would add the gap).
+   */
+  def sessionizeBuiltin(events: DataFrame, gapMinutes: Int = 30,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val gapUsPlus = gapMinutes.toLong * 60L * 1000000L + 1L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapUsPlus microseconds"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"),
+        (unix_micros(col("last_ts")) -
+          unix_micros(col("session_window.start"))).as("duration_us"))
+  }
+
+  /**
    * Streaming sessionization — the custom-state tier the built-in operators
    * can't express: per-user sessions split at `gapMinutes` of event-time
    * silence, held open in `GroupState` and closed either by a later event

@@ -59,6 +59,23 @@ class TextProfileSpec extends SparkSpecBase {
     assert(got == Seq((1L, 3L, e1), (2L, 2L, e2)))
   }
 
+  test("spanCorruption: hand-computed masking, sentinel numbering, short tail span") {
+    // 25 tokens t0..t24: spans 0 (t0-t2) and 7 (t21-t23) mask; t24 is the
+    // short tail of span 8 (unmasked)
+    val text = (0 until 25).map("t" + _).mkString(" ")
+    val got = TextProfile.spanCorruption(Seq((1L, text)).toDF("doc_id", "text"))
+      .as[(Long, String, String, Long, Long)].collect().head
+    val keptMiddle = (3 until 21).map("t" + _).mkString(" ")
+    assert(got == ((1L,
+      s"<extra_id_0> $keptMiddle <extra_id_1> t24",
+      "<extra_id_0> t0 t1 t2 <extra_id_1> t21 t22 t23",
+      25L, 6L)))
+    // a doc shorter than one span: fully masked into one sentinel
+    val tiny = TextProfile.spanCorruption(Seq((2L, "a b")).toDF("doc_id", "text"))
+      .as[(Long, String, String, Long, Long)].collect().head
+    assert(tiny == ((2L, "<extra_id_0>", "<extra_id_0> a b", 2L, 2L)))
+  }
+
   test("bpeMerges: hand-computed merge table, greedy overlap, tie-breaks, exhaustion") {
     // Corpus: "low" ×5, "lower" ×2, "aaaa" ×1  (token stream via repeats)
     //   step 1 pairs: lo×7, ow×7, we×2, er×2, aa×3  → argmax tied at 7

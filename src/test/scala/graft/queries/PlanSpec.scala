@@ -213,11 +213,14 @@ class PlanSpec extends SparkSpecBase {
     //  - ann_topk_pq / ann_topk_pq_exact: the broadcast QUERY BATCH
     //    against the CODE table (the ann_topk class — and the scanned
     //    side here is m ints per row, not the embedding).
+    //  - pareto_frontier: the dominance anti-join of the per-x-maxima
+    //    candidate table against itself — BOTH sides ≤ |x domain| rows by
+    //    construction (the events_resample class).
     val allowedProduct =
       Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search",
         "term_search_bm25", "lm_surprisal", "graph_triangles", "knn_classify",
         "tfidf_topk", "contrastive_pairs", "lm_bigram", "ann_topk_pq",
-        "ann_topk_pq_exact")
+        "ann_topk_pq_exact", "pareto_frontier")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),

@@ -249,6 +249,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionizeBuiltin (native session_window): exact-gap boundary matches the batch rule; batch ≡ streaming") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val events = in.toDF()
+      .selectExpr("event_id AS user_id", "ts", "event_type", "value")
+    val q = EventsStreaming.sessionizeBuiltin(events, gapMinutes = 30,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_native")
+      .outputMode("append").start()
+    def us(h: Int, m: Int) = t(h, m).getTime * 1000L
+    try {
+      in.addData(
+        Ev(1, t(10, 0), "c", 0), Ev(1, t(10, 30), "c", 0), // EXACTLY gap → same session (the batch rule)
+        Ev(1, t(11, 30), "c", 0),                          // > gap → new session
+        Ev(2, t(10, 5), "c", 0))
+      q.processAllAvailable()
+      in.addData(Ev(9, t(15, 0), "c", 0)) // watermark far past every window end
+      q.processAllAvailable()
+      val got = spark.table("sessions_native")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        (1L, us(10, 0), 2L, 30L * 60 * 1000000),
+        (1L, us(11, 30), 1L, 0L),
+        (2L, us(10, 5), 1L, 0L)))
+      // batch ≡ streaming: the same transform on the closed static frame
+      val all = Seq(
+        Ev(1, t(10, 0), "c", 0), Ev(1, t(10, 30), "c", 0),
+        Ev(1, t(11, 30), "c", 0), Ev(2, t(10, 5), "c", 0),
+        Ev(9, t(15, 0), "c", 0)).toDF()
+        .selectExpr("event_id AS user_id", "ts", "event_type", "value")
+      val batch = EventsStreaming.sessionizeBuiltin(all, gapMinutes = 30)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(batch == got + ((9L, us(15, 0), 1L, 0L)))
+    } finally q.stop()
+  }
+
   test("sessionize state survives a checkpointed restart (exactly-once recovery)") {
     implicit val ctx = spark.sqlContext
     // the memory sink refuses checkpoint recovery (not fault-tolerant);
