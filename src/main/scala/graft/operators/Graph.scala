@@ -72,7 +72,13 @@ object Graph {
       DataFrame = {
     val e = edges.select(col(src), col(dst)).distinct()
     val deg = e.groupBy(src).agg(count(lit(1)).as("deg"))
-    val base = Caches.checkpointTracked(e.join(deg, src))
+    // pre-partition AND pre-sort the contribution base by the per-iteration
+    // join key BEFORE the checkpoint leaf: localCheckpoint preserves the
+    // physical partitioning/ordering, so each of the k joins re-reads an
+    // already-src-clustered base — only the |V|-row rank side exchanges
+    // per step, the |E|-row base never re-shuffles or re-sorts
+    val base = Caches.checkpointTracked(
+      e.join(deg, src).repartition(col(src)).sortWithinPartitions(src))
     val nodes = Caches.checkpointTracked(deg.select(col(src).as("node")))
     val n = nodes.count() // bounded eager job: ONE driver-side long
     val jump = (1.0 - damping) / n.toDouble
@@ -122,7 +128,11 @@ object Graph {
    */
   def labelPropagation(edges: DataFrame, iterations: Int,
       src: String = "src", dst: String = "dst"): DataFrame = {
-    val e = Caches.checkpointTracked(edges.select(col(src), col(dst)).distinct())
+    // pre-partitioned + pre-sorted by the per-round join key (the pageRank
+    // checkpoint-leaf trick): the |E|-row side never re-shuffles/re-sorts
+    // across the k rounds
+    val e = Caches.checkpointTracked(edges.select(col(src), col(dst))
+      .distinct().repartition(col(src)).sortWithinPartitions(src))
     val nodes = Caches.checkpointTracked(
       e.select(col(dst).as("node")).distinct())
     var lab = nodes.select(col("node"), col("node").as("label"))
