@@ -2151,6 +2151,66 @@ object LlmQueries {
       graft.operators.TextProfile.spanCorruption(
           Tables.documents(s, dir).select("doc_id", "text"))
         .orderBy("doc_id")
+    },
+
+    // Collocation mining by LIFT — pointwise-mutual-information ranking in
+    // its rational form P(w1w2)/(P(w1)P(w2)) = c12·N²/(Nb·c1·c2) (the PMI
+    // exponential — same ranking, no ln: the lm_bigram ulp lesson), min
+    // support c12 ≥ 5. Phrase mining / tokenizer-vocabulary candidates:
+    // high-lift adjacent pairs are the multi-word units worth fusing.
+    // All-integer aggregates; ONE fixed-order double expression per
+    // surviving bigram (left-assoc ×/÷ identical in both engines);
+    // TakeOrderedAndProject top-20 under the (lift, ngram) total order;
+    // corpus constants N/Nb ride 1-row broadcasts (the lm_surprisal
+    // allowlist class).
+    QueryDef.of("collocations_lift",
+      """WITH toks AS (
+        |  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)),
+        |      i -> struct_pack(pos := i, w := ts[i]))) AS u
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+        |          FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0))
+        |), uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        |bi AS (
+        |  SELECT a.w AS w1, b.w AS w2, a.w || ' ' || b.w AS ngram
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), bc AS (
+        |  SELECT w1, w2, ngram, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bi GROUP BY w1, w2, ngram
+        |), nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bi)
+        |SELECT ngram, c12,
+        |  (CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |  (CAST(nb AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+        |FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w
+        |CROSS JOIN n CROSS JOIN nb
+        |WHERE c12 >= 5
+        |ORDER BY lift DESC, ngram LIMIT 20""".stripMargin) { (s, dir) =>
+      import graft.operators.Caches
+      val toks = Caches.persistTracked(Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w"))))
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val nTok = toks.agg(count(lit(1)).as("n"))
+      val bi = Caches.persistTracked(toks.as("a")
+        .join(toks.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+        .select(col("a.w").as("w1"), col("b.w").as("w2"),
+          concat_ws(" ", col("a.w"), col("b.w")).as("ngram")))
+      val bc = bi.groupBy("w1", "w2", "ngram").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      val nBi = bi.agg(count(lit(1)).as("nb"))
+      bc.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+        .select(col("ngram"), col("c12"),
+          ((col("c12").cast("double") * col("n").cast("double") *
+            col("n").cast("double")) /
+            (col("nb").cast("double") * col("c1").cast("double") *
+              col("c2").cast("double"))).as("lift"))
+        .orderBy(col("lift").desc, col("ngram"))
+        .limit(20)
     }
   )
 }

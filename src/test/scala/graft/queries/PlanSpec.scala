@@ -216,11 +216,13 @@ class PlanSpec extends SparkSpecBase {
     //  - pareto_frontier: the dominance anti-join of the per-x-maxima
     //    candidate table against itself — BOTH sides ≤ |x domain| rows by
     //    construction (the events_resample class).
+    //  - collocations_lift: the two 1-row corpus-constant frames (N, Nb)
+    //    against the surviving bigrams (the lm_surprisal pattern).
     val allowedProduct =
       Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search",
         "term_search_bm25", "lm_surprisal", "graph_triangles", "knn_classify",
         "tfidf_topk", "contrastive_pairs", "lm_bigram", "ann_topk_pq",
-        "ann_topk_pq_exact", "pareto_frontier")
+        "ann_topk_pq_exact", "pareto_frontier", "collocations_lift")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
