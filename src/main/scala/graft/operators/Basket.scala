@@ -66,4 +66,55 @@ object Basket {
         (col("cnt").cast("double") /
           (col("n_a") + col("n_b") - col("cnt")).cast("double")).as("jaccard"))
   }
+
+  /**
+   * FREQUENT 3-ITEMSETS by the A-PRIORI principle (Agrawal & Srikant
+   * 1994): (item_a < item_b < item_c, support) for every triple
+   * co-occurring in ≥ `minSupport` baskets — the next lattice level above
+   * [[pairCounts]]' pairs (and the input to 2→3 association rules).
+   *
+   * The A-priori downward-closure prunes are what make the triple join
+   * survive a 100 TB basket log — each one shrinks the joined frames
+   * BEFORE the expensive step:
+   *  1. items below `minSupport` support can't be in any frequent triple
+   *     → the basket stream is semi-joined down to frequent items first;
+   *  2. a triple's (a,b) prefix must itself be a frequent PAIR → the
+   *     per-basket pair frame is semi-joined against the frequent-pair
+   *     set before the third item joins on;
+   *  3. the remaining (a,c) and (b,c) sub-pairs must be frequent too →
+   *     two more semi-joins on the candidate triples, so the final
+   *     support count shuffles only candidates whose every sub-pair
+   *     passed (the classic candidate-generation step, as joins instead
+   *     of a driver-side lattice).
+   * All equi-joins on (basket|pair) keys, all counts partial-aggregated,
+   * everything integer — never a window, never a cartesian; the pruned
+   * basket stream is checkpoint-tracked once and feeds all three legs.
+   * (Caller releases via Caches.releaseAll(), the standard contract.)
+   */
+  def frequentTriples(rows: DataFrame, basket: String, item: String,
+      minSupport: Long): DataFrame = {
+    val items = distinctItems(rows, basket, item)
+    val freqItems = items.groupBy("it").agg(count(lit(1)).as("ci"))
+      .filter(col("ci") >= minSupport).select("it")
+    val fit = Caches.checkpointTracked(
+      items.join(freqItems, Seq("it"), "left_semi"))
+    val freqPairs = Caches.checkpointTracked(
+      pairsFromItems(fit).filter(col("cnt") >= minSupport)
+        .select("item_a", "item_b"))
+    val basketPairs = fit.select(col("bk"), col("it").as("item_a"))
+      .join(fit.select(col("bk"), col("it").as("item_b")), "bk")
+      .filter(col("item_a") < col("item_b"))
+      .join(freqPairs, Seq("item_a", "item_b"), "left_semi")
+    basketPairs
+      .join(fit.select(col("bk"), col("it").as("item_c")), "bk")
+      .filter(col("item_c") > col("item_b"))
+      .join(freqPairs.select(col("item_a"), col("item_b").as("item_c")),
+        Seq("item_a", "item_c"), "left_semi")
+      .join(freqPairs.select(col("item_a").as("item_b"),
+          col("item_b").as("item_c")),
+        Seq("item_b", "item_c"), "left_semi")
+      .groupBy("item_a", "item_b", "item_c")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
 }

@@ -82,4 +82,43 @@ object CorpusMix {
       .withColumn(splitCol, expr)
       .drop("_graft_split_bkt")
   }
+
+  /**
+   * TEMPERATURE-SCALED sampling weights (α = 0.5) per stratum — the
+   * multilingual/multi-source rebalancing rule from XLM (Conneau & Lample
+   * 2019) and mT5 (Xue et al. 2021): sample stratum i with probability
+   * q_i ∝ p_i^α where p_i = n_i/N, flattening the head so low-resource
+   * strata are up-sampled (boost = q/p > 1) and dominant ones down-sampled.
+   * Output per stratum: n_docs, p, q, boost.
+   *
+   * α is FIXED at 0.5 so the exponent is `sqrt` — correctly rounded in
+   * IEEE 754 and therefore bit-identical across engines, where a general
+   * `pow(x, α)` is only faithfully rounded and diverges by ulps between
+   * libm implementations (the lm_bigram ln lesson). The normalizer
+   * Σ_j √p_j is a SORTED fold over the stratum frame (sort_array →
+   * aggregate, the pageRank technique) — strata counts are bounded, but
+   * partition order still isn't deterministic without it.
+   *
+   * Scale shape: one partial-agg count by stratum (the only data-sized
+   * pass), then everything runs on ≤ |strata| rows — the 1-row total and
+   * 1-row normalizer broadcast back onto the stratum frame (bounded
+   * products, the lm_surprisal allowlist class).
+   */
+  def temperatureWeights(docs: DataFrame, stratumCol: String): DataFrame = {
+    val c = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = c.agg(sum("n_docs").as("n_total"))
+    val withP = c.crossJoin(tot)
+      .select(col("stratum"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double")).as("p"))
+    val z = withP
+      .select(struct(col("stratum"), sqrt(col("p")).as("v")).as("sv"))
+      .agg(sort_array(collect_list(col("sv"))).as("svs"))
+      .select(aggregate(col("svs"), lit(0.0d),
+        (a, x) => a + x.getField("v")).as("z"))
+    withP.crossJoin(z)
+      .select(col("stratum"), col("n_docs"), col("p"),
+        (sqrt(col("p")) / col("z")).as("q"),
+        ((sqrt(col("p")) / col("z")) / col("p")).as("boost"))
+  }
 }

@@ -32,6 +32,29 @@ object Dedup {
       .select("keep_id", "n_dups")
 
   /**
+   * NORMALIZED exact dedup — the C4/CCNet-style "soft exact" tier between
+   * [[exact]] and the near-dup engines: two documents are duplicates when
+   * they agree after lowercasing and whitespace collapsing (the
+   * reformat-only clones — re-wrapped lines, double spaces, case-changed
+   * headlines — that exact dedup misses and MinHash over-pays for).
+   * Same contract and plan shape as [[exact]]: one partial-aggregated
+   * groupBy on the normalized key (min-id survivor, group size); the
+   * normalization is pure codegen'd string ops, so the only cost over
+   * [[exact]] is the per-row rewrite. Whitespace is the explicit class
+   * (Java \s matches U+000B, RE2 \s does not — the repo-wide rule), so
+   * a DuckDB oracle replays the key bit-for-bit. For the two-phase
+   * fingerprint form at 100 TB, normalize-then-[[exactByFingerprint]]
+   * composes trivially (the key projection is the same rewrite).
+   */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+          .as("norm"))
+      .groupBy("norm")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+
+  /**
    * Exact dedup at scale, two-phase so document text only crosses a shuffle
    * when it is actually a duplicate candidate:
    *

@@ -149,6 +149,56 @@ object Graph {
     lab
   }
 
+  /**
+   * EXACT k-BOUNDED BFS from a single source over a DIRECTED distinct
+   * edge list: hop distance to every node reachable within `maxDepth`
+   * steps — the reachability/radius primitive next to [[pageRank]]'s
+   * centrality and [[labelPropagation]]'s communities (think "how far
+   * does influence travel in the co-purchase graph", ego-network
+   * extraction, or the distance feature a ranking model consumes).
+   *
+   * Level-synchronous frontier expansion, the canonical distributed BFS:
+   * level i+1 = (frontier ⋈ edges).dst minus everything already
+   * labeled. All integers, and each node's distance is the FIRST level
+   * that reaches it — a pure function of the graph, so an oracle replays
+   * the loop as a CTE chain. Caller picks the source (collecting a
+   * 1-long argmin/min is the caller's bounded job, mirroring
+   * [[pageRank]]'s N collect).
+   *
+   * Scale shape: the edge base is checkpoint-tracked, pre-partitioned
+   * and pre-sorted on `src` (the pageRank leaf trick) so each of the k
+   * joins re-reads an already-clustered |E| base and only the frontier
+   * side moves; the visited set grows monotonically but stays |V|-bounded
+   * (node, dist) pairs — the anti-join against it is an equi-join,
+   * never a window, never a cartesian, nothing data-sized on the driver.
+   * k is a constant; each level is one shuffle of frontier-sized rows —
+   * the textbook Pregel BFS cost on a 1000-executor cluster.
+   *
+   * Output: (node, dist) for every node with dist ≤ maxDepth (the source
+   * itself at dist 0). Unreached nodes are absent, not NULL-rowed.
+   */
+  def bfs(edges: DataFrame, source: Long, maxDepth: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = Caches.checkpointTracked(edges.select(col(src), col(dst))
+      .distinct().repartition(col(src)).sortWithinPartitions(src))
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+    var frontier = dist.select("node")
+    for (i <- 1 to maxDepth) {
+      // materialize each level as a lineage-truncated leaf: without it the
+      // anti-join's `dist` side re-derives every previous level per step
+      // (the plan doubles per iteration — the pageRank checkpoint rationale)
+      val nxt = Caches.checkpointTracked(
+        e.join(frontier.select(col("node").as(src)), src)
+          .select(col(dst).as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(i.toLong).as("dist")))
+      dist = dist.unionAll(nxt)
+      frontier = nxt.select("node")
+    }
+    dist
+  }
+
   /** One-row exact summary of the undirected graph given by (`src`,`dst`)
     * pairs (self-loops dropped, parallel/reversed duplicates collapsed):
     * n_nodes, n_edges, n_wedges (= Σ_v C(deg v, 2)), n_triangles, and

@@ -248,6 +248,24 @@ object Similarity {
       NearestCells(ColumnBridge.expression(vec), centroids, nProbe))
 
   /**
+   * LLOYD ASSIGNMENT STEP with caller-supplied centroids: (vec_id, cell)
+   * for every corpus vector, cell = argmin squared-L2 centroid (ties to
+   * the lowest cell index — [[NearestCells]]' total order). This is the
+   * distributed half of k-means exposed as its own operator: the fit
+   * ([[buildIvfIndex]]'s driver-side `lloyd` over a bounded sample) and
+   * the assignment (this one full-corpus codegen'd map, centroids baked
+   * into the plan as constants) — at 100 TB the assignment is the only
+   * part that may touch all the data, and it is a narrow scan with NO
+   * shuffle at all. Also the certification point for the cell-assignment
+   * arithmetic the IVF tier rests on: `kmeans_assign` replays the exact
+   * fold (left-to-right Σ(x−c)² in index order, float→double widening)
+   * in DuckDB and hash-matches the resulting partition of the corpus.
+   */
+  def assignCells(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    corpus.select(col("vec_id"),
+      element_at(nearestCells(col("embedding"), centroids, 1), 1).as("cell"))
+
+  /**
    * IVF (inverted-file) approximate top-k over a prebuilt index: each query
    * probes its `nProbe` nearest cells and exact rescoring runs only over
    * those cells' members — cost per query ≈ nProbe/nCells of the corpus

@@ -410,6 +410,22 @@ object LlmQueries {
       Dedup.exactByFingerprint(Tables.documents(s, dir)).orderBy("keep_id")
     },
 
+    // C4-style NORMALIZED exact dedup — the "soft exact" tier catching
+    // reformat-only clones (case + whitespace changes) that raw exact
+    // dedup misses: group on lower(collapse-whitespace(text)). Same
+    // min-id-survivor contract as dedup_exact; the oracle replays the
+    // normalization bit-for-bit (explicit whitespace class — Java \s ≡
+    // [ \t\n\x0B\f\r]; lower() parity with DuckDB is already certified
+    // corpus-wide by the lang-ID rows' lowered CTE).
+    QueryDef.of("dedup_exact_norm",
+      """SELECT keep_id, n_dups FROM (
+        |  SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        |  FROM documents
+        |  GROUP BY lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))
+        |) ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      Dedup.exactNormalized(Tables.documents(s, dir)).orderBy("keep_id")
+    },
+
     // Exact n-gram Jaccard near-dup pairs via the prefix-filtered
     // (AllPairs/PPJoin) join — EXACT ON ANY CORPUS, which is what an
     // oracle-checked row must be: MinHash-LSH discovery misses
@@ -845,6 +861,52 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Lloyd ASSIGNMENT step exposed as its own oracle row: the corpus
+    // partitioned over 8 fixed centroids (the first 8 vectors — a
+    // deterministic, SQL-replayable codebook), reported as per-cell size
+    // + smallest member. This certifies the exact arithmetic the whole
+    // IVF tier stands on — NearestCells' left-to-right Σ(x−c)² fold with
+    // float→double widening and lowest-index tie-break — directly against
+    // DuckDB replaying the same fold (list_reduce over a prepended 0.0,
+    // (dist, cell) argmin), where ann_topk_ivf_exact could only certify
+    // it indirectly (at nProbe = nCells the assignment cancels out).
+    // Scale shape: ONE shuffle-free codegen'd scan for the assignment
+    // (centroids are plan constants), then a partial-agg groupBy on an
+    // 8-value key. The 8-row centroid collect is bounded, the IVF-build
+    // pattern.
+    QueryDef.of("kmeans_assign",
+      """WITH c AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8
+        |), q AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+        |), d AS (
+        |  SELECT q.vec_id, c.cell,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(c.cv)),
+        |        i -> (q.ev[i] - c.cv[i]) * (q.ev[i] - c.cv[i]))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM q CROSS JOIN c
+        |), a AS (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |  FROM d
+        |)
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(min(vec_id) AS BIGINT) AS min_vec
+        |FROM a WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin) {
+      (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+        .collect().map(_.getSeq[Double](0)).toSeq
+      Similarity.assignCells(emb, cents)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec"))
+        .orderBy("cell")
+    },
+
     // Hybrid retrieval: weighted LINEAR fusion of lexical and vector
     // scores — fused = 0.1·term_tf + cosine(embedding, query vector).
     // Per-row arithmetic only (no rank windows — reciprocal-rank fusion
@@ -1065,6 +1127,89 @@ object LlmQueries {
           tokenCount(col("text")).cast("long").as("n_ws"),
           bpeTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id")
+    },
+
+    // FLESCH READING-EASE scoring (Flesch 1948): 206.835 − 1.015·(words/
+    // sentences) − 84.6·(syllables/words), with sentences counted as
+    // [.!?]+ runs and syllables approximated as vowel-group runs (the
+    // standard regex approximation; no per-word minimum — documented
+    // simplification, same on both sides). All three inputs are exact
+    // integers off ONE codegen'd scan (regexp_count runs — non-overlapping
+    // leftmost matching in both engines); the formula is one fixed-order
+    // double expression with every literal CAST AS DOUBLE in the oracle
+    // (DuckDB folds bare decimals exactly; the JVM's binary doubles are
+    // the repo-wide wire format — the pageRank lesson), so the score is
+    // bit-equal with NO rounding. Divisions are greatest(·,1)-guarded.
+    QueryDef.of("text_readability",
+      """SELECT doc_id, n_words, n_sents, n_syll,
+        |  CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE)
+        |        / CAST(greatest(n_sents, 1) AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE) * (CAST(n_syll AS DOUBLE)
+        |        / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syll
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long").as("n_sents"),
+          regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long")
+            .as("n_syll"))
+      base.select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+          (lit(206.835d)
+            - lit(1.015d) * (col("n_words").cast("double")
+                / greatest(col("n_sents"), lit(1L)).cast("double"))
+            - lit(84.6d) * (col("n_syll").cast("double")
+                / greatest(col("n_words"), lit(1L)).cast("double")))
+            .as("flesch"))
+        .orderBy("doc_id")
+    },
+
+    // TOKENIZER VOCABULARY COVERAGE — the curation question behind every
+    // fixed-vocab tokenizer: what fraction of the corpus token stream does
+    // a top-K frequency vocabulary cover (Zipf head mass)? One token-count
+    // aggregate (map-side collapsed — the domain is the vocabulary, not
+    // the stream), a TakeOrderedAndProject top-K (ties by token string —
+    // total order), and two 1-row aggregates cross-joined; integers plus
+    // ONE exact division. At 100 TB the only data-sized pass is the token
+    // count; everything after runs on |vocab| rows.
+    QueryDef.of("vocab_coverage",
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |), tc AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types FROM tc
+        |), cov AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS covered FROM (
+        |    SELECT c FROM tc ORDER BY c DESC, t LIMIT 1000)
+        |)
+        |SELECT n_tokens, n_types, covered,
+        |  CAST(covered AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
+        |FROM tot CROSS JOIN cov ORDER BY n_tokens""".stripMargin) { (s, dir) =>
+      import graft.operators.Caches
+      // the vocab count feeds BOTH closing aggregates — tracked persist so
+      // the token explode runs once (released by the caller's releaseAll)
+      val tc = Caches.persistTracked(Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c")))
+      val tot = tc.agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"))
+      val cov = tc.orderBy(col("c").desc, col("t")).limit(1000)
+        .agg(sum("c").as("covered"))
+      tot.crossJoin(cov)
+        .select(col("n_tokens"), col("n_types"), col("covered"),
+          (col("covered").cast("double") / col("n_tokens").cast("double"))
+            .as("coverage"))
+        .orderBy("n_tokens")
     },
 
     // Corpus-wide top word bigrams — the collocation census (the n-gram
@@ -1379,6 +1524,39 @@ object LlmQueries {
           Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0))
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
+    },
+
+    // TEMPERATURE-SCALED source weights (α = 0.5; XLM / mT5 multilingual
+    // rebalancing): q_i ∝ √p_i flattens the source head — low-resource
+    // strata get boost > 1, dominant ones < 1 — the numbers a sampler
+    // (corpus_mix's rate map) is then CONFIGURED with. Exponent fixed at
+    // √ (correctly rounded IEEE — a general pow() diverges by ulps
+    // across libm, the lm_bigram ln lesson); the Σ√p normalizer is a
+    // sorted fold; the two 1-row frames broadcast onto the ≤|strata|-row
+    // stratum frame (bounded products, allowlisted).
+    QueryDef.of("corpus_temperature",
+      """WITH c AS (
+        |  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1
+        |), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+        |p AS (
+        |  SELECT stratum, n_docs,
+        |    CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p
+        |  FROM c CROSS JOIN tot
+        |), z AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(stratum := stratum,
+        |                                              v := sqrt(p)))),
+        |                   x -> x.v)),
+        |    (a, x) -> a + x) AS z
+        |  FROM p
+        |)
+        |SELECT stratum, n_docs, p, sqrt(p) / z AS q,
+        |  (sqrt(p) / z) / p AS boost
+        |FROM p CROSS JOIN z ORDER BY stratum""".stripMargin) { (s, dir) =>
+      graft.operators.CorpusMix
+        .temperatureWeights(Tables.documents(s, dir), "source")
+        .orderBy("stratum")
     },
 
     // THE COMPOSED CURATION PIPELINE — the flagship end-to-end recipe a

@@ -90,6 +90,33 @@ object StarQueries {
        |SELECT node, label FROM l$k ORDER BY node""".stripMargin
   }
 
+  /** Oracle for `graph_bfs`: k level-synchronous frontier expansions
+    * unrolled as a CTE chain (the lpaOracle technique). Level i selects
+    * the distinct successors of level i−1 not yet seen at ANY earlier
+    * level — exactly the engine's distinct + anti-join step; everything
+    * is integer, so the chain replays the loop bit-for-bit. */
+  private def bfsOracle(k: Int): String = {
+    def seen(i: Int): String =
+      (0 until i).map(j => s"SELECT node FROM d$j").mkString(" UNION ALL ")
+    def level(i: Int): String =
+      s"""d$i AS (
+         |  SELECT DISTINCT e.dst AS node, CAST($i AS BIGINT) AS dist
+         |  FROM e JOIN d${i - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (${seen(i)})
+         |)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e AS (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+       |), s AS (SELECT min(src) AS sn FROM e),
+       |d0 AS (SELECT sn AS node, CAST(0 AS BIGINT) AS dist FROM s),
+       |${(1 to k).map(level).mkString(",\n")}
+       |SELECT node, dist FROM (${(0 to k).map(j => s"SELECT * FROM d$j")
+          .mkString(" UNION ALL ")})
+       |ORDER BY node""".stripMargin
+  }
+
   /** Deliberately-skewed fact: every even orderkey maps to skew_key 0 (50%
     * of lineitem — 300k rows at sf0.1 on one key), the rest spread over
     * 1..199. qty is exact (l_quantity is integer-valued; summed as BIGINT
@@ -980,6 +1007,96 @@ object StarQueries {
         .orderBy("event_type", "hour_start")
     },
 
+    // HOUR-OF-DAY SEASONALITY profile — the diurnal-shape view behind
+    // rate baselining (events_anomaly's z-scores detect deviations; this
+    // row exposes the periodic structure they deviate FROM): per
+    // (event_type, hour-of-day 0-23) event count and its share of the
+    // type's total. One partial-aggregated pass over events into a
+    // ≤ types × 24 result; counts are exact integers, the share is ONE
+    // division of two of them (types' totals ride along via a
+    // sorted-safe second aggregation, not a window). UTC on both sides
+    // (sessions pin UTC; DuckDB hour() on the naive µs timestamp reads
+    // the same wall-clock field).
+    QueryDef.of("events_seasonality",
+      """WITH c AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY 1
+        |)
+        |SELECT c.event_type, c.hod, c.cnt,
+        |  CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |ORDER BY c.event_type, c.hod""".stripMargin) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("cnt"))
+      val t = c.groupBy("event_type").agg(sum("cnt").as("total"))
+      c.join(t, "event_type")
+        .select(col("event_type"), col("hod"), col("cnt"),
+          (col("cnt").cast("double") / col("total").cast("double")).as("share"))
+        .orderBy("event_type", "hod")
+    },
+
+    // FORWARD-FILL resample (last observation carried forward) — the
+    // gap-fill sibling of events_resample's zero-fill: hourly per-type
+    // counts and max values on the dense grid, with missing hours
+    // carrying the LAST OBSERVED hourly aggregate (sensor/metric
+    // semantics, where absence means "unchanged", not zero; hours before
+    // a type's first observation stay NULL — nothing to carry). The
+    // ffill window runs over the RESAMPLED GRID (types × hours — bounded
+    // regardless of event volume), never over raw events, so the per-key
+    // window here is a bounded-domain frame, not the data-sized per-key
+    // sort the engine's no-per-key-window rule bans on candidate paths.
+    // Counts are integers; max(value) is a raw double (no arithmetic) —
+    // both hash-exact; IGNORE NULLS last_value over the same
+    // ROWS-UNBOUNDED-PRECEDING frame on both sides.
+    QueryDef.of("events_ffill",
+      """WITH b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events
+        |), g AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+        |), t AS (
+        |  SELECT DISTINCT event_type FROM events
+        |), o AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS c, max(value) AS mx
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  last_value(c IGNORE NULLS) OVER w AS cnt_ffill,
+        |  last_value(mx IGNORE NULLS) OVER w AS max_ffill
+        |FROM (
+        |  SELECT t.event_type, g.h, o.c, o.mx
+        |  FROM t CROSS JOIN g
+        |  LEFT JOIN o ON o.event_type = t.event_type AND o.h = g.h
+        |)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, hour_start""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val grid = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("h"))
+      val types = ev.select("event_type").distinct()
+      val observed = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"), max("value").as("mx"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      types.crossJoin(grid)
+        .join(observed, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          last(col("c"), ignoreNulls = true).over(w).as("cnt_ffill"),
+          last(col("mx"), ignoreNulls = true).over(w).as("max_ffill"))
+        .orderBy("event_type", "hour_start")
+    },
+
     // Pivot (wide aggregation): quantity sums per returnflag, one column
     // per linestatus. Pivot values are given EXPLICITLY — the implicit form
     // runs a driver-side distinct job to discover them, a plan-time
@@ -1138,6 +1255,55 @@ object StarQueries {
           Tables.lineitem(s, dir), basket = "l_orderkey", item = "l_partkey")
         .orderBy(desc("cnt"), col("item_a"), col("item_b"))
         .limit(100)
+    },
+
+    // Frequent 3-ITEMSETS (Agrawal & Srikant A-priori) — the lattice
+    // level above basket_pairs and the input to 2→3 association rules:
+    // part triples sharing ≥ 2 orders. The engine climbs via downward
+    // closure (frequent-item prune → frequent-(a,b)-prefix prune on the
+    // per-basket pairs → (a,c)/(b,c) candidate semi-joins → support
+    // count); the oracle counts the unpruned 3-way join directly — the
+    // A-priori theorem (every sub-itemset of a frequent itemset is
+    // frequent) says the prunes cannot change the answer, and the hash
+    // match certifies exactly that. All integers.
+    QueryDef.of("basket_triples",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |)
+        |SELECT a.pk AS item_a, b.pk AS item_b, c.pk AS item_c,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |          JOIN li c ON a.ok = c.ok AND b.pk < c.pk
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY item_a, item_b, item_c""".stripMargin) { (s, dir) =>
+      graft.operators.Basket.frequentTriples(Tables.lineitem(s, dir),
+          basket = "l_orderkey", item = "l_partkey", minSupport = 2L)
+        .orderBy("item_a", "item_b", "item_c")
+    },
+
+    // INCREMENTAL VIEW MAINTENANCE certified as an oracle row: the engine
+    // maintains a per-part (count, qty) aggregate by merging a stored
+    // base aggregate with a batch aggregate (Ivm.mergeAdditive — one
+    // full-outer join on the key, cost ∝ |Δ| + touched keys, the base
+    // NEVER rescanned); the oracle aggregates the whole table from
+    // scratch. agg(base ∪ Δ) = agg(base) ⊕ agg(Δ) for distributive
+    // aggregates is the materialized-view algebra — the hash match IS
+    // that theorem, bit-for-bit (sums kept integral: l_quantity cast to
+    // BIGINT, the repo's exact-sum rule).
+    QueryDef.of("agg_incremental",
+      """SELECT l_partkey AS part, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY part""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_partkey").as("part"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+      val baseAgg = aggOf(li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0))
+      val deltaAgg = aggOf(li.filter(pmod(col("l_orderkey"), lit(10)) === 0))
+      graft.operators.Ivm.mergeAdditive(baseAgg, deltaAgg, "part",
+          Seq("n_items", "qty"))
+        .orderBy("part")
     },
 
     // Entity-resolution CLUSTERS: fuzzy_join's blocked edit-distance pairs
@@ -1576,6 +1742,27 @@ object StarQueries {
         .filter(col("src") =!= col("dst"))
         .select("src", "dst")
       graft.operators.Graph.labelPropagation(e, iterations = 4)
+        .orderBy("node")
+    },
+
+    // k-bounded BFS from the smallest part in the co-purchase graph: hop
+    // distance to everything reachable in ≤ 3 steps — the reachability /
+    // ego-network view next to graph_pagerank's centrality and graph_lpa's
+    // communities. Level-synchronous frontier expansion (distinct
+    // successors minus the anti-joined visited set, each level a
+    // checkpoint-tracked leaf); all integers, so the oracle unrolls the
+    // three levels as a CTE chain and must (and does) agree exactly. The
+    // 1-long source collect mirrors pageRank's bounded N collect.
+    QueryDef.of("graph_bfs", bfsOracle(3)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      val source = e.agg(min("src")).head().getLong(0)
+      graft.operators.Graph.bfs(e, source, maxDepth = 3)
         .orderBy("node")
     },
 

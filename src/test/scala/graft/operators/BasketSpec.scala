@@ -70,4 +70,47 @@ class BasketSpec extends SparkSpecBase {
       assert(j == cnt.toDouble / (n(a) + n(b) - cnt).toDouble)
     }
   }
+
+  private def triples(rows: Seq[(Long, Long)], minSupport: Long) = {
+    val got = Basket.frequentTriples(rows.toDF("bk", "it"),
+        basket = "bk", item = "it", minSupport = minSupport)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    Caches.releaseAll()
+    got
+  }
+
+  /** Unpruned brute-force reference: count every a<b<c triple per basket
+    * directly — the A-priori prunes must not change this answer. */
+  private def triplesReference(rows: Seq[(Long, Long)],
+      minSupport: Long): Seq[(Long, Long, Long, Long)] = {
+    val baskets = rows.distinct.groupBy(_._1).values.map(_.map(_._2).sorted)
+    baskets.toSeq
+      .flatMap(is => for {
+        i <- is.indices; j <- (i + 1) until is.size; k <- (j + 1) until is.size
+      } yield (is(i), is(j), is(k)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .collect { case ((a, b, c), s) if s >= minSupport => (a, b, c, s) }
+      .sorted
+  }
+
+  test("frequentTriples: hand-computed supports with the prune active") {
+    // b1 {1,2,3,4}, b2 {1,2,3}, b3 {1,2,4}: (1,2,3)x2 (1,2,4)x2, others x1
+    val rows = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 1L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 2L), (3L, 4L))
+    assert(triples(rows, 2L) == Seq((1L, 2L, 3L, 2L), (1L, 2L, 4L, 2L)))
+  }
+
+  test("frequentTriples ≡ unpruned brute force on random baskets (A-priori law)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(12).toLong))
+    for (s <- Seq(1L, 2L, 3L))
+      assert(triples(rows, s) == triplesReference(rows, s), s"minSupport=$s")
+  }
+
+  test("frequentTriples: below-support triples and sub-triple baskets emit nothing") {
+    // two disjoint baskets of 3: each triple has support 1
+    val rows = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (2L, 6L))
+    assert(triples(rows, 2L).isEmpty)
+    assert(triples(Seq((1L, 1L), (1L, 2L)), 1L).isEmpty) // no 3rd item
+  }
 }

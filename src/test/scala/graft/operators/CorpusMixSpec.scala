@@ -83,4 +83,28 @@ class CorpusMixSpec extends SparkSpecBase {
       CorpusMix.assignSplits(docs, Seq("a" -> 0.999, "b" -> 0.001)) // 0.1 bucket at g=100
     }
   }
+
+  test("temperatureWeights: α=0.5 flattening — bit law, Σq=1, boost direction") {
+    import spark.implicits._
+    // 80 / 15 / 5 docs across three strata
+    val rows = (Seq.fill(80)("big") ++ Seq.fill(15)("mid") ++ Seq.fill(5)("low"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val got = CorpusMix.temperatureWeights(rows.toDF("doc_id", "src"), "src")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // replay the exact arithmetic: p in data order, z as the SORTED fold
+    val n = Map("big" -> 80L, "mid" -> 15L, "low" -> 5L)
+    val p = n.view.mapValues(_.toDouble / 100L.toDouble).toMap
+    val z = p.toSeq.sortBy(_._1).map { case (_, pv) => math.sqrt(pv) }
+      .foldLeft(0.0)(_ + _)
+    for ((s, (_, nd, pg, qg, bg)) <- got) {
+      assert(nd == n(s) && pg == p(s))
+      assert(qg == math.sqrt(p(s)) / z, s)          // bit equality
+      assert(bg == (math.sqrt(p(s)) / z) / p(s), s) // bit equality
+    }
+    // flattening: the dominant stratum is down-sampled, the rare one up
+    assert(got("big")._5 < 1.0 && got("low")._5 > 1.0)
+    // q is a distribution (within an ulp of 1 — assembled in map order)
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-12)
+  }
 }

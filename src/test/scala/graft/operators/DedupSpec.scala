@@ -79,6 +79,20 @@ class DedupSpec extends SparkSpecBase {
     assert(e.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L), (3L, 2L), (5L, 1L)))
   }
 
+  test("exactNormalized collapses case/whitespace clones that exact keeps apart") {
+    val clones = Seq(
+      (1L, "The quick  brown fox"), // double space
+      (2L, "the quick brown fox"),  // case + spacing normalized
+      (3L, "  The quick\tbrown fox\n"), // leading/trailing + tabs/newlines
+      (4L, "The quick brown foxes"), // genuinely different
+      (5L, null)).toDF("doc_id", "text")
+    // raw exact sees 5 distinct groups; normalized collapses 1,2,3
+    assert(Dedup.exact(clones).count() == 5L)
+    val out = Dedup.exactNormalized(clones).orderBy("keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 3L), (4L, 1L), (5L, 1L)))
+  }
+
   test("ngramJaccard: hashed-shingle scale path ≡ raw-string path") {
     val raw = Dedup.ngramJaccard(docs, hashShingles = false)
       .orderBy("doc_a", "doc_b").collect().toSeq

@@ -167,4 +167,51 @@ class GraphSpec extends SparkSpecBase {
     assert(Seq(0L, 1L, 2L, 3L).forall(v => got(v) == 0L), got.toString)
     assert(Seq(10L, 11L, 12L, 13L).forall(v => got(v) == 10L), got.toString)
   }
+
+  /** Plain-Scala level-synchronous BFS — the reference twin for bfs. */
+  private def bfsReference(edges: Seq[(Long, Long)], source: Long,
+      k: Int): Map[Long, Long] = {
+    val adj = edges.distinct.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var dist = Map(source -> 0L)
+    var frontier = Set(source)
+    for (i <- 1 to k) {
+      val nxt = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(dist.contains)
+      dist ++= nxt.map(_ -> i.toLong)
+      frontier = nxt
+    }
+    dist
+  }
+
+  private def runBfs(edges: Seq[(Long, Long)], source: Long, k: Int) = {
+    import spark.implicits._
+    val got = Graph.bfs(edges.toDF("src", "dst"), source, k)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    got
+  }
+
+  test("bfs on a path graph: distances are the hop index, depth-capped") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(runBfs(path, 1L, 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(runBfs(path, 1L, 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("bfs: unreachable nodes are absent; first-reach distance wins") {
+    // diamond 1→{2,3}→4 plus the disconnected 8→9: 4 is at dist 2 (not 3)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (8L, 9L))
+    assert(runBfs(edges, 1L, 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("bfs equals the reference on random directed graphs") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    for (k <- Seq(1, 3, 5)) {
+      assert(runBfs(edges, edges.map(_._1).min, k) ==
+        bfsReference(edges, edges.map(_._1).min, k), s"k=$k")
+    }
+  }
 }

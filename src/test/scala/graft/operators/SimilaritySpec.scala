@@ -44,6 +44,22 @@ class SimilaritySpec extends SparkSpecBase {
     for (q <- qids) assert(got(q) == ref(q), s"query $q")
   }
 
+  test("assignCells ≡ plain-Scala argmin-L2 with lowest-cell tie-break") {
+    val local = emb.as[(Long, Array[Float])].collect()
+    val cents: Seq[Seq[Double]] = local.filter(_._1 < 8).sortBy(_._1)
+      .map(_._2.map(_.toDouble).toSeq).toSeq
+    val got = Similarity.assignCells(emb, cents)
+      .as[(Long, Int)].collect().toMap
+    val ref = local.map { case (id, v) =>
+      val d2 = cents.map(c => v.zip(c)
+        .foldLeft(0.0) { case (s, (x, cx)) => val d = x.toDouble - cx; s + d * d })
+      id -> d2.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+    }.toMap
+    assert(got == ref)
+    // each centroid's own vector sits in its own cell (distance 0)
+    for (i <- 0 until 8) assert(got(i.toLong) == i)
+  }
+
   test("knnClassify: majority vote, self-exclusion, deterministic min-label tie-break") {
     // 2-d toy space: two "A" (label 1) vectors hug the x-axis, one "B"
     // (label 2) sits on y; query 10 points essentially at x

@@ -162,10 +162,12 @@ class PlanSpec extends SparkSpecBase {
     // arithmetic; this pin keeps it that way.
     for (name <- Seq("dedup_minhash", "dedup_simhash", "dedup_simhash_scale",
         "ngram_jaccard", "dedup_exact", "dedup_fingerprint", "dedup_embedding",
+        "dedup_exact_norm",
         "dedup_survivors", "dedup_survivors_composed", "dedup_containment",
         "dedup_incremental", "corpus_sample",
         "decontaminate", "text_repetition", "corpus_mix", "curation_pipeline",
-        "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_exact")) {
+        "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_exact",
+        "kmeans_assign")) {
       val p = plan(name)
       assert(!p.contains("lambdafunction"),
         s"$name plan has an interpreted HOF:\n$p")
@@ -218,11 +220,18 @@ class PlanSpec extends SparkSpecBase {
     //    construction (the events_resample class).
     //  - collocations_lift: the two 1-row corpus-constant frames (N, Nb)
     //    against the surviving bigrams (the lm_surprisal pattern).
+    //  - events_ffill: distinct-types × hour-grid (the events_resample
+    //    class — it reuses the same dense-grid construction).
+    //  - vocab_coverage: the cross of its two 1-ROW aggregates (corpus
+    //    totals × top-K coverage — the graph_triangles class).
+    //  - corpus_temperature: the 1-row total and 1-row normalizer against
+    //    the ≤|strata|-row stratum frame (the lm_surprisal class).
     val allowedProduct =
       Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search",
         "term_search_bm25", "lm_surprisal", "graph_triangles", "knn_classify",
         "tfidf_topk", "contrastive_pairs", "lm_bigram", "ann_topk_pq",
-        "ann_topk_pq_exact", "pareto_frontier", "collocations_lift")
+        "ann_topk_pq_exact", "pareto_frontier", "collocations_lift",
+        "events_ffill", "vocab_coverage", "corpus_temperature")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
