@@ -1752,7 +1752,9 @@ object StarQueries {
     // successors minus the anti-joined visited set, each level a
     // checkpoint-tracked leaf); all integers, so the oracle unrolls the
     // three levels as a CTE chain and must (and does) agree exactly. The
-    // 1-long source collect mirrors pageRank's bounded N collect.
+    // 1-long source min (pageRank's bounded-collect class) runs over the
+    // ALREADY-checkpointed base — bfsFromMinSource — so the co-purchase
+    // derivation is paid once, not twice.
     QueryDef.of("graph_bfs", bfsOracle(3)) { (s, dir) =>
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -1761,8 +1763,7 @@ object StarQueries {
         .join(li.select(col("ok"), col("pk").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
         .select("src", "dst")
-      val source = e.agg(min("src")).head().getLong(0)
-      graft.operators.Graph.bfs(e, source, maxDepth = 3)
+      graft.operators.Graph.bfsFromMinSource(e, maxDepth = 3)
         .orderBy("node")
     },
 
