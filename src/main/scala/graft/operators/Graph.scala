@@ -201,8 +201,13 @@ object Graph {
 
   private def bfsLoop(e: DataFrame, source: Long, maxDepth: Int,
       src: String, dst: String): DataFrame = {
+    // seed node spelled as range.id + source, NOT lit(source): a foldable
+    // constant seed lets Catalyst substitute the anti-join's key with the
+    // literal, degrading the |frontier| ⋈ dist equi-join to a
+    // BroadcastNestedLoopJoin (|frontier|×|V| comparisons — the exact
+    // scale-killer the PlanSpec sweep exists to catch; it did)
     var dist = e.sparkSession.range(1)
-      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .select((col("id") + lit(source)).as("node"), lit(0L).as("dist"))
     var frontier = dist.select("node")
     for (i <- 1 to maxDepth) {
       val nxtRaw =

@@ -122,11 +122,22 @@ object LlmQueries {
           |                                 ELSE 10000 END
           |)""".stripMargin
 
+  /** The curation pipeline's intermediate frames, one per stage —
+    * `curation_pipeline`/`training_export` consume the final `mixed`;
+    * `curation_funnel` counts every stage. */
+  private final case class CurationStages(
+      docs: org.apache.spark.sql.DataFrame,
+      quality: org.apache.spark.sql.DataFrame,
+      deduped: org.apache.spark.sql.DataFrame,
+      clean: org.apache.spark.sql.DataFrame,
+      mixed: org.apache.spark.sql.DataFrame)
+
   /** Spark side of [[curationCte]]: the curated, mixed corpus with all
-    * document columns — shared by `curation_pipeline` (projects ids) and
-    * `training_export` (feeds SequencePack). */
-  private def curatedDocs(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    * document columns — shared by `curation_pipeline` (projects ids),
+    * `training_export` (feeds SequencePack), and `curation_funnel`
+    * (stage counts). */
+  private def curationStages(
+      s: org.apache.spark.sql.SparkSession, dir: String): CurationStages = {
     import graft.operators.CorpusMix
     val docs = Tables.documents(s, dir)
     val q = docs
@@ -140,9 +151,14 @@ object LlmQueries {
     val cleanIds = Decontaminate.overlapStats(train, evalDocs)
       .filter(col("n_overlap") === 0).select("doc_id")
     val clean = train.join(cleanIds, Seq("doc_id"), "left_semi")
-    CorpusMix.sampleByStratum(clean, "source",
+    val mixed = CorpusMix.sampleByStratum(clean, "source",
       Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0))
+    CurationStages(docs, q, deduped, clean, mixed)
   }
+
+  private def curatedDocs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    curationStages(s, dir).mixed
 
   /**
    * Oracle for the SCALE-point SimHash query: recomputes the ENTIRE
@@ -1526,6 +1542,40 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // LENGTH-GROUPED BATCHING profile — the dynamic-batching efficiency
+    // question (padding waste is pure compute thrown away when batches
+    // pad to their longest member): bucket docs by token count (width
+    // 32), report per-bucket size, length range, and the exact padding
+    // waste n_docs·max − Σtokens IF batches were cut along buckets. All
+    // integers off one partial-aggregated pass over the native token
+    // counter; bucket domain is bounded by max doc length / 32. The
+    // smaller the per-bucket (max − min) spread, the better
+    // length-grouping amortizes — the report a trainer tunes bucket
+    // width against.
+    QueryDef.of("batch_buckets",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))
+        |         END AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT CAST(n // 32 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n) AS BIGINT) AS min_tokens,
+        |  CAST(max(n) AS BIGINT) AS max_tokens,
+        |  CAST(max(n) * count(*) - sum(n) AS BIGINT) AS padding_waste
+        |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy((col("n") / 32).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n").as("min_tokens"), max("n").as("max_tokens"),
+          (max("n") * count(lit(1)) - sum("n")).as("padding_waste"))
+        .orderBy("bucket")
+    },
+
     // TEMPERATURE-SCALED source weights (α = 0.5; XLM / mT5 multilingual
     // rebalancing): q_i ∝ √p_i flattens the source head — low-resource
     // strata get boost > 1, dominant ones < 1 — the numbers a sampler
@@ -1577,6 +1627,37 @@ object LlmQueries {
       curatedDocs(s, dir)
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
+    },
+
+    // THE CURATION FUNNEL — the dashboard view of curation_pipeline:
+    // surviving document count after EVERY stage (total → quality ≥ 0.5
+    // → exact-dedup survivors → decontamination → weighted mix), the
+    // first report any pipeline owner reads ("where did my corpus go?").
+    // Reuses the exact stage frames of the certified pipeline (one
+    // shared builder, so the funnel can never drift from what
+    // curation_pipeline actually computes) and the same oracle CTE
+    // chain; five 1-row counts unioned, ordered by stage position.
+    QueryDef.of("curation_funnel",
+      curationCte + """
+        |SELECT ord, stage, n FROM (
+        |  SELECT CAST(0 AS BIGINT) AS ord, 'total' AS stage,
+        |    CAST(count(*) AS BIGINT) AS n FROM documents
+        |  UNION ALL SELECT 1, 'quality', CAST(count(*) AS BIGINT) FROM q
+        |  UNION ALL SELECT 2, 'dedup', CAST(count(*) AS BIGINT) FROM dd
+        |  UNION ALL SELECT 3, 'decontaminate', CAST(count(*) AS BIGINT) FROM clean
+        |  UNION ALL SELECT 4, 'mix', CAST(count(*) AS BIGINT) FROM mix
+        |) ORDER BY ord""".stripMargin) { (s, dir) =>
+      val st = curationStages(s, dir)
+      def stageCount(ord: Int, stage: String,
+          df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(ord.toLong).as("ord"), lit(stage).as("stage"), col("n"))
+      stageCount(0, "total", st.docs)
+        .unionAll(stageCount(1, "quality", st.quality))
+        .unionAll(stageCount(2, "dedup", st.deduped))
+        .unionAll(stageCount(3, "decontaminate", st.clean))
+        .unionAll(stageCount(4, "mix", st.mixed))
+        .orderBy("ord")
     },
 
     // Contrastive training-pair generation (ICT-style): anchor = first
