@@ -359,9 +359,12 @@ object Bench {
     // service amortizes it over many query batches, so folding it into
     // every query's time would mis-measure both).
     var ivfIndex: Similarity.IvfIndex = null
+    var ivfPqIndex: Similarity.IvfPqIndex = null
 
     def lshPlan() = Similarity.lshTopK(annQ, emb100, k = 5, nBits = 32, bands = 4)
     def ivfPlan() = Similarity.ivfTopK(annQ, ivfIndex, k = 5, nProbe = 8)
+    def ivfPqPlan() = Similarity.ivfPqTopK(annQ, ivfPqIndex, emb100, k = 5,
+      nProbe = 8, shortlist = 50)
 
     // (name, disable AQE skew-join split, keep caches after case, plan).
     // The _noaqe case measures what the unsalted join costs WITHOUT runtime
@@ -430,6 +433,21 @@ object Bench {
       ("ann_ivf_probe_100x", false, true, () => {
         require(ivfIndex != null, "ivf build case failed; no index to probe")
         ivfPlan()
+      }),
+      // IVF-PQ at stress scale: build fuses cell assignment + m sub-code
+      // encodes into ONE corpus map (vs IVF's assignment alone — the build
+      // delta IS the PQ encode cost); the probe reads cell-pruned CODES,
+      // so its delta vs ann_ivf_probe_100x isolates what ADC-over-codes
+      // buys/costs against rescoring embeddings directly at the same
+      // nProbe.
+      ("ann_ivfpq_build_100x", false, true, () => {
+        ivfPqIndex = Similarity.buildIvfPqIndex(emb100, nCells = 64,
+          m = 8, ksub = 16)
+        ivfPqIndex.encoded
+      }),
+      ("ann_ivfpq_probe_100x", false, true, () => {
+        require(ivfPqIndex != null, "ivfpq build case failed; no index to probe")
+        ivfPqPlan()
       }))
 
     val skewConf = "spark.sql.adaptive.skewJoin.enabled"
@@ -486,7 +504,9 @@ object Bench {
           None
         }
       val out = recallOf("lsh", () => lshPlan()).toSeq ++
-        (if (ivfIndex != null) recallOf("ivf", () => ivfPlan()).toSeq else Nil)
+        (if (ivfIndex != null) recallOf("ivf", () => ivfPlan()).toSeq else Nil) ++
+        (if (ivfPqIndex != null) recallOf("ivfpq", () => ivfPqPlan()).toSeq
+         else Nil)
       truth.unpersist(blocking = false)
       out
     }
@@ -568,6 +588,17 @@ object Bench {
           () => Similarity.pqTopK(qHard, pq, embHard, k = 5, shortlist = 20)).toSeq
         pq.release()
         rPq
+      } ++ {
+        // IVF-PQ at the wired operating point (nCells=16/nProbe=4, m=8,
+        // shortlist=20): the composed prune's graded recall next to its
+        // two parents on the same hard corpus
+        val ivfpq = Similarity.buildIvfPqIndex(embHard, nCells = 16,
+          m = 8, ksub = 16)
+        val r = recallOf("ivfpq",
+          () => Similarity.ivfPqTopK(qHard, ivfpq, embHard, k = 5,
+            nProbe = 4, shortlist = 20)).toSeq
+        ivfpq.release()
+        r
       }
       truth.unpersist(blocking = false)
       embHard.unpersist(blocking = false)

@@ -469,6 +469,104 @@ object Similarity {
    * uses, the ivf_exact pattern); the operating point trades L for the
    * 64×-thinner approximate scan.
    */
+  /**
+   * IVF-PQ index: coarse cell assignment AND per-subspace PQ codes in ONE
+   * encoded table — the composition behind the workhorse large-scale ANN
+   * index (Jégou et al. 2011's IVFADC shape): the inverted file prunes
+   * WHICH candidates are scored (nProbe/nCells of the corpus), PQ prunes
+   * WHAT is read to score them (m small ints per row, never the
+   * embedding). Fit shares ONE bounded hash-ordered sample between both
+   * quantizers (one TakeOrdered scan); encode is one narrow full-corpus
+   * map through the same [[graft.expressions.NearestCells]] expression as
+   * both parent tiers.
+   *
+   * Codes are over RAW vectors, not per-cell residuals: residual encoding
+   * (classic IVFADC) buys finer quantization but needs a per-(query,
+   * probed-cell) ADC table — nProbe × m × ksub lookups per query — and
+   * makes the exact-point certification below impossible (residual codes
+   * can't be scored without the cell join). The raw-vector form keeps ADC
+   * a single per-query table and inherits PQ's certified arithmetic
+   * unchanged — the documented trade.
+   */
+  final case class IvfPqIndex(centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], encoded: DataFrame) {
+    def release(blocking: Boolean = false): Unit =
+      Caches.releaseIndex(encoded, blocking)
+  }
+
+  def buildIvfPqIndex(corpus: DataFrame, nCells: Int = 16, m: Int = 4,
+      ksub: Int = 16, sampleSize: Int = 2048, iterations: Int = 10): IvfPqIndex = {
+    val sample = sampleVectors(corpus, sampleSize)
+    require(sample.nonEmpty, "buildIvfPqIndex: empty corpus")
+    val dim = sample.head.length
+    require(m >= 1 && dim % m == 0,
+      s"buildIvfPqIndex: dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val centroids: Seq[Seq[Double]] =
+      lloyd(sample, nCells, iterations).map(_.toSeq).toSeq
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
+      val subSample =
+        sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      lloyd(subSample, ksub, iterations).map(_.toSeq).toSeq
+    }
+    val codeCols = (0 until m).map { mi =>
+      element_at(
+        nearestCells(slice(col("embedding"), mi * sub + 1, sub),
+          codebooks(mi), 1), 1)
+    }
+    val encoded = Caches.persistIndex(corpus
+      .select(col("vec_id").as("neighbor_id"),
+        element_at(nearestCells(col("embedding"), centroids, 1), 1).as("cell"),
+        array(codeCols: _*).as("codes")))
+    IvfPqIndex(centroids, codebooks, encoded)
+  }
+
+  /**
+   * IVF-PQ approximate top-k: probe `nProbe` cells (the IVF candidate
+   * prune — the only shuffle, keyed by the small cell int), ADC-score the
+   * probed cells' CODES (the PQ read prune — never the embedding table),
+   * keep a per-query `shortlist` via the bounded partial-agg TopK, then
+   * exact-rescore only the shortlist against the corpus. Cost per query ≈
+   * (nProbe/nCells)·N code reads + shortlist embedding reads — each
+   * factor independently tunable, which is why this shape IS the standard
+   * billion-vector serving index.
+   *
+   * Certification (the ivf_exact/pq_exact pattern, composed): at
+   * nProbe = nCells AND shortlist ≥ corpus size, every vector is probed
+   * (each lives in exactly one cell), the shortlist keeps everything, and
+   * the rescore is exact cosine — ≡ brute force, so the whole composed
+   * machinery (shared-sample double fit, fused encode, cell join, ADC
+   * shortlist, broadcast rescore) is oracle-checkable (`ann_topk_ivfpq_
+   * exact`); the operating point (`ann_topk_ivfpq`) is what's benched.
+   */
+  def ivfPqTopK(queries: DataFrame, index: IvfPqIndex, corpus: DataFrame,
+      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"ivfPqTopK: shortlist $shortlist must be ≥ k=$k")
+    val p = math.min(nProbe, index.centroids.size)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      explode(nearestCells(col("embedding"), index.centroids, p)).as("cell"))
+    // no pair dedup: a corpus vector lives in exactly one cell and a query
+    // probes distinct cells (the ivfTopK argument)
+    val short = index.encoded
+      .join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        VectorFunctions.pqAdc(col("q_emb"), col("codes"), index.codebooks))
+      .filter(col("adc").isNotNull)
+      .groupBy("query_id")
+      .agg(TopK.topK(shortlist)(col("neighbor_id"), -col("adc")).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("s"))
+      .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"))
+    val pairs = short.join(broadcast(q), "query_id")
+    val cand = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(pairs), "neighbor_id")
+    rescoreTopK(cand, k)
+  }
+
   def pqTopK(queries: DataFrame, index: PqIndex, corpus: DataFrame, k: Int,
       shortlist: Int): DataFrame = {
     require(shortlist >= k, s"pqTopK: shortlist $shortlist must be ≥ k=$k")

@@ -286,6 +286,32 @@ object LlmQueries {
         |WHERE doc_id NOT IN (SELECT src FROM reach WHERE cluster <> src)
         |ORDER BY doc_id""".stripMargin
 
+  /** Shared CTE for the k-means rows: the Lloyd ASSIGNMENT replayed
+    * op-for-op — centroids = the first 8 vectors cast to double, distance
+    * = NearestCells' left-to-right Σ(x−c)² fold (list_reduce over a
+    * prepended 0.0), argmin under the (dist, cell) total order. `asg` is
+    * the (vec_id, cell) partition of the corpus. */
+  private val kmeansAssignCte: String =
+    """WITH c AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings WHERE vec_id < 8
+      |), q AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+      |), d AS (
+      |  SELECT q.vec_id, c.cell,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(c.cv)),
+      |        i -> (q.ev[i] - c.cv[i]) * (q.ev[i] - c.cv[i]))),
+      |      (a, x) -> a + x) AS dist
+      |  FROM q CROSS JOIN c
+      |), a AS (
+      |  SELECT vec_id, cell, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY dist, cell) AS rn
+      |  FROM d
+      |), asg AS (
+      |  SELECT vec_id, cell FROM a WHERE rn = 1
+      |)""".stripMargin
+
   /** Shared oracle for the exact-ANN rows (brute force and IVF at the
     * exhaustive nProbe = nCells operating point, which is ≡ brute force):
     * per-query cosine top-5, ties by neighbor id. */
@@ -877,6 +903,35 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF-PQ — the composed billion-vector serving index (Jégou et al.
+    // IVFADC shape, raw-vector codes): the inverted file prunes WHICH
+    // candidates are scored (nProbe/nCells of the corpus), PQ prunes
+    // WHAT is read to score them (m small ints, never the embedding).
+    // Approximate by construction at this operating point → rows-only;
+    // the composed machinery is oracle-certified by the _exact sibling.
+    QueryDef.rowsOnly("ann_topk_ivfpq") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.buildIvfPqIndex(emb, nCells = 16, m = 8, ksub = 16)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), idx, emb, k = 5,
+          nProbe = 4, shortlist = 20)
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-PQ at the EXACT operating point: nProbe = nCells probes every
+    // cell (each vector lives in exactly one), shortlist ≥ corpus keeps
+    // every candidate, and the rescore is exact cosine — ≡ brute force,
+    // certifying the whole composition (shared-sample double quantizer
+    // fit, fused cell+code encode, cell join, native ADC shortlist,
+    // broadcast rescore) against the same DuckDB oracle as ann_topk
+    // (the ivf_exact/pq_exact pattern, composed).
+    QueryDef.of("ann_topk_ivfpq_exact", annTopkOracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.buildIvfPqIndex(emb, nCells = 16, m = 8, ksub = 16)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), idx, emb, k = 5,
+          nProbe = 16, shortlist = 100000)
+        .orderBy("query_id", "rank")
+    },
+
     // Lloyd ASSIGNMENT step exposed as its own oracle row: the corpus
     // partitioned over 8 fixed centroids (the first 8 vectors — a
     // deterministic, SQL-replayable codebook), reported as per-cell size
@@ -891,26 +946,10 @@ object LlmQueries {
     // 8-value key. The 8-row centroid collect is bounded, the IVF-build
     // pattern.
     QueryDef.of("kmeans_assign",
-      """WITH c AS (
-        |  SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS cv
-        |  FROM embeddings WHERE vec_id < 8
-        |), q AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
-        |), d AS (
-        |  SELECT q.vec_id, c.cell,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(generate_series(1, len(c.cv)),
-        |        i -> (q.ev[i] - c.cv[i]) * (q.ev[i] - c.cv[i]))),
-        |      (a, x) -> a + x) AS dist
-        |  FROM q CROSS JOIN c
-        |), a AS (
-        |  SELECT vec_id, cell, row_number() OVER (
-        |    PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        |  FROM d
-        |)
+      kmeansAssignCte + """
         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
         |  CAST(min(vec_id) AS BIGINT) AS min_vec
-        |FROM a WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin) {
+        |FROM asg GROUP BY cell ORDER BY cell""".stripMargin) {
       (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < 8)
@@ -920,6 +959,51 @@ object LlmQueries {
       Similarity.assignCells(emb, cents)
         .groupBy(col("cell").cast("long").as("cell"))
         .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec"))
+        .orderBy("cell")
+    },
+
+    // CLUSTER LABELING — the topic-naming step after clustering (the
+    // top2vec/BERTopic pattern's first approximation): each k-means
+    // cell's dominant token over its member documents (embeddings join
+    // documents on the shared dense id domain — vec i embeds doc i).
+    // The per-cell argmax is a partial-aggregated min_by under the
+    // (−cnt, token) total order — NEVER a per-cell window (8 cells would
+    // funnel the whole vocabulary through 8 tasks, the corpus_sample
+    // skew rationale); the oracle's window runs over the per-(cell,
+    // token) AGGREGATE, its affordance. Reuses kmeans_assign's certified
+    // assignment CTE, so the two rows cannot drift.
+    QueryDef.of("cluster_labels",
+      kmeansAssignCte + """,
+        |ct AS (
+        |  SELECT asg.cell,
+        |    unnest(string_split_regex(trim(d.text), '[ \t\n\x0B\f\r]+')) AS token
+        |  FROM documents d JOIN asg ON d.doc_id = asg.vec_id
+        |  WHERE d.text IS NOT NULL AND length(trim(d.text)) > 0
+        |), cc AS (
+        |  SELECT cell, token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ct GROUP BY 1, 2
+        |)
+        |SELECT cell, token, cnt FROM (
+        |  SELECT cell, token, cnt, row_number() OVER (
+        |    PARTITION BY cell ORDER BY cnt DESC, token) AS rn
+        |  FROM cc
+        |) WHERE rn = 1 ORDER BY cell""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+        .collect().map(_.getSeq[Double](0)).toSeq
+      val assigned = Similarity.assignCells(emb, cents)
+        .select(col("vec_id").as("doc_id"), col("cell").cast("long").as("cell"))
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .join(assigned, "doc_id")
+        .select(col("cell"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("cell", "token").agg(count(lit(1)).as("cnt"))
+        .groupBy("cell")
+        .agg(min_by(struct(col("token"), col("cnt")),
+          struct((-col("cnt")).as("nc"), col("token"))).as("w"))
+        .select(col("cell"), col("w.token").as("token"), col("w.cnt").as("cnt"))
         .orderBy("cell")
     },
 

@@ -15,7 +15,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     // rows-only queries are the documented exceptions (approximate-by-
     // construction ANN operating points whose output no SQL characterizes)
     val rowsOnly = q.diff(o)
-    assert(rowsOnly == Set("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq"),
+    assert(rowsOnly ==
+      Set("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq", "ann_topk_ivfpq"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

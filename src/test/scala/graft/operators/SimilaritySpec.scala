@@ -188,6 +188,33 @@ class SimilaritySpec extends SparkSpecBase {
     } finally idx.release(blocking = true)
   }
 
+  test("ivfPqTopK: exact point ≡ brute force; planted duplicate at rank 1 at the operating point") {
+    val idx = Similarity.buildIvfPqIndex(emb, nCells = 8, m = 8, ksub = 16)
+    try {
+      // exact point: every cell probed + corpus-sized shortlist ⇒ ≡ brute force
+      val exact = Similarity.ivfPqTopK(emb.filter(col("vec_id") < 3), idx, emb,
+          k = 4, nProbe = 8, shortlist = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+      val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+      assert(exact == brute)
+      // operating point: a corpus vector queried against the index finds its
+      // planted identical twin (vec 0's own cell is its first probe — the
+      // NearestCells self-probe law — and ADC ranks the identical codes first)
+      val dup = emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      val idx2 = Similarity.buildIvfPqIndex(emb.unionAll(dup), nCells = 8, m = 8, ksub = 16)
+      try {
+        val got = Similarity.ivfPqTopK(emb.filter(col("vec_id") === 0), idx2,
+            emb.unionAll(dup), k = 3, nProbe = 2, shortlist = 10)
+          .filter(col("rank") === 1).collect().head
+        assert(got.getLong(2) == 10000L && got.getDouble(3) == 1.0)
+      } finally idx2.release()
+    } finally idx.release()
+  }
+
   test("buildPqIndex: codes cover all subspaces; release drops the index cache") {
     val idx = Similarity.buildPqIndex(emb, m = 4, ksub = 8)
     val codes = idx.encoded.select("codes").collect()
