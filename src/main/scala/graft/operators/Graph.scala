@@ -83,7 +83,7 @@ object Graph {
     val n = nodes.count() // bounded eager job: ONE driver-side long
     val jump = (1.0 - damping) / n.toDouble
     var r = nodes.select(col("node"), lit(1.0 / n.toDouble).as("pr"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val sums = base
         .join(r.select(col("node").as(src), col("pr")), src)
         .select(col(dst),
@@ -94,10 +94,17 @@ object Graph {
         .select(col(dst).as("node"),
           aggregate(col("cs"), lit(0.0d),
             (a, x) => a + x.getField("c")).as("s"))
-      r = nodes.join(sums, Seq("node"), "left")
+      val next = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(jump) + lit(damping) * coalesce(col("s"), lit(0.0d)))
             .as("pr"))
+      // rank-lineage cap (the bfs segmented-truncation rationale): each
+      // iteration's plan nests every previous one's; truncating the
+      // |V|-row rank frame every 2nd step keeps planning/AQE cost linear
+      // in k instead of the nested-plan blowup, at the price of a cheap
+      // eager |V| job (never on the last step — nothing re-derives it)
+      r = if (i % 2 == 0 && i < iterations) Caches.checkpointTracked(next)
+          else next
     }
     r
   }
@@ -136,8 +143,8 @@ object Graph {
     val nodes = Caches.checkpointTracked(
       e.select(col(dst).as("node")).distinct())
     var lab = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to iterations) {
-      lab = e
+    for (i <- 1 to iterations) {
+      val next = e
         .join(lab.select(col("node").as(src), col("label")), src)
         .groupBy(col(dst), col("label"))
         .agg(count(lit(1)).as("c"))
@@ -145,6 +152,9 @@ object Graph {
         .agg(max_by(col("label"),
           struct(col("c"), (-col("label")).as("nl"))).as("label"))
         .select(col(dst).as("node"), col("label"))
+      // label-lineage cap every 2nd round (the pageRank rationale)
+      lab = if (i % 2 == 0 && i < iterations) Caches.checkpointTracked(next)
+            else next
     }
     lab
   }

@@ -87,6 +87,33 @@ object EventsStreaming {
         col("sum_value"))
 
   /**
+   * Streaming EXACT windowed distinct-user counts — the dedup-then-
+   * aggregate composition: `dropDuplicates` on (user_id, hour-window
+   * start) bounds state to one row per distinct (user, window) inside the
+   * watermark horizon, then the watermarked windowed count aggregates the
+   * deduplicated stream. This is the EXACT form of COUNT(DISTINCT) in
+   * streaming (which Structured Streaming rejects as a direct aggregate):
+   * two stateful stages, both watermark-bounded, emitting once per window
+   * in append mode. The batch twin is one `groupBy(window).agg(
+   * countDistinct)` — StreamingSpec asserts equality.
+   *
+   * Note the plain `dropDuplicates` (not WithinWatermark): the dedup key
+   * CONTAINS the window start, and the watermark on `ts` already evicts
+   * whole windows' key state — the WithinWatermark variant would key
+   * eviction on the row's own event time, the same horizon here.
+   */
+  def hourlyDistinctUsers(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col("user_id"),
+        window(col("ts"), "1 hour").as("w"))
+      .dropDuplicates("user_id", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("hour_start"), col("n_users"))
+
+  /**
    * Streaming dedup by event_id within the watermark horizon —
    * `dropDuplicates` keyed on (event_id) with event-time bound so the
    * seen-keys state cannot grow without bound (the streaming analogue of the

@@ -46,6 +46,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Set((t(10, 0), "click", 2L, 3.0), (t(11, 0), "view", 1L, 4.0)))
   }
 
+  test("hourlyDistinctUsers: exact windowed COUNT(DISTINCT) via dedup-then-aggregate; batch twin agrees") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[AttEv]
+    val q = EventsStreaming.hourlyDistinctUsers(in.toDF())
+      .writeStream.format("memory").queryName("distinct_users")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        AttEv(1, 100, t(10, 5), "c", 0), AttEv(2, 100, t(10, 30), "c", 0),
+        AttEv(3, 101, t(10, 45), "c", 0), AttEv(4, 100, t(11, 10), "c", 0))
+      q.processAllAvailable()
+      // push the watermark past both windows so append mode finalizes them
+      in.addData(AttEv(9, 999, t(20, 0), "c", 0))
+      q.processAllAvailable()
+      val streamed = spark.table("distinct_users")
+        .as[(Timestamp, Long)].collect().toSet
+      // user 100 counted ONCE in 10:00 despite two events; again in 11:00
+      assert(streamed == Set((t(10, 0), 2L), (t(11, 0), 1L)))
+      // the one-aggregate batch form (groupBy window + countDistinct —
+      // the spelling streaming rejects) gives the same answer
+      val evs = Seq(
+        AttEv(1, 100, t(10, 5), "c", 0), AttEv(2, 100, t(10, 30), "c", 0),
+        AttEv(3, 101, t(10, 45), "c", 0), AttEv(4, 100, t(11, 10), "c", 0))
+      val batch = evs.toDF()
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"))
+        .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("n"))
+        .select($"window.start", $"n")
+        .as[(Timestamp, Long)].collect().toSet
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("hoppingByType: each event lands in exactly two overlapping windows; batch ≡ streaming") {
     implicit val ctx = spark.sqlContext
     val evs = Seq(
