@@ -598,6 +598,25 @@ object StarQueries {
         .orderBy("hour_start", "event_type")
     },
 
+    // Hourly DISTINCT-user counts — the unique-reach metric next to
+    // events_window's volume counts, and the oracle-checked batch twin of
+    // EventsStreaming.hourlyDistinctUsers (whose StreamingSpec asserts
+    // the streaming dedup-then-aggregate composition equals exactly this
+    // countDistinct spelling). Spark plans countDistinct as the two-phase
+    // distinct aggregation (partial distinct per partition before the
+    // shuffle) — never a window, scales as the number of distinct
+    // (hour, user) pairs.
+    QueryDef.of("events_distinct_users",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("hour_start")
+    },
+
     // Hopping (sliding) window aggregation: 1-hour windows every 30
     // minutes — each event lands in exactly duration/slide = 2 windows.
     // Spark's window() aligns starts to the epoch modulo the slide (UTC
