@@ -487,6 +487,25 @@ object Bench {
       name -> dt
     }
 
+    // PER-STAGE attribution of the auto-dedup pipeline on the same
+    // dup-heavy corpus: the wired dedup_auto plan fuses
+    // sample→signature→discovery→verify→cluster→survivors into end-to-end
+    // medians that two rounds of driver artifacts could not localize
+    // (7.1 s driver vs 1.8 s builder) — this staged replay times each
+    // stage under whatever load the host is carrying, so the artifact
+    // says WHERE the time went, not just that it went
+    val dedupStages = {
+      val st = Dedup.nearDupStageTimings(docs10, k = 3, threshold = 0.5)
+      graft.operators.Caches.releaseAll()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      st.foreach { case (n, s) =>
+        System.err.println(f"[stress] dedup_auto stage $n%-14s $s%.2f s") }
+      st.map { case (n, s) => "\"" + n + "\":" + f"$s%.3f" }
+        .mkString("{", ",", "}")
+    }
+
     // recall@5 vs brute force at the SAME stress operating points, computed
     // OUTSIDE the timed cases (ground truth + re-executions are
     // measurement infrastructure, not the thing being measured)
@@ -511,6 +530,12 @@ object Bench {
       out
     }
     emb100.unpersist(blocking = false)
+    // the stress indexes were built keepCaches=true so the probe cases and
+    // the recall pass all read one materialization — drain their
+    // index-registry entries now that the last reader is done (the
+    // hard-corpus blocks below build and release their own indexes)
+    if (ivfIndex != null) ivfIndex.release()
+    if (ivfPqIndex != null) ivfPqIndex.release()
 
     // HARD-corpus recall@5: the ×100 corpus above certifies only the
     // duplicate-retrieval case — every query's true top-5 are its exact
@@ -563,6 +588,30 @@ object Bench {
           System.err.println(s"[stress] recall_hard($name) failed: ${e.getMessage}")
           None
         }
+      // RECALL-VS-COST CURVE: a user choosing an index wants the sweep,
+      // not a point — each index is built ONCE and probed across its
+      // knob grid (nProbe for ivf, shortlist for pq, the product for
+      // ivfpq); `secs` is the wall time of that probe's full
+      // count-evaluated run on the hard corpus, so the curve carries the
+      // cost axis next to the recall axis
+      val curve = scala.collection.mutable.ArrayBuffer.empty[String]
+      def curvePt(engine: String, params: String,
+          plan: () => DataFrame): Unit =
+        try {
+          val t0 = System.nanoTime()
+          val hits = plan().select("query_id", "neighbor_id")
+            .join(truth.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id")).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val r = hits / denom
+          curve += s"""{"engine":"$engine",$params,""" +
+            f""""recall":$r%.4f,"secs":$dt%.2f}"""
+          System.err.println(f"[stress] curve $engine {$params} " +
+            f"recall $r%.4f in $dt%.2f s")
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[stress] curve($engine,$params) failed: ${e.getMessage}")
+        }
       val out = recallOf("lsh",
           () => Similarity.lshTopK(qHard, embHard, k = 5, nBits = 32, bands = 4)).toSeq ++
         recallOf("lsh_mp",
@@ -571,6 +620,9 @@ object Bench {
         val idx16 = Similarity.buildIvfIndex(embHard, nCells = 16)
         val r16 = recallOf("ivf",
           () => Similarity.ivfTopK(qHard, idx16, k = 5, nProbe = 4)).toSeq
+        for (np <- Seq(1, 2, 4, 8, 16))
+          curvePt("ivf", s""""nProbe":$np""",
+            () => Similarity.ivfTopK(qHard, idx16, k = 5, nProbe = np))
         idx16.release()
         r16
       } ++ {
@@ -586,6 +638,9 @@ object Bench {
         val pq = Similarity.buildPqIndex(embHard, m = 8, ksub = 16)
         val rPq = recallOf("pq",
           () => Similarity.pqTopK(qHard, pq, embHard, k = 5, shortlist = 20)).toSeq
+        for (sl <- Seq(10, 20, 50, 200))
+          curvePt("pq", s""""shortlist":$sl""",
+            () => Similarity.pqTopK(qHard, pq, embHard, k = 5, shortlist = sl))
         pq.release()
         rPq
       } ++ {
@@ -597,13 +652,18 @@ object Bench {
         val r = recallOf("ivfpq",
           () => Similarity.ivfPqTopK(qHard, ivfpq, embHard, k = 5,
             nProbe = 4, shortlist = 20)).toSeq
+        for ((np, sl) <- Seq((2, 20), (4, 10), (4, 20), (4, 50), (8, 20),
+            (8, 50), (16, 50)))
+          curvePt("ivfpq", s""""nProbe":$np,"shortlist":$sl""",
+            () => Similarity.ivfPqTopK(qHard, ivfpq, embHard, k = 5,
+              nProbe = np, shortlist = sl))
         ivfpq.release()
         r
       }
       truth.unpersist(blocking = false)
       embHard.unpersist(blocking = false)
       System.err.println(f"[stress] hard corpus mean true-top-5 cosine $meanCos%.4f")
-      (out, meanCos)
+      (out, meanCos, curve.mkString("[", ",", "]"))
     }
 
     // Z-ORDER file-skip ratio measured END-TO-END at the bench SF: write
@@ -672,6 +732,6 @@ object Bench {
     val recH = recallsHard._1.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"recall_at_5":$rec,"recall_hard_at_5":$recH,"hard_truth_mean_cos":${f"${recallsHard._2}%.4f"},$zorder,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"dedup_auto_stages":$dedupStages,"recall_at_5":$rec,"recall_hard_at_5":$recH,"hard_truth_mean_cos":${f"${recallsHard._2}%.4f"},"recall_curve":${recallsHard._3},$zorder,"errors":$errs,"sf":"$sfDir"}""")
   }
 }

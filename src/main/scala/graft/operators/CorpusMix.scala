@@ -108,7 +108,7 @@ object CorpusMix {
     val c = docs.groupBy(col(stratumCol).as("stratum"))
       .agg(count(lit(1)).as("n_docs"))
     val tot = c.agg(sum("n_docs").as("n_total"))
-    val withP = c.crossJoin(tot)
+    val withP = c.crossJoin(broadcast(tot))
       .select(col("stratum"), col("n_docs"),
         (col("n_docs").cast("double") / col("n_total").cast("double")).as("p"))
     val z = withP
@@ -116,7 +116,7 @@ object CorpusMix {
       .agg(sort_array(collect_list(col("sv"))).as("svs"))
       .select(aggregate(col("svs"), lit(0.0d),
         (a, x) => a + x.getField("v")).as("z"))
-    withP.crossJoin(z)
+    withP.crossJoin(broadcast(z))
       .select(col("stratum"), col("n_docs"), col("p"),
         (sqrt(col("p")) / col("z")).as("q"),
         ((sqrt(col("p")) / col("z")) / col("p")).as("boost"))

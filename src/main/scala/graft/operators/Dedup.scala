@@ -618,6 +618,26 @@ object Dedup {
   def nearDupAuto(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Int = 1000, sampleSize: Int = 10000,
       dupFractionCutoff: Double = 0.05): NearDupPlan = {
+    val (n, dupFraction) = dupFractionSample(docs, sampleSize)
+    val (engine, pairs) =
+      if (dupFraction >= dupFractionCutoff)
+        ("composed-minhash-verify", minhashNgramJaccard(docs, k = k,
+          threshold = threshold, maxShingleDf = maxShingleDf))
+      else
+        ("prefix-exact", ngramJaccard(docs, k = k, threshold = threshold,
+          maxShingleDf = maxShingleDf, hashShingles = true, prefixFilter = true))
+    log.info(s"nearDupAuto: engine=$engine dupFraction=$dupFraction " +
+      s"(sampled $n docs, cutoff $dupFractionCutoff)")
+    NearDupPlan(engine, dupFraction, n, pairs)
+  }
+
+  /** [[nearDupAuto]]'s eager engine-choice sample: (rows sampled,
+    * exact-duplicate fraction) over a seeded xxhash64-ordered draw of
+    * `sampleSize` content fingerprints (see nearDupAuto's scaladoc for
+    * why hash-order, not `limit()`). ONE bounded job — a 1-row
+    * aggregate. */
+  private[graft] def dupFractionSample(docs: DataFrame,
+      sampleSize: Int): (Long, Double) = {
     val sample = docs
       .select(xxhash64(col("doc_id")).as("h"), col("doc_id"),
         xxhash64(col("text")).as("fpx"),
@@ -629,17 +649,51 @@ object Dedup {
         count_distinct(struct(col("fpx"), col("fp"), col("len"))).as("d"))
       .first()
     val n = sample.getLong(0)
-    val dupFraction = if (n == 0L) 0.0 else 1.0 - sample.getLong(1).toDouble / n
-    val (engine, pairs) =
-      if (dupFraction >= dupFractionCutoff)
-        ("composed-minhash-verify", minhashNgramJaccard(docs, k = k,
-          threshold = threshold, maxShingleDf = maxShingleDf))
-      else
-        ("prefix-exact", ngramJaccard(docs, k = k, threshold = threshold,
-          maxShingleDf = maxShingleDf, hashShingles = true, prefixFilter = true))
-    log.info(s"nearDupAuto: engine=$engine dupFraction=$dupFraction " +
-      s"(sampled $n docs, cutoff $dupFractionCutoff)")
-    NearDupPlan(engine, dupFraction, n, pairs)
+    (n, if (n == 0L) 0.0 else 1.0 - sample.getLong(1).toDouble / n)
+  }
+
+  /**
+   * PROFILING-ONLY staged replay of the full auto pipeline —
+   * sample/choice → shingle+signature → banded candidate discovery →
+   * exact verification → cluster resolution → survivor anti-join — with
+   * each stage MATERIALIZED at its boundary and wall-timed, so a bench
+   * artifact can say WHERE a loaded host spends the pipeline's time
+   * (the wired `dedup_auto` plan fuses these stages; when its end-to-end
+   * median moves, this is the attribution tool). The stage boundaries
+   * persist intermediates the fused plan would pipeline, so the SUM can
+   * exceed the fused end-to-end cost — per-stage DELTAS across runs are
+   * the signal, not the sum. Caller must `Caches.releaseAll()` after.
+   */
+  def nearDupStageTimings(docs: DataFrame, k: Int = 3,
+      threshold: Double = 0.5, maxShingleDf: Int = 1000,
+      numHashes: Int = 32, bands: Int = 8, maxBucketSize: Int = 10000,
+      loopParts: Int = 0): Seq[(String, Double)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      buf += name -> (System.nanoTime() - t0) / 1e9; r
+    }
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    timed("sample_choice")(dupFractionSample(docs, 10000))
+    val (shSets, _) = shingleSets(docs, k, maxShingleDf, hashShingles = true)
+    val sig = Caches.persistTracked(shSets
+      .select(col("doc_id"), minhashSig(col("sh"), numHashes).as("sig")))
+    timed("signatures")(mat(sig))
+    val cand = Caches.persistTracked(
+      bandedCandidates(sig, numHashes, bands, maxBucketSize, keepSigs = false))
+    timed("candidates")(mat(cand))
+    // verification re-derives the shingle sets from the (tracked-cached)
+    // shingle pipeline exactly as the fused plan does
+    val pairs = Caches.persistTracked(
+      verifyJaccard(cand, shSets, threshold).select("doc_a", "doc_b"))
+    timed("verify")(mat(pairs))
+    val losers = timed("cluster")(
+      duplicateClusters(pairs, loopParts = loopParts)
+        .filter(col("doc_id") =!= col("cluster")))
+    timed("survivors")(mat(
+      docs.join(losers, Seq("doc_id"), "left_anti").select("doc_id")))
+    buf.toSeq
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

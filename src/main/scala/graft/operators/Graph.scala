@@ -38,6 +38,53 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /**
+   * THE ITERATION SCAFFOLD shared by every fixed-k iterative operator in
+   * the toolkit ([[pageRank]], [[labelPropagation]], [[bfs]], [[sssp]]):
+   * run `steps` rounds of `step`, handing each round a `cap` function
+   * that is [[Caches.checkpointTracked]] on every `capEvery`-th round
+   * and identity otherwise — NEVER on the last round (nothing re-derives
+   * the final state, so an eager materialization job there is pure
+   * waste).
+   *
+   * Why the cap exists: each round's logical plan nests every previous
+   * round's, so an uncapped k-round loop grows the plan exponentially in
+   * analysis/AQE cost; truncating the (|V|-bounded) iterated frame every
+   * few rounds keeps planning linear in k at the price of a cheap eager
+   * job. Why `cap` is an argument to `step` rather than applied to
+   * `step`'s result: loops like [[bfs]] must truncate an INNER frame
+   * (the new level, before it is unioned into the running state) — the
+   * helper cannot know which sub-frame is the right leaf, the loop body
+   * does.
+   *
+   * The state is a type parameter because the loops carry different
+   * shapes (pageRank/LPA: one rank/label frame; bfs: (visited, frontier);
+   * sssp: one distance frame).
+   */
+  private[graft] def iterate[S](init: S, steps: Int, capEvery: Int)(
+      step: (S, Int, DataFrame => DataFrame) => S): S = {
+    var s = init
+    for (i <- 1 to steps) {
+      val cap: DataFrame => DataFrame =
+        if (capEvery > 0 && i % capEvery == 0 && i < steps)
+          Caches.checkpointTracked
+        else identity
+      s = step(s, i, cap)
+    }
+    s
+  }
+
+  /** Distinct (`src`,`dst`) edges, pre-partitioned AND pre-sorted by the
+    * per-iteration join key BEFORE the checkpoint leaf: localCheckpoint
+    * preserves the physical partitioning/ordering, so each of a loop's k
+    * joins re-reads an already-src-clustered base — only the |V|-bounded
+    * iterated side exchanges per step, the |E|-row base never re-shuffles
+    * or re-sorts. Shared by every iterative operator. */
+  private def checkpointEdges(edges: DataFrame, src: String,
+      dst: String): DataFrame =
+    Caches.checkpointTracked(edges.select(col(src), col(dst))
+      .distinct().repartition(col(src)).sortWithinPartitions(src))
+
+  /**
    * PAGERANK (Page et al. 1999) over a DIRECTED distinct edge list, k
    * fixed power-iteration steps — the graph-centrality completion of the
    * toolkit (components: [[Dedup.duplicateClusters]]; local structure:
@@ -47,66 +94,86 @@ object Graph {
    * node appears as a src (no dangling nodes — pass both directions for
    * an undirected graph, which guarantees it); the graph is non-empty.
    *
-   * Determinism is engineered the repo's standard way: degrees and N are
-   * integer aggregates; each iteration's per-node incoming mass is a
-   * SORTED fold (sort_array by contributor id → aggregate), so the
-   * double-addition order is a pure function of the graph and DuckDB
-   * replays it term-for-term (list_sort + list_reduce); the update
-   * (1−d)/N + d·Σ is one fixed-shape expression with the jump constant
-   * computed ONCE driver-side ((1.0 − d)/N — the oracle spells the same
-   * subtraction, never a pre-folded 0.15 literal, because 1.0 − 0.85
-   * is NOT 0.15 in IEEE doubles).
+   * TWO AGGREGATION MODES for the per-node incoming mass:
+   *
+   *  - `exact = true` (oracle mode): a deterministic TWO-LEVEL fold.
+   *    Contributions are salted into `foldBuckets` buckets by
+   *    `src % foldBuckets` (a plan-time constant), sorted-folded WITHIN
+   *    each (dst, bucket) group by contributor id, and the per-bucket
+   *    partial sums are then sorted-folded by bucket id. The addition
+   *    order is still a pure function of the graph — DuckDB replays it
+   *    as two nested list_sort + list_reduce levels — but no single
+   *    aggregation key ever owns more than ~in-degree/B contributions,
+   *    and a hub's in-edges hash across up to B reducer tasks instead of
+   *    materializing one unbounded array in one task (the flat
+   *    sorted-fold's 100×-scale hazard: a 10⁷-in-degree hub = one 10⁷
+   *    element array in one task).
+   *  - `exact = false` (production mode): a plain `sum()` — full
+   *    map-side partial aggregation, only (dst, partial-sum) rows cross
+   *    the shuffle, bounded state per key. The result differs from the
+   *    exact mode only by IEEE addition order (bounded by k·ulp-level
+   *    re-association noise); this is the mode a real 100 TB power-law
+   *    graph should run.
+   *
+   * Shared determinism machinery: degrees and N are integer aggregates;
+   * the update (1−d)/N + d·Σ is one fixed-shape expression with the jump
+   * constant computed ONCE driver-side ((1.0 − d)/N — the oracle spells
+   * the same subtraction, never a pre-folded 0.15 literal, because
+   * 1.0 − 0.85 is NOT 0.15 in IEEE doubles).
    *
    * Scale shape: the (src, dst, deg) contribution base is built once and
    * checkpoint-tracked (k iterations re-read it without re-deriving);
-   * each step is one equi-join (rank onto src) + one partial-aggregated
-   * groupBy(dst) — never a window, never a cartesian; node count N is
+   * each step is one equi-join (rank onto src) + partial-aggregated
+   * groupBys — never a window, never a cartesian; node count N is
    * the one bounded driver-side collect (a single long). k=O(10) steps
    * of join+agg is the standard distributed PageRank shape — at 1000
-   * executors each step is one shuffle of |E| (long, long, double) rows.
+   * executors each step is one shuffle of |E| (long, long, double) rows
+   * in exact mode and |partials| rows in production mode.
    *
    * Output: (node, pr) — rank after `iterations` steps.
    */
   def pageRank(edges: DataFrame, iterations: Int = 5,
-      damping: Double = 0.85, src: String = "src", dst: String = "dst"):
-      DataFrame = {
+      damping: Double = 0.85, src: String = "src", dst: String = "dst",
+      exact: Boolean = true, foldBuckets: Int = 64): DataFrame = {
     val e = edges.select(col(src), col(dst)).distinct()
     val deg = e.groupBy(src).agg(count(lit(1)).as("deg"))
-    // pre-partition AND pre-sort the contribution base by the per-iteration
-    // join key BEFORE the checkpoint leaf: localCheckpoint preserves the
-    // physical partitioning/ordering, so each of the k joins re-reads an
-    // already-src-clustered base — only the |V|-row rank side exchanges
-    // per step, the |E|-row base never re-shuffles or re-sorts
     val base = Caches.checkpointTracked(
       e.join(deg, src).repartition(col(src)).sortWithinPartitions(src))
     val nodes = Caches.checkpointTracked(deg.select(col(src).as("node")))
     val n = nodes.count() // bounded eager job: ONE driver-side long
     val jump = (1.0 - damping) / n.toDouble
-    var r = nodes.select(col("node"), lit(1.0 / n.toDouble).as("pr"))
-    for (i <- 1 to iterations) {
-      val sums = base
+    val r0 = nodes.select(col("node"), lit(1.0 / n.toDouble).as("pr"))
+    // rank-lineage cap every 2nd step (see [[iterate]]) on the |V|-row
+    // rank frame
+    iterate(r0, iterations, capEvery = 2) { (r, _, cap) =>
+      val contribs = base
         .join(r.select(col("node").as(src), col("pr")), src)
-        .select(col(dst),
-          struct(col(src), (col("pr") / col("deg").cast("double")).as("c"))
-            .as("sc"))
-        .groupBy(dst)
-        .agg(sort_array(collect_list(col("sc"))).as("cs"))
-        .select(col(dst).as("node"),
-          aggregate(col("cs"), lit(0.0d),
-            (a, x) => a + x.getField("c")).as("s"))
-      val next = nodes.join(sums, Seq("node"), "left")
+        .select(col(dst), col(src),
+          (col("pr") / col("deg").cast("double")).as("c"))
+      val sums =
+        if (exact) contribs
+          .select(col(dst), (col(src) % lit(foldBuckets.toLong)).as("bkt"),
+            struct(col(src), col("c")).as("sc"))
+          .groupBy(col(dst), col("bkt"))
+          .agg(sort_array(collect_list(col("sc"))).as("cs"))
+          .select(col(dst), col("bkt"),
+            aggregate(col("cs"), lit(0.0d),
+              (a, x) => a + x.getField("c")).as("bs"))
+          .select(col(dst), struct(col("bkt"), col("bs")).as("bc"))
+          .groupBy(col(dst))
+          .agg(sort_array(collect_list(col("bc"))).as("bcs"))
+          .select(col(dst).as("node"),
+            aggregate(col("bcs"), lit(0.0d),
+              (a, x) => a + x.getField("bs")).as("s"))
+        else contribs
+          .groupBy(col(dst))
+          .agg(sum(col("c")).as("s"))
+          .select(col(dst).as("node"), col("s"))
+      cap(nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(jump) + lit(damping) * coalesce(col("s"), lit(0.0d)))
-            .as("pr"))
-      // rank-lineage cap (the bfs segmented-truncation rationale): each
-      // iteration's plan nests every previous one's; truncating the
-      // |V|-row rank frame every 2nd step keeps planning/AQE cost linear
-      // in k instead of the nested-plan blowup, at the price of a cheap
-      // eager |V| job (never on the last step — nothing re-derives it)
-      r = if (i % 2 == 0 && i < iterations) Caches.checkpointTracked(next)
-          else next
+            .as("pr")))
     }
-    r
   }
 
   /**
@@ -135,28 +202,21 @@ object Graph {
    */
   def labelPropagation(edges: DataFrame, iterations: Int,
       src: String = "src", dst: String = "dst"): DataFrame = {
-    // pre-partitioned + pre-sorted by the per-round join key (the pageRank
-    // checkpoint-leaf trick): the |E|-row side never re-shuffles/re-sorts
-    // across the k rounds
-    val e = Caches.checkpointTracked(edges.select(col(src), col(dst))
-      .distinct().repartition(col(src)).sortWithinPartitions(src))
+    val e = checkpointEdges(edges, src, dst)
     val nodes = Caches.checkpointTracked(
       e.select(col(dst).as("node")).distinct())
-    var lab = nodes.select(col("node"), col("node").as("label"))
-    for (i <- 1 to iterations) {
-      val next = e
+    val lab0 = nodes.select(col("node"), col("node").as("label"))
+    // label-lineage cap every 2nd round (see [[iterate]])
+    iterate(lab0, iterations, capEvery = 2) { (lab, _, cap) =>
+      cap(e
         .join(lab.select(col("node").as(src), col("label")), src)
         .groupBy(col(dst), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col(dst))
         .agg(max_by(col("label"),
           struct(col("c"), (-col("label")).as("nl"))).as("label"))
-        .select(col(dst).as("node"), col("label"))
-      // label-lineage cap every 2nd round (the pageRank rationale)
-      lab = if (i % 2 == 0 && i < iterations) Caches.checkpointTracked(next)
-            else next
+        .select(col(dst).as("node"), col("label")))
     }
-    lab
   }
 
   /**
@@ -200,14 +260,13 @@ object Graph {
   def bfsFromMinSource(edges: DataFrame, maxDepth: Int,
       src: String = "src", dst: String = "dst"): DataFrame = {
     val e = checkpointEdges(edges, src, dst)
-    val source = e.agg(min(col(src))).head().getLong(0)
-    bfsLoop(e, source, maxDepth, src, dst)
+    val row = e.agg(min(col(src))).head()
+    // min() over zero rows aggregates to NULL — fail with a real message
+    // instead of the bare NPE getLong would throw on an empty graph
+    require(!row.isNullAt(0),
+      "bfsFromMinSource: the edge frame is empty — no source node exists")
+    bfsLoop(e, row.getLong(0), maxDepth, src, dst)
   }
-
-  private def checkpointEdges(edges: DataFrame, src: String,
-      dst: String): DataFrame =
-    Caches.checkpointTracked(edges.select(col(src), col(dst))
-      .distinct().repartition(col(src)).sortWithinPartitions(src))
 
   private def bfsLoop(e: DataFrame, source: Long, maxDepth: Int,
       src: String, dst: String): DataFrame = {
@@ -216,29 +275,95 @@ object Graph {
     // literal, degrading the |frontier| ⋈ dist equi-join to a
     // BroadcastNestedLoopJoin (|frontier|×|V| comparisons — the exact
     // scale-killer the PlanSpec sweep exists to catch; it did)
-    var dist = e.sparkSession.range(1)
+    val dist0 = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), lit(0L).as("dist"))
-    var frontier = dist.select("node")
-    for (i <- 1 to maxDepth) {
-      val nxtRaw =
+    // level-lineage cap every 3rd level, applied to the INNER new-level
+    // frame BEFORE it is unioned into the running state (an eager
+    // checkpoint per level costs a materialization job that dominates
+    // shallow searches — measured at sf0.1 depth 3: 3.0 s unchecked vs
+    // 3.3 s per-level; every 3rd bounds plan growth at 2³ per segment)
+    val (dist, _) = iterate((dist0, dist0.select("node")), maxDepth,
+        capEvery = 3) { case ((dist, frontier), i, cap) =>
+      val nxt = cap(
         e.join(frontier.select(col("node").as(src)), src)
           .select(col(dst).as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
-          .select(col("node"), lit(i.toLong).as("dist"))
-      // lineage cap: each level's plan embeds every previous level's, so
-      // an UNchecked loop doubles the plan per step — but an eager
-      // checkpoint per level costs a materialization job that dominates
-      // shallow searches (measured at sf0.1 depth 3: 3.0 s unchecked vs
-      // 3.3 s per-level). Truncate every 3rd level (plan growth bounded
-      // at 2³ per segment), and never on the last level (nothing follows
-      // that would re-derive it).
-      val nxt =
-        if (i % 3 == 0 && i < maxDepth) Caches.checkpointTracked(nxtRaw)
-        else nxtRaw
-      dist = dist.unionAll(nxt)
-      frontier = nxt.select("node")
+          .select(col("node"), lit(i.toLong).as("dist")))
+      (dist.unionAll(nxt), nxt.select("node"))
     }
     dist
+  }
+
+  /**
+   * SINGLE-SOURCE SHORTEST PATHS, k-bounded (Bellman–Ford rounds) over a
+   * DIRECTED edge list with POSITIVE INTEGER weights — the distance
+   * completion of [[bfs]]'s reachability (bfs answers "how many hops";
+   * sssp answers "how cheap", e.g. over a co-purchase graph whose edge
+   * cost falls with co-occurrence strength). After k rounds every node
+   * holds the exact cheapest cost over paths of ≤ k edges — a pure
+   * integer min-plus recurrence, so the whole trajectory is a pure
+   * function of the graph and an oracle replays it as a CTE chain
+   * bit-for-bit (no floating point anywhere).
+   *
+   * Round i: relax every edge out of the current distance frame
+   * (dist ⋈ edges → dst, d + w), union with the standing distances, and
+   * take the per-node integer `min` — a partial-aggregated groupBy
+   * (map-side combine collapses candidates before the shuffle), never a
+   * window, never a cartesian. The distance frame stays |V|-bounded;
+   * the |E| base is checkpoint-tracked, pre-partitioned and pre-sorted
+   * on `src` (the [[iterate]] scaffold's standard leaf) so only the
+   * |V|-row side moves per round. Unreached nodes are absent, not
+   * NULL-rowed (the [[bfs]] contract).
+   *
+   * Output: (node, cost) for every node reachable within `maxRounds`
+   * edges (the source itself at cost 0).
+   */
+  def sssp(edges: DataFrame, source: Long, maxRounds: Int,
+      src: String = "src", dst: String = "dst", weight: String = "w"):
+      DataFrame =
+    ssspLoop(checkpointWeightedEdges(edges, src, dst, weight), source,
+      maxRounds)
+
+  /** [[sssp]] from the graph's smallest source node (the
+    * [[bfsFromMinSource]] convention): the min runs over the ALREADY
+    * checkpointed weighted base, so picking the source costs one cheap
+    * |E|-leaf aggregate instead of re-deriving the edge set. */
+  def ssspFromMinSource(edges: DataFrame, maxRounds: Int,
+      src: String = "src", dst: String = "dst", weight: String = "w"):
+      DataFrame = {
+    val e = checkpointWeightedEdges(edges, src, dst, weight)
+    val row = e.agg(min(col("s"))).head()
+    require(!row.isNullAt(0),
+      "ssspFromMinSource: the edge frame is empty — no source node exists")
+    ssspLoop(e, row.getLong(0), maxRounds)
+  }
+
+  /** Name-normalized (s, d, w) weighted edge leaf, pre-partitioned and
+    * pre-sorted by the per-round join key (the [[checkpointEdges]]
+    * shape). */
+  private def checkpointWeightedEdges(edges: DataFrame, src: String,
+      dst: String, weight: String): DataFrame =
+    Caches.checkpointTracked(
+      edges.select(col(src).as("s"), col(dst).as("d"),
+          col(weight).cast("bigint").as("w"))
+        .repartition(col("s")).sortWithinPartitions("s"))
+
+  private def ssspLoop(e: DataFrame, source: Long, maxRounds: Int):
+      DataFrame = {
+    // the bfs seed trick: a non-foldable seed keeps the per-round joins
+    // equi-joins instead of literal-substituted nested loops
+    val dist0 = e.sparkSession.range(1)
+      .select((col("id") + lit(source)).as("node"), lit(0L).as("cost"))
+    // distance-lineage cap every 2nd round: unlike bfs, the WHOLE frame
+    // re-aggregates each round (min over union), so the running state is
+    // the right leaf to truncate
+    iterate(dist0, maxRounds, capEvery = 2) { (dist, _, cap) =>
+      val relaxed = e
+        .join(dist.select(col("node").as("s"), col("cost")), "s")
+        .select(col("d").as("node"), (col("cost") + col("w")).as("cost"))
+      cap(dist.unionAll(relaxed)
+        .groupBy("node").agg(min("cost").as("cost")))
+    }
   }
 
   /** One-row exact summary of the undirected graph given by (`src`,`dst`)

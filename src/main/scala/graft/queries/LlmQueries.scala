@@ -51,14 +51,22 @@ object LlmQueries {
       |)""".stripMargin
 
   /** Shared curation CTE chain — quality filter (>= 0.5, bit-mirrored
-    * weighted sum) → exact-dedup survivors (min doc_id per text) → STRICT
+    * weighted sum) → exact-dedup survivors (min doc_id per text, or per
+    * NORMALIZED text — lowercased, whitespace-collapsed, the
+    * `dedup_exact_norm` key — when `normDedup`) → STRICT
     * decontamination (drop benchmark members = every 7th doc_id and
     * anything sharing a 3-shingle with them) → deterministic weighted mix
     * (25% src0 / 50% src1 / 0% src2) — ending in a `mix` CTE carrying
-    * doc_id/source/lang/text. Oracle prefix for `curation_pipeline` and
-    * `training_export`; every stage's arithmetic is individually
-    * oracle-certified by its own row. */
-  private val curationCte: String =
+    * doc_id/source/lang/text. Oracle prefix for `curation_pipeline`,
+    * `curation_pipeline_norm` and `training_export`; every stage's
+    * arithmetic is individually oracle-certified by its own row. */
+  private def curationCte(normDedup: Boolean): String =
+    curationCteBase.replace("GROUP BY text",
+      if (normDedup)
+        "GROUP BY lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
+      else "GROUP BY text")
+
+  private val curationCteBase: String =
     """WITH base AS (
         |  SELECT doc_id, source, lang, text,
         |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
@@ -137,14 +145,23 @@ object LlmQueries {
     * `training_export` (feeds SequencePack), and `curation_funnel`
     * (stage counts). */
   private def curationStages(
-      s: org.apache.spark.sql.SparkSession, dir: String): CurationStages = {
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      normDedup: Boolean = false): CurationStages = {
     import graft.operators.CorpusMix
     val docs = Tables.documents(s, dir)
     val q = docs
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .filter(col("quality") >= 0.5)
       .drop("quality")
-    val keepIds = q.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+    // normDedup swaps the survivor key for Dedup.exactNormalized's
+    // normalized text (lowercase + whitespace-collapse — the C4-style
+    // soft-exact tier), one boolean through the shared builder so the
+    // _norm row can never drift from the certified pipeline
+    val dedupKey =
+      if (normDedup) lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      else col("text")
+    val keepIds = q.groupBy(dedupKey.as("k"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
     val deduped = q.join(keepIds, Seq("doc_id"), "left_semi")
     val evalDocs = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
     val train = deduped.filter(pmod(col("doc_id"), lit(7)) =!= 0)
@@ -285,6 +302,25 @@ object LlmQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT src FROM reach WHERE cluster <> src)
         |ORDER BY doc_id""".stripMargin
+
+  /** Fixed centroid seed shared by `kmeans_assign`/`cluster_labels`: the
+    * first 8 vectors, in vec_id order. The oracle equates the centroid
+    * ARRAY INDEX with its cell = vec_id — an identity that only holds
+    * when vec_ids 0..7 all exist and are dense, so assert exactly that:
+    * a data-gen change to 1-based or sparse ids fails HERE with a
+    * pointer to the cause instead of as two bare oracle hash
+    * mismatches. (8-row bounded collect — the IVF-build pattern.) */
+  private def fixedCentroids(
+      emb: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] = {
+    val rows = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .collect()
+    val ids = rows.map(_.getLong(0)).toSeq
+    require(ids == (0L until 8L),
+      s"kmeans centroid seed expects dense vec_ids 0..7, got $ids")
+    rows.map(_.getSeq[Double](1)).toSeq
+  }
 
   /** Shared CTE for the k-means rows: the Lloyd ASSIGNMENT replayed
     * op-for-op — centroids = the first 8 vectors cast to double, distance
@@ -952,11 +988,7 @@ object LlmQueries {
         |FROM asg GROUP BY cell ORDER BY cell""".stripMargin) {
       (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < 8)
-        .orderBy("vec_id")
-        .select(transform(col("embedding"), x => x.cast("double")).as("e"))
-        .collect().map(_.getSeq[Double](0)).toSeq
-      Similarity.assignCells(emb, cents)
+      Similarity.assignCells(emb, fixedCentroids(emb))
         .groupBy(col("cell").cast("long").as("cell"))
         .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec"))
         .orderBy("cell")
@@ -989,11 +1021,7 @@ object LlmQueries {
         |  FROM cc
         |) WHERE rn = 1 ORDER BY cell""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < 8)
-        .orderBy("vec_id")
-        .select(transform(col("embedding"), x => x.cast("double")).as("e"))
-        .collect().map(_.getSeq[Double](0)).toSeq
-      val assigned = Similarity.assignCells(emb, cents)
+      val assigned = Similarity.assignCells(emb, fixedCentroids(emb))
         .select(col("vec_id").as("doc_id"), col("cell").cast("long").as("cell"))
       Tables.documents(s, dir)
         .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
@@ -1706,9 +1734,24 @@ object LlmQueries {
     // doubles both engines computed op-for-op identically, memberships are
     // set-exact, so the final doc_id set hash-matches.
     QueryDef.of("curation_pipeline",
-      curationCte + """
+      curationCte(false) + """
         |SELECT doc_id, source, lang FROM mix ORDER BY doc_id""".stripMargin) { (s, dir) =>
       curatedDocs(s, dir)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    },
+
+    // The certified pipeline with the NORMALIZED exact-dedup tier
+    // (dedup_exact_norm's lowercase + whitespace-collapse key) swapped
+    // in for plain exact dedup — one boolean through the shared stage
+    // builder, so reformat-only clones (re-wrapped lines, case-changed
+    // headlines) are collapsed before decontamination and the mix. This
+    // row certifies the normalized tier COMPOSES exactly: same oracle
+    // CTE chain with only the survivor GROUP BY key rewritten.
+    QueryDef.of("curation_pipeline_norm",
+      curationCte(true) + """
+        |SELECT doc_id, source, lang FROM mix ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      curationStages(s, dir, normDedup = true).mixed
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
     },
@@ -1722,7 +1765,7 @@ object LlmQueries {
     // curation_pipeline actually computes) and the same oracle CTE
     // chain; five 1-row counts unioned, ordered by stage position.
     QueryDef.of("curation_funnel",
-      curationCte + """
+      curationCte(false) + """
         |SELECT ord, stage, n FROM (
         |  SELECT CAST(0 AS BIGINT) AS ord, 'total' AS stage,
         |    CAST(count(*) AS BIGINT) AS n FROM documents
@@ -1796,7 +1839,7 @@ object LlmQueries {
     // hash match here certifies the five-stage composition, not just each
     // stage alone.
     QueryDef.of("training_export",
-      curationCte + """
+      curationCte(false) + """
         |, pt AS (
         |  SELECT doc_id,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -19,8 +19,13 @@ object StarQueries {
 
   /** Oracle for `graph_pagerank`: k power-iteration steps unrolled as a
     * CTE chain (the bpe_merges technique). Each level replays the
-    * engine's update exactly: per-node incoming mass as a sorted fold
-    * over (contributor id, rank/deg) structs, then
+    * engine's update exactly: per-node incoming mass as the engine's
+    * TWO-LEVEL deterministic fold — contributions salted into 64
+    * buckets by src % 64, sorted-folded within each (dst, bucket) by
+    * contributor id, then the per-bucket partial sums sorted-folded by
+    * bucket id (two nested list_sort + list_reduce levels — the
+    * hub-safe association order the engine uses so no aggregation key
+    * ever owns more than in-degree/64 contributions) — then
     * (1.0 − 0.85)/N + 0.85·Σ — the jump term spelled as the SAME
     * subtraction the driver computes, with BOTH literals cast to DOUBLE:
     * DuckDB parses bare 1.0/0.85 as DECIMAL and folds the subtraction
@@ -36,12 +41,18 @@ object StarQueries {
          |      + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
          |  FROM nodes nd CROSS JOIN nn
          |  LEFT JOIN (
-         |    SELECT e.dst, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(list_sort(list(struct_pack(src := e.src,
-         |        c := r.pr / CAST(d.deg AS DOUBLE)))), x -> x.c)),
-         |      (a, x) -> a + x) AS s
-         |    FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node
-         |    GROUP BY e.dst
+         |    SELECT b.dst, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_sort(list(struct_pack(bkt := b.bkt,
+         |        bs := b.bs))), x -> x.bs)), (a, x) -> a + x) AS s
+         |    FROM (
+         |      SELECT e.dst, e.src % 64 AS bkt,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(list_sort(list(struct_pack(src := e.src,
+         |            c := r.pr / CAST(d.deg AS DOUBLE)))), x -> x.c)),
+         |          (a, x) -> a + x) AS bs
+         |      FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node
+         |      GROUP BY e.dst, e.src % 64
+         |    ) b GROUP BY b.dst
          |  ) s ON nd.node = s.dst
          |)""".stripMargin
     s"""WITH li AS (
@@ -115,6 +126,36 @@ object StarQueries {
        |SELECT node, dist FROM (${(0 to k).map(j => s"SELECT * FROM d$j")
           .mkString(" UNION ALL ")})
        |ORDER BY node""".stripMargin
+  }
+
+  /** Oracle for `graph_sssp`: k Bellman–Ford relaxation rounds unrolled
+    * as a CTE chain (the bfsOracle technique). Level i takes the
+    * per-node integer min over the standing distances unioned with every
+    * one-edge relaxation — exactly the engine's union + min-aggregate
+    * step; weights and costs are all BIGINT, so the chain replays the
+    * loop bit-for-bit. The weight 11 − least(shared_orders, 10) makes
+    * strongly co-purchased parts cheap to traverse (cost ∈ [1, 10]). */
+  private def ssspOracle(k: Int): String = {
+    def level(i: Int): String =
+      s"""d$i AS (
+         |  SELECT node, min(cost) AS cost FROM (
+         |    SELECT node, cost FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, f.cost + e.w AS cost
+         |    FROM e JOIN d${i - 1} f ON e.src = f.node
+         |  ) GROUP BY node
+         |)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e AS (
+       |  SELECT a.pk AS src, b.pk AS dst,
+       |    CAST(11 - least(count(*), 10) AS BIGINT) AS w
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+       |  GROUP BY a.pk, b.pk
+       |), s AS (SELECT min(src) AS sn FROM e),
+       |d0 AS (SELECT sn AS node, CAST(0 AS BIGINT) AS cost FROM s),
+       |${(1 to k).map(level).mkString(",\n")}
+       |SELECT node, cost FROM d$k ORDER BY node""".stripMargin
   }
 
   /** Deliberately-skewed fact: every even orderkey maps to skew_key 0 (50%
@@ -1783,6 +1824,29 @@ object StarQueries {
         .filter(col("src") =!= col("dst"))
         .select("src", "dst")
       graft.operators.Graph.bfsFromMinSource(e, maxDepth = 3)
+        .orderBy("node")
+    },
+
+    // k-bounded single-source shortest paths (4 Bellman–Ford rounds)
+    // over the WEIGHTED co-purchase graph: edge cost 11 − min(shared
+    // orders, 10), so strongly co-purchased parts are "close" — the
+    // distance completion of graph_bfs's hop reachability (bfs: how many
+    // hops; sssp: how cheap). All-integer min-plus recurrence, so the
+    // CTE-chain oracle replays every relaxation round exactly; the
+    // source is the graph's smallest part id (the graph_bfs convention),
+    // picked off the already-checkpointed weighted base.
+    QueryDef.of("graph_sssp", ssspOracle(4)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("src"), col("dst"),
+          (lit(11L) - least(col("cnt"), lit(10L))).as("w"))
+      graft.operators.Graph.ssspFromMinSource(e, maxRounds = 4)
         .orderBy("node")
     },
 

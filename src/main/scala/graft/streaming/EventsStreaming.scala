@@ -42,6 +42,20 @@ case class TransState(hasLast: Boolean, lastUs: Long, lastId: Long,
 case class TransitionOut(user_id: Long, from_type: String, to_type: String,
     from_us: Long, to_us: Long)
 
+/** A buffered event awaiting watermark finality in
+  * [[EventsStreaming.funnelSteps]]. */
+case class FunnelEvent(us: Long, eventId: Long, ty: String)
+
+/** Per-user state for [[EventsStreaming.funnelSteps]]: the min-time carry
+  * — `reached(i)` is the FINAL first-touch time of step i+1 (at most
+  * |steps| longs, fixed size per key), plus the above-watermark buffer
+  * the horizon bounds (dropped entirely once the funnel completes). */
+case class FunnelState(reached: List[Long], buffer: List[FunnelEvent])
+
+/** One finalized funnel step reach: this user reached `step` (1-based)
+  * at `t_us`. */
+case class FunnelStepOut(user_id: Long, step: Int, t_us: Long)
+
 /**
  * Structured Streaming tier. The reference is strictly batch (SURVEY.md
  * §2.10 — finite input, full barrier before results), so everything here is
@@ -500,6 +514,84 @@ object EventsStreaming {
           if (ns.buffer.nonEmpty)
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
           out.iterator
+      }
+  }
+
+  /**
+   * Streaming twin of the batch first-touch funnel
+   * ([[graft.operators.Funnel.stepTimes]] / the `events_funnel` query):
+   * emits one append-mode row per user per step the moment that step's
+   * first-touch time is watermark-FINAL. Downstream a plain streaming
+   * `groupBy(step).count()` maintains the live funnel report.
+   *
+   * Finality is the [[transitions]] argument: a step time may only be
+   * emitted once no event can still arrive that would change it, i.e.
+   * once the watermark passes the event (strict `us < watermark`).
+   * Buffered events finalize in global (us, event_id) order — the same
+   * total order every finalized-prefix operator here pins — and fold
+   * through the funnel recurrence: step 1 = the first step-1-typed
+   * event; step i+1 = the first step-(i+1)-typed event in the half-open
+   * window (t_i, t_i + windowUnits]. Processing finalized events in
+   * increasing time order makes "first" ≡ the batch operator's `min`,
+   * and a skipped event can never become eligible later (eligibility
+   * only depends on EARLIER step times, which are themselves final) —
+   * so on a closed stream the (user, step, t) set equals the batch
+   * cascade's exactly (StreamingSpec asserts this on randomized
+   * out-of-order streams).
+   *
+   * State per user is at most |steps| longs once quiet (the min-time
+   * carry) plus the watermark-horizon-bounded buffer — dropped entirely
+   * once the user completes the funnel, so finished users cost |steps|
+   * longs forever and an EVENT-TIME TIMEOUT flushes users who go quiet.
+   *
+   * `events` needs (userCol, tsCol, idCol, typeCol).
+   */
+  def funnelSteps(events: DataFrame, steps: Seq[String], windowUnits: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type",
+      watermarkDelay: String = "2 hours"): Dataset[FunnelStepOut] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowUnits > 0, s"windowUnits must be positive, got $windowUnits")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toArray
+    // the watermarked ts column must survive the select for the
+    // event-time timeout to be allowed (same constraint as sessionize)
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col(userCol).cast("long").as("user"),
+        unix_micros(col(tsCol)).as("us"),
+        col(idCol).cast("long").as("event_id"),
+        col(typeCol).cast("string").as("ty"), col(tsCol).as("ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelStepOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state: GroupState[FunnelState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(FunnelState(Nil, Nil))
+          if (!state.hasTimedOut) {
+            val add = rows.map(r => FunnelEvent(r._2, r._3, r._4)).toList
+            st = st.copy(buffer = st.buffer ++ add)
+          }
+          val (fin, keep) = st.buffer.partition(_.us < wmUs)
+          var reached = st.reached
+          val out = Seq.newBuilder[FunnelStepOut]
+          fin.sortBy(e => (e.us, e.eventId)).foreach { e =>
+            val i = reached.length
+            if (i < stepArr.length && e.ty == stepArr(i) &&
+                (i == 0 || (e.us > reached.last &&
+                  e.us <= reached.last + windowUnits))) {
+              reached = reached :+ e.us
+              out += FunnelStepOut(userId, i + 1, e.us)
+            }
+          }
+          val ns = FunnelState(reached,
+            if (reached.length == stepArr.length) Nil else keep)
+          state.update(ns)
+          // only a non-empty buffer needs a watermark-advance wake-up
+          if (ns.buffer.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          out.result().iterator
       }
   }
 }

@@ -77,10 +77,12 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
-  /** Plain-Scala power iteration with the operator's exact fold order
-    * (contributions sorted by source id, jump = (1.0−d)/n). */
+  /** Plain-Scala power iteration with the operator's exact TWO-LEVEL
+    * fold order: contributions salted by src % B, sorted-folded within
+    * each bucket by source id, bucket partial sums then folded in
+    * bucket-id order; jump = (1.0−d)/n. */
   private def prReference(edges: Seq[(Long, Long)], k: Int,
-      d: Double = 0.85): Map[Long, Double] = {
+      d: Double = 0.85, b: Int = 64): Map[Long, Double] = {
     val e = edges.distinct
     val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
     val nodes = deg.keys.toSeq.sorted
@@ -89,18 +91,25 @@ class GraphSpec extends SparkSpecBase {
     var r = nodes.map(_ -> 1.0 / n.toDouble).toMap
     for (_ <- 1 to k) {
       val in = e.groupBy(_._2).map { case (dst, es) =>
-        dst -> es.map(_._1).sorted.foldLeft(0.0)((a, s) =>
-          a + r(s) / deg(s).toDouble)
+        dst -> es.map(_._1).groupBy(_ % b).toSeq.sortBy(_._1)
+          .map { case (_, srcs) =>
+            srcs.sorted.foldLeft(0.0)((a, s) => a + r(s) / deg(s).toDouble)
+          }.foldLeft(0.0)(_ + _)
       }
       r = nodes.map(v => v -> (jump + d * in.getOrElse(v, 0.0))).toMap
     }
     r
   }
 
-  test("pageRank is bit-equal to a plain power-iteration reference") {
+  test("pageRank is bit-equal to a plain two-level-fold reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
-    val raw = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    // node ids span several fold buckets (ids up to 200, B = 64), so the
+    // two-level association order genuinely differs from a flat
+    // sorted-by-src fold — e.g. srcs {5, 68} fold as [68, 5] (bucket 4
+    // before bucket 5), not [5, 68]; the bit-equality below proves the
+    // engine and the reference agree on THAT order
+    val raw = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
       .filter(p => p._1 != p._2)
     val sym = raw ++ raw.map(_.swap) // no dangling nodes
     val got = Graph.pageRank(sym.toDF("src", "dst"), iterations = 5)
@@ -109,6 +118,28 @@ class GraphSpec extends SparkSpecBase {
     assert(got == prReference(sym, 5)) // exact doubles — same fold order
     // total mass stays ~1 (jump + conservation; fp-tolerant check)
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank production sum() mode agrees with exact mode to fp tolerance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val raw = Seq.fill(240)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(p => p._1 != p._2)
+    val sym = raw ++ raw.map(_.swap)
+    val ex = Graph.pageRank(sym.toDF("src", "dst"), iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    Caches.releaseAll()
+    val prod = Graph.pageRank(sym.toDF("src", "dst"), iterations = 5,
+        exact = false)
+      .as[(Long, Double)].collect().toMap
+    Caches.releaseAll()
+    // the two modes differ ONLY by IEEE addition order — k rounds of
+    // re-association noise, orders of magnitude below this bound
+    assert(ex.keySet == prod.keySet)
+    ex.foreach { case (node, v) =>
+      assert(math.abs(v - prod(node)) <= 1e-12 * math.max(1.0, math.abs(v)),
+        s"node $node: exact $v vs production ${prod(node)}")
+    }
   }
 
   test("pageRank ranks a star's hub above its spokes") {
@@ -213,5 +244,79 @@ class GraphSpec extends SparkSpecBase {
       assert(runBfs(edges, edges.map(_._1).min, k) ==
         bfsReference(edges, edges.map(_._1).min, k), s"k=$k")
     }
+  }
+
+  test("bfsFromMinSource on an empty graph fails with a clear message") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Graph.bfsFromMinSource(
+        Seq.empty[(Long, Long)].toDF("src", "dst"), maxDepth = 2)
+    }
+    Caches.releaseAll()
+    assert(ex.getMessage.contains("empty"), ex.getMessage)
+  }
+
+  /** Plain-Scala k-round Bellman–Ford — the reference twin for sssp. */
+  private def ssspReference(edges: Seq[(Long, Long, Long)], source: Long,
+      k: Int): Map[Long, Long] = {
+    var dist = Map(source -> 0L)
+    for (_ <- 1 to k) {
+      val relaxed = edges.flatMap { case (s, d, w) =>
+        dist.get(s).map(c => d -> (c + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, cs) => n -> cs.map(_._2).min }
+    }
+    dist
+  }
+
+  private def runSssp(edges: Seq[(Long, Long, Long)], source: Long, k: Int) = {
+    import spark.implicits._
+    val got = Graph.sssp(edges.toDF("src", "dst", "w"), source, k)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    got
+  }
+
+  test("sssp takes the cheap 2-hop route over the expensive direct edge") {
+    // 1→3 costs 10 direct, but 1→2→3 costs 2; needs ≥ 2 rounds to find
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L))
+    assert(runSssp(edges, 1L, 1) == Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    assert(runSssp(edges, 1L, 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("sssp: unreachable nodes absent; k bounds the path length in edges") {
+    val path = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 5L), (8L, 9L, 1L))
+    assert(runSssp(path, 1L, 2) == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+    assert(runSssp(path, 1L, 5) ==
+      Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> 15L))
+  }
+
+  test("sssp equals the Bellman–Ford reference on random weighted graphs") {
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong,
+        (1 + rnd.nextInt(9)).toLong))
+      .filter(p => p._1 != p._2)
+      // one weight per directed pair (the wired query aggregates first)
+      .groupBy(p => (p._1, p._2)).map(_._2.head).toSeq
+    val source = edges.map(_._1).min
+    for (k <- Seq(1, 3, 5)) {
+      assert(runSssp(edges, source, k) == ssspReference(edges, source, k),
+        s"k=$k")
+    }
+  }
+
+  test("ssspFromMinSource matches sssp from the explicit min source") {
+    import spark.implicits._
+    val edges = Seq((3L, 5L, 2L), (5L, 7L, 3L), (7L, 3L, 1L), (3L, 7L, 9L))
+    val viaMin = Graph.ssspFromMinSource(edges.toDF("src", "dst", "w"), 3)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(viaMin == runSssp(edges, 3L, 3))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.ssspFromMinSource(
+        Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"), 2)
+    }
+    Caches.releaseAll()
+    assert(ex.getMessage.contains("empty"), ex.getMessage)
   }
 }

@@ -888,4 +888,82 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("funnelSteps: windowed first-touch, out-of-window stall, out-of-order finality") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    // 30-minute step window
+    val q = EventsStreaming.funnelSteps(
+        in.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        steps = Seq("view", "click", "purchase"),
+        windowUnits = 30L * 60L * 1000000L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("funnel_steps")
+      .outputMode("append").start()
+    def us(h: Int, m: Int) = t(h, m).getTime * 1000L
+    try {
+      in.addData(
+        // user 1: full conversion; the click at 9:50 arrives BEFORE the
+        // view in this batch (out of order) but must fold after it
+        (1L, t(9, 50), 3L, "click"), (1L, t(9, 40), 2L, "view"),
+        (1L, t(10, 10), 4L, "purchase"),
+        // user 2: clicks 40 min after the first view — outside the
+        // window, stalls at step 1 (the later view must NOT re-seed)
+        (2L, t(9, 0), 10L, "view"), (2L, t(9, 40), 11L, "click"),
+        (2L, t(9, 45), 12L, "view"),
+        // user 3: purchase before any view neither helps nor blocks
+        (3L, t(9, 0), 20L, "purchase"), (3L, t(9, 30), 21L, "view"))
+      q.processAllAvailable()
+      // sentinel advances: move the watermark past everything, then fire
+      // the buffered-flush timeouts it armed
+      in.addData((99L, t(12, 0), 998L, "x")); q.processAllAvailable()
+      in.addData((99L, t(12, 1), 999L, "x")); q.processAllAvailable()
+      val got = spark.table("funnel_steps").as[FunnelStepOut].collect()
+        .filter(_.user_id != 99L).map(o => (o.user_id, o.step, o.t_us)).toSet
+      assert(got == Set(
+        (1L, 1, us(9, 40)), (1L, 2, us(9, 50)), (1L, 3, us(10, 10)),
+        (2L, 1, us(9, 0)),
+        (3L, 1, us(9, 30))))
+    } finally q.stop()
+  }
+
+  test("funnelSteps equals the batch Funnel cascade on randomized out-of-order streams") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    val types = Seq("view", "click", "purchase", "error")
+    val steps = Seq("view", "click", "purchase")
+    val events = (1 to 150).map { i =>
+      (rnd.nextInt(8).toLong + 1L, t(9 + rnd.nextInt(4), rnd.nextInt(60)),
+        i.toLong, types(rnd.nextInt(4)))
+    }
+    val win = 45L * 60L * 1000000L
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = EventsStreaming.funnelSteps(
+        in.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        steps = steps, windowUnits = win, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("funnel_rand")
+      .outputMode("append").start()
+    try {
+      // near-ordered delivery (the transitions random-test shape): slices
+      // advance in time so the 1-minute watermark drops nothing, while
+      // each slice is internally SHUFFLED for out-of-order arrival
+      events.sortBy(_._2.getTime).grouped(50).foreach { b =>
+        in.addData(rnd.shuffle(b): _*); q.processAllAvailable()
+      }
+      in.addData((99L, t(20, 0), 998L, "error")); q.processAllAvailable()
+      in.addData((99L, t(20, 1), 999L, "error")); q.processAllAvailable()
+      val streamed = spark.table("funnel_rand").as[FunnelStepOut].collect()
+        .filter(_.user_id != 99L).map(o => (o.user_id, o.step, o.t_us)).toSet
+      // batch twin: Funnel.stepTimes' per-step (user, t) frames
+      val batch = graft.operators.Funnel.stepTimes(
+          events.toDF("user_id", "ts", "event_id", "event_type")
+            .selectExpr("user_id", "unix_micros(ts) AS us", "event_type"),
+          key = "user_id", time = "us", typ = "event_type",
+          steps = steps, windowUnits = win)
+        .zipWithIndex.flatMap { case (df, i) =>
+          df.as[(Long, Long)].collect().map { case (u, tu) => (u, i + 1, tu) }
+        }.toSet
+      graft.operators.Caches.releaseAll()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
