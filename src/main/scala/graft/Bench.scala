@@ -307,6 +307,21 @@ object Bench {
    * brute force at the same operating points, so the approximate paths'
    * quality claim is a reproducible artifact, not test-only.
    */
+  /** The co-purchase edge graph behind graph_pagerank/_lpa/_bfs/_sssp
+    * (parts linked when they share an order), rebuilt here so stress
+    * cases can time operator variants on the SAME graph the wired rows
+    * use. */
+  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.select(col("ok"), col("pk").as("src"))
+      .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+  }
+
   private def stress(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.{Dedup, Salt, Similarity}
     import graft.sources.Tables
@@ -392,6 +407,18 @@ object Bench {
           f"(dupFraction ${plan.dupFraction}%.3f over ${plan.sampledDocs} sampled docs)")
         plan.pairs
       }),
+      // PageRank's two aggregation modes on the same co-purchase graph:
+      // the exact two-level fold (the wired oracle row's shape) vs the
+      // production sum() mode (map-side partial agg, only partial sums
+      // cross the shuffle). The delta is the price of bit-replayable
+      // determinism — the number the "run exact=false at scale" guidance
+      // in the scaladoc rests on.
+      ("pagerank_exact_mode", false, false, () =>
+        graft.operators.Graph.pageRank(coPurchaseEdges(spark, sfDir),
+          iterations = 5, exact = true)),
+      ("pagerank_sum_mode", false, false, () =>
+        graft.operators.Graph.pageRank(coPurchaseEdges(spark, sfDir),
+          iterations = 5, exact = false)),
       ("join_skew_plain_10x", false, false, () => plainSkewJoin()),
       ("join_skew_noaqe_10x", true, false, () => plainSkewJoin()),
       ("join_skew_salted_noaqe_10x", true, false, () =>
@@ -658,6 +685,23 @@ object Bench {
             () => Similarity.ivfPqTopK(qHard, ivfpq, embHard, k = 5,
               nProbe = np, shortlist = sl))
         ivfpq.release()
+        r
+      } ++ {
+        // RESIDUAL-coded IVF-PQ (classic IVFADC): same grid as the
+        // raw-vector variant — the recall delta at matched (nProbe,
+        // shortlist) IS the residual-coding payoff the operating-point
+        // guidance rests on
+        val ivfpqr = Similarity.buildIvfPqResIndex(embHard, nCells = 16,
+          m = 8, ksub = 16)
+        val r = recallOf("ivfpq_res",
+          () => Similarity.ivfPqResTopK(qHard, ivfpqr, embHard, k = 5,
+            nProbe = 4, shortlist = 20)).toSeq
+        for ((np, sl) <- Seq((2, 20), (4, 10), (4, 20), (4, 50), (8, 20),
+            (8, 50), (16, 50)))
+          curvePt("ivfpq_res", s""""nProbe":$np,"shortlist":$sl""",
+            () => Similarity.ivfPqResTopK(qHard, ivfpqr, embHard, k = 5,
+              nProbe = np, shortlist = sl))
+        ivfpqr.release()
         r
       }
       truth.unpersist(blocking = false)

@@ -134,7 +134,7 @@ object Graph {
    */
   def pageRank(edges: DataFrame, iterations: Int = 5,
       damping: Double = 0.85, src: String = "src", dst: String = "dst",
-      exact: Boolean = true, foldBuckets: Int = 64): DataFrame = {
+      exact: Boolean = true, foldBuckets: Int = 16): DataFrame = {
     val e = edges.select(col(src), col(dst)).distinct()
     val deg = e.groupBy(src).agg(count(lit(1)).as("deg"))
     val base = Caches.checkpointTracked(
@@ -154,6 +154,18 @@ object Graph {
         if (exact) contribs
           .select(col(dst), (col(src) % lit(foldBuckets.toLong)).as("bkt"),
             struct(col(src), col("c")).as("sc"))
+          // ONE exchange for BOTH fold levels: HashPartitioning(dst)
+          // satisfies ClusteredDistribution(dst, bkt) (a superset of the
+          // partitioning keys) and survives the first aggregate, so the
+          // (dst, bkt) fold and the per-dst bucket fold both run
+          // shuffle-free on it — same per-step shuffle volume as a flat
+          // fold, while a hub's buffered state is still B independent
+          // sort-fallback-spillable groups of ~in-degree/B instead of one
+          // unbounded array (the two-shuffle per-(dst,bkt) exchange
+          // variant buys cross-task hub parallelism at the price of a
+          // second ~|E|-sized exchange per step — the production answer
+          // for that graph is `exact = false`, not a pricier fold).
+          .repartition(col(dst))
           .groupBy(col(dst), col("bkt"))
           .agg(sort_array(collect_list(col("sc"))).as("cs"))
           .select(col(dst), col("bkt"),
@@ -420,4 +432,76 @@ object Graph {
           .otherwise((col("n_triangles") * lit(3)).cast("double") /
             col("n_wedges").cast("double")).as("clustering"))
   }
+
+  /**
+   * k-CORE PEELING, `rounds` synchronous rounds (Seidman 1983; the
+   * Batagelj–Zaveršnik cores by repeated low-degree removal) over a
+   * SYMMETRIZED distinct edge list — the density-curation primitive of
+   * the toolkit (pageRank ranks, LPA groups, k-core PRUNES: "keep the
+   * subgraph where everything has ≥ k supported neighbors", the
+   * standard spam/fringe filter before any expensive per-node work).
+   *
+   * Caller contract: pass BOTH directions of each undirected edge (the
+   * [[pageRank]] convention), distinct, no self-loops.
+   *
+   * Each round recomputes every surviving node's degree WITHIN the
+   * surviving subgraph and drops all nodes under k simultaneously —
+   * the synchronous variant, so the whole trajectory is a pure function
+   * of (graph, k, rounds) and an oracle replays it as a CTE chain (all
+   * integers, nothing to round). At a fixpoint the survivors are exactly
+   * the k-core; with bounded rounds the output is the r-round peel
+   * (deterministic either way — the oracle replays the same r).
+   *
+   * Scale shape: the |E| base is checkpoint-tracked, pre-partitioned on
+   * `src` (the [[iterate]] leaf); each round is two semi-shaped
+   * equi-joins onto the |V|-bounded survivor frame + one
+   * partial-aggregated count — never a window, never a cartesian,
+   * per-key state bounded. The survivor frame only shrinks.
+   *
+   * Output: (node, deg) for every node surviving `rounds` peels, deg =
+   * its degree in the round's input subgraph (≥ k by construction).
+   */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = checkpointEdges(edges, src, dst)
+    val s0 = Caches.checkpointTracked(
+      e.select(col(src).as("node")).distinct())
+    val d0 = s0.select(col("node"), lit(0L).as("deg"))
+    val (_, out) = iterate((s0, d0), rounds, capEvery = 2) {
+      case ((surv, _), _, cap) =>
+        // inner equi-joins against the UNIQUE survivor nodes ≡ left-semi
+        // (no fan-out possible) but keep the planner free to reorder
+        val deg = cap(e
+          .join(surv.select(col("node").as(src)), src)
+          .join(surv.select(col("node").as(dst)), dst)
+          .groupBy(col(src).as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k))
+        (deg.select("node"), deg)
+    }
+    out
+  }
+
+  /**
+   * CONNECTED COMPONENTS over an arbitrary edge list: (node, component)
+   * for every node appearing in some edge, component = min node id of
+   * its component — the graph-toolkit face of the dedup tier's
+   * union-find ([[Dedup.duplicateClusters]]' pointer-jumping min-label
+   * RDD loop: O(log diameter) rounds, co-partitioned narrow joins,
+   * per-round lineage cuts, every loop cache released in try/finally).
+   * The min-label fixpoint is iteration-order independent, so the result
+   * is a pure function of the graph and a recursive-CTE oracle replays
+   * it (the fuzzy_clusters argument).
+   *
+   * Input edges may be directed pairs — the union-find symmetrizes
+   * internally (connectivity is an undirected notion). The returned
+   * frame is [[Caches]]-registered (the duplicateClusters contract);
+   * callers release via `Caches.releaseAll()` once consumed.
+   */
+  def connectedComponents(edges: DataFrame, src: String = "src",
+      dst: String = "dst", loopParts: Int = 0): DataFrame =
+    Dedup.duplicateClusters(
+      edges.select(col(src).as("doc_a"), col(dst).as("doc_b")),
+      loopParts = loopParts)
+      .select(col("doc_id").as("node"), col("cluster").as("component"))
 }

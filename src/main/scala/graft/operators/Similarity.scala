@@ -588,4 +588,139 @@ object Similarity {
       .join(broadcast(pairs), "neighbor_id")
     rescoreTopK(cand, k)
   }
+
+  /** Driver-side twin of the assignment loop inside [[lloyd]] (and of
+    * [[graft.expressions.NearestCells]]' semantics at nProbe = 1):
+    * left-to-right Σ(x−c)² fold, strict-< keeps the lowest index on ties.
+    * Used only on the bounded fit sample to compute residuals. */
+  private def nearestIdx(v: Array[Double], centroids: Seq[Seq[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      var s = 0.0; var j = 0
+      while (j < v.length) { val d = v(j) - cen(j); s += d * d; j += 1 }
+      if (s < bestD) { best = c; bestD = s }
+      c += 1
+    }
+    best
+  }
+
+  /**
+   * RESIDUAL-coded IVF-PQ (the classic IVFADC of Jégou et al. 2011 §IV-A,
+   * completing [[IvfPqIndex]]'s documented raw-vector trade): codes
+   * quantize the residual v − centroid(cell) instead of v itself.
+   * Residuals within a cell are small and centered, so the same m × ksub
+   * code budget spends its resolution on the part of v the coarse
+   * quantizer didn't already explain — the recall-per-byte step that
+   * makes residual coding the production IVFADC default.
+   *
+   * Implementation — SHIFTED CODEBOOKS, not per-row residual arithmetic:
+   * for cell c the stored codebook entry is b + centroid(c)|sub, because
+   * ‖v − (b + c)‖ = ‖(v − c) − b‖ — nearest-residual-code of (v − c) over
+   * the residual codebook IS nearest-shifted-code of raw v. Both the
+   * encode ([[graft.expressions.NearestCells]]) and the query-side ADC
+   * ([[graft.expressions.PqAdcDistance]]) therefore reuse the existing
+   * native expressions UNCHANGED, dispatched by a plan-constant CASE over
+   * the nCells cell ids (lazy branches — one codebook evaluated per row,
+   * no HOF/lambdafunction anywhere, the PlanSpec bar). `cellCodebooks(c)`
+   * is the per-cell shifted table; nCells × m × ksub × sub doubles
+   * (~128 KB at 16×8×16×8) baked into the plan like every other
+   * quantizer constant.
+   *
+   * Certification: the exact point (nProbe = nCells, shortlist ≥ corpus)
+   * is ≡ brute force exactly as [[ivfPqTopK]] — the rescore is exact
+   * cosine over everything — so the residual composition gets its own
+   * oracle row (`ann_topk_ivfpq_res_exact`) despite the per-cell ADC
+   * tables that make residual codes impossible to score WITHOUT the cell
+   * context (the reason the raw-vector variant existed first).
+   */
+  final case class IvfPqResIndex(centroids: Seq[Seq[Double]],
+      cellCodebooks: Seq[Seq[Seq[Seq[Double]]]], encoded: DataFrame) {
+    def release(blocking: Boolean = false): Unit =
+      Caches.releaseIndex(encoded, blocking)
+  }
+
+  def buildIvfPqResIndex(corpus: DataFrame, nCells: Int = 16, m: Int = 4,
+      ksub: Int = 16, sampleSize: Int = 2048, iterations: Int = 10): IvfPqResIndex = {
+    val sample = sampleVectors(corpus, sampleSize)
+    require(sample.nonEmpty, "buildIvfPqResIndex: empty corpus")
+    val dim = sample.head.length
+    require(m >= 1 && dim % m == 0,
+      s"buildIvfPqResIndex: dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val centroids: Seq[Seq[Double]] =
+      lloyd(sample, nCells, iterations).map(_.toSeq).toSeq
+    // fit the sub-quantizers on the sample's RESIDUALS (assignment via the
+    // same fold the distributed NearestCells applies corpus-side)
+    val residuals = sample.map { v =>
+      val cen = centroids(nearestIdx(v, centroids))
+      Array.tabulate(dim)(i => v(i) - cen(i))
+    }
+    val rcb: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
+      val subSample =
+        residuals.map(r => java.util.Arrays.copyOfRange(r, mi * sub, (mi + 1) * sub))
+      lloyd(subSample, ksub, iterations).map(_.toSeq).toSeq
+    }
+    // shift: cell c, subspace mi, entry j ↦ rcb + centroid-slice
+    val cellCodebooks: Seq[Seq[Seq[Seq[Double]]]] = centroids.map { cen =>
+      (0 until m).map { mi =>
+        rcb(mi).map(b => Seq.tabulate(sub)(i => b(i) + cen(mi * sub + i)))
+      }
+    }
+    val withCell = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding"),
+      element_at(nearestCells(col("embedding"), centroids, 1), 1).as("cell"))
+    val codeCols = (0 until m).map { mi =>
+      val sv = slice(col("embedding"), mi * sub + 1, sub)
+      // plan-constant CASE over cells (centroids.indices — lloyd may return
+      // fewer than nCells on a tiny sample); null cell (malformed vector)
+      // falls through to the null otherwise → null code → null ADC → dropped
+      centroids.indices.foldLeft(lit(null).cast("int")) { (acc, c) =>
+        when(col("cell") === c,
+          element_at(nearestCells(sv, cellCodebooks(c)(mi), 1), 1))
+          .otherwise(acc)
+      }
+    }
+    val encoded = Caches.persistIndex(withCell
+      .select(col("neighbor_id"), col("cell"), array(codeCols: _*).as("codes")))
+    IvfPqResIndex(centroids, cellCodebooks, encoded)
+  }
+
+  /** Residual-coded IVF-PQ top-k: identical plan shape to [[ivfPqTopK]]
+    * (cell-join candidate prune → ADC shortlist over codes → broadcast
+    * exact rescore); only the ADC column differs — a plan-constant CASE
+    * over the probed cell selects that cell's shifted codebook, which is
+    * exactly the per-(query, cell) ADC table of classic IVFADC. */
+  def ivfPqResTopK(queries: DataFrame, index: IvfPqResIndex, corpus: DataFrame,
+      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"ivfPqResTopK: shortlist $shortlist must be ≥ k=$k")
+    val p = math.min(nProbe, index.centroids.size)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      explode(nearestCells(col("embedding"), index.centroids, p)).as("cell"))
+    val adc = index.cellCodebooks.indices
+      .foldLeft(lit(null).cast("double")) { (acc, c) =>
+        when(col("cell") === c,
+          VectorFunctions.pqAdc(col("q_emb"), col("codes"),
+            index.cellCodebooks(c)))
+          .otherwise(acc)
+      }
+    val short = index.encoded
+      .join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .filter(col("adc").isNotNull)
+      .groupBy("query_id")
+      .agg(TopK.topK(shortlist)(col("neighbor_id"), -col("adc")).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("s"))
+      .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"))
+    val pairs = short.join(broadcast(q), "query_id")
+    val cand = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(pairs), "neighbor_id")
+    rescoreTopK(cand, k)
+  }
 }

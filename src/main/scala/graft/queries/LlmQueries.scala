@@ -968,6 +968,35 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // RESIDUAL-coded IVF-PQ — classic IVFADC (Jégou et al. 2011 §IV-A):
+    // codes quantize v − centroid(cell), spending the same m × ksub code
+    // budget on what the coarse quantizer didn't explain. Implemented as
+    // per-cell SHIFTED codebooks (‖v − (b + c)‖ = ‖(v − c) − b‖), so
+    // NearestCells/PqAdcDistance are reused unchanged behind plan-constant
+    // CASE dispatch — no HOF. Approximate at this operating point →
+    // rows-only; certified by the _exact sibling.
+    QueryDef.rowsOnly("ann_topk_ivfpq_res") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.buildIvfPqResIndex(emb, nCells = 16, m = 8, ksub = 16)
+      Similarity.ivfPqResTopK(emb.filter(col("vec_id") < 10), idx, emb, k = 5,
+          nProbe = 4, shortlist = 20)
+        .orderBy("query_id", "rank")
+    },
+
+    // Residual IVF-PQ at the EXACT operating point: nProbe = nCells +
+    // corpus-sized shortlist + exact rescore ≡ brute force (the
+    // ivfpq_exact argument, unchanged by the codebook shift) — certifying
+    // the residual composition (sample-residual sub-quantizer fit, shifted
+    // per-cell codebooks, CASE-dispatched encode and ADC) against the same
+    // DuckDB oracle as ann_topk.
+    QueryDef.of("ann_topk_ivfpq_res_exact", annTopkOracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.buildIvfPqResIndex(emb, nCells = 16, m = 8, ksub = 16)
+      Similarity.ivfPqResTopK(emb.filter(col("vec_id") < 10), idx, emb, k = 5,
+          nProbe = 16, shortlist = 100000)
+        .orderBy("query_id", "rank")
+    },
+
     // Lloyd ASSIGNMENT step exposed as its own oracle row: the corpus
     // partitioned over 8 fixed centroids (the first 8 vectors — a
     // deterministic, SQL-replayable codebook), reported as per-cell size

@@ -33,7 +33,7 @@ object StarQueries {
     * 0.15000000000000002 the JVM computes — a one-ulp mismatch that
     * compounds through the iterations (measured: last-digit drift at
     * sf0.01 before the casts). */
-  private def pageRankOracle(k: Int): String = {
+  private def pageRankOracle(k: Int, b: Int = 16): String = {
     def level(i: Int): String =
       s"""r$i AS (
          |  SELECT nd.node,
@@ -45,13 +45,13 @@ object StarQueries {
          |      list_transform(list_sort(list(struct_pack(bkt := b.bkt,
          |        bs := b.bs))), x -> x.bs)), (a, x) -> a + x) AS s
          |    FROM (
-         |      SELECT e.dst, e.src % 64 AS bkt,
+         |      SELECT e.dst, e.src % $b AS bkt,
          |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |          list_transform(list_sort(list(struct_pack(src := e.src,
          |            c := r.pr / CAST(d.deg AS DOUBLE)))), x -> x.c)),
          |          (a, x) -> a + x) AS bs
          |      FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node
-         |      GROUP BY e.dst, e.src % 64
+         |      GROUP BY e.dst, e.src % $b
          |    ) b GROUP BY b.dst
          |  ) s ON nd.node = s.dst
          |)""".stripMargin
@@ -156,6 +156,87 @@ object StarQueries {
        |d0 AS (SELECT sn AS node, CAST(0 AS BIGINT) AS cost FROM s),
        |${(1 to k).map(level).mkString(",\n")}
        |SELECT node, cost FROM d$k ORDER BY node""".stripMargin
+  }
+
+  /** Shared CTE base for `graph_kcore`/`graph_components`: the SPARSE
+    * co-purchase graph — parts sharing ≥ 2 distinct orders, symmetrized.
+    * Sparser than the pagerank/lpa graph on purpose: the support
+    * threshold splits it into many components (2350 at sf0.1) and gives
+    * the peel real work (5922 → 7 surviving nodes at sf0.1), where the
+    * ≥ 1 graph is one near-clique both operators would pass through
+    * untouched. */
+  private val strongCoPurchaseCte: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), pr AS (
+      |  SELECT a.pk AS s, b.pk AS d
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2
+      |), e AS (
+      |  SELECT s AS src, d AS dst FROM pr
+      |  UNION ALL SELECT d, s FROM pr
+      |)""".stripMargin
+
+  /** Oracle for `graph_kcore`: `rounds` synchronous peel rounds unrolled
+    * as a CTE chain. Level i recomputes every survivor's degree within
+    * the surviving subgraph (two semi-joins onto s_{i−1} + a count) and
+    * keeps nodes at ≥ k — exactly the engine's round; degrees and ids
+    * are all BIGINT, so the chain replays the peel bit-for-bit. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    def level(i: Int): String =
+      s"""d$i AS (
+         |  SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e JOIN s${i - 1} a ON e.src = a.node
+         |         JOIN s${i - 1} b ON e.dst = b.node
+         |  GROUP BY e.src HAVING count(*) >= $k
+         |), s$i AS (SELECT node FROM d$i)""".stripMargin
+    s"""$strongCoPurchaseCte,
+       |s0 AS (SELECT DISTINCT src AS node FROM e),
+       |${(1 to rounds).map(i => level(i)).mkString(",\n")}
+       |SELECT node, deg FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  /** Oracle for `graph_components`: min-reachable-id per node via a
+    * recursive CTE over the symmetrized edge set (the fuzzy_clusters
+    * technique). In an undirected graph the reach set IS the component,
+    * and the min label is a unique fixpoint independent of iteration
+    * order — which is why the engine's pointer-jumping union-find
+    * (O(log diameter) rounds) and the oracle's one-hop recursion
+    * (O(diameter) rounds) provably agree. */
+  private val componentsOracle: String =
+    s"""$strongCoPurchaseCte,
+       |reach AS (
+       |  WITH RECURSIVE r(n0, node) AS (
+       |    SELECT DISTINCT src, src FROM e
+       |    UNION
+       |    SELECT r.n0, e2.dst FROM r JOIN e e2 ON r.node = e2.src
+       |  ) SELECT n0, CAST(min(node) AS BIGINT) AS component
+       |  FROM r GROUP BY n0
+       |)
+       |SELECT n0 AS node, component FROM reach ORDER BY node""".stripMargin
+
+  /** Engine twin of [[strongCoPurchaseCte]]'s `pr`: one-directional
+    * (s < d) part pairs sharing ≥ 2 distinct orders. */
+  private def strongCoPurchasePairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.select(col("ok"), col("pk").as("s"))
+      .join(li.select(col("ok"), col("pk").as("d")), "ok")
+      .filter(col("s") < col("d"))
+      .groupBy("s", "d").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("s", "d")
+  }
+
+  /** [[strongCoPurchasePairs]] symmetrized to (src, dst) both ways —
+    * the edge set the oracle's `e` CTE spells. */
+  private def strongCoPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val pr = strongCoPurchasePairs(s, dir)
+    pr.select(col("s").as("src"), col("d").as("dst"))
+      .unionAll(pr.select(col("d").as("src"), col("s").as("dst")))
   }
 
   /** Deliberately-skewed fact: every even orderkey maps to skew_key 0 (50%
@@ -1847,6 +1928,37 @@ object StarQueries {
         .select(col("src"), col("dst"),
           (lit(11L) - least(col("cnt"), lit(10L))).as("w"))
       graft.operators.Graph.ssspFromMinSource(e, maxRounds = 4)
+        .orderBy("node")
+    },
+
+    // k-CORE PEELING (Seidman cores) over the SPARSE co-purchase graph
+    // (parts sharing ≥ 2 orders — see strongCoPurchaseCte): 4 synchronous
+    // rounds of "recompute in-subgraph degree, drop everything under
+    // k=2" — the density-curation primitive (keep the subgraph where
+    // every node has ≥ k supported neighbors; the spam/fringe filter
+    // before expensive per-node work). Real peeling at every SF
+    // (sf0.01: 1880 → 1535 nodes; sf0.1: 5922 → 7 — the threshold graph
+    // is mostly trees and small cycles there, and the peel proves it).
+    // All integers → the CTE chain replays the rounds bit-for-bit.
+    QueryDef.of("graph_kcore", kCoreOracle(2, 4)) { (s, dir) =>
+      val e = strongCoPurchaseEdges(s, dir)
+      graft.operators.Graph.kCore(e, k = 2, rounds = 4)
+        .orderBy("node")
+    },
+
+    // CONNECTED COMPONENTS over the same sparse co-purchase graph — the
+    // graph-toolkit face of the dedup tier's union-find (the SAME
+    // pointer-jumping min-label RDD loop behind dedup_survivors /
+    // fuzzy_clusters, now exposed on arbitrary edges): (node, component
+    // = min member id). 2350 components at sf0.1 — the support
+    // threshold genuinely fragments the graph. The oracle's recursive
+    // CTE computes min-reachable-id, the same unique fixpoint.
+    QueryDef.of("graph_components", componentsOracle) { (s, dir) =>
+      val pr = strongCoPurchasePairs(s, dir)
+      // loopParts pinned: a few-thousand-pair graph at every driver SF
+      // (the fuzzy_clusters/dedup_survivors convention)
+      graft.operators.Graph.connectedComponents(pr, src = "s", dst = "d",
+          loopParts = 1)
         .orderBy("node")
     },
 

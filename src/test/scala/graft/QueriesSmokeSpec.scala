@@ -16,7 +16,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     // construction ANN operating points whose output no SQL characterizes)
     val rowsOnly = q.diff(o)
     assert(rowsOnly ==
-      Set("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq", "ann_topk_ivfpq"),
+      Set("ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq", "ann_topk_ivfpq",
+        "ann_topk_ivfpq_res"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -82,7 +82,7 @@ class GraphSpec extends SparkSpecBase {
     * each bucket by source id, bucket partial sums then folded in
     * bucket-id order; jump = (1.0−d)/n. */
   private def prReference(edges: Seq[(Long, Long)], k: Int,
-      d: Double = 0.85, b: Int = 64): Map[Long, Double] = {
+      d: Double = 0.85, b: Int = 16): Map[Long, Double] = {
     val e = edges.distinct
     val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
     val nodes = deg.keys.toSeq.sorted
@@ -104,10 +104,10 @@ class GraphSpec extends SparkSpecBase {
   test("pageRank is bit-equal to a plain two-level-fold reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
-    // node ids span several fold buckets (ids up to 200, B = 64), so the
+    // node ids span several fold buckets (ids up to 200, B = 16), so the
     // two-level association order genuinely differs from a flat
-    // sorted-by-src fold — e.g. srcs {5, 68} fold as [68, 5] (bucket 4
-    // before bucket 5), not [5, 68]; the bit-equality below proves the
+    // sorted-by-src fold — e.g. srcs {5, 20} fold as [20, 5] (bucket 4
+    // before bucket 5), not [5, 20]; the bit-equality below proves the
     // engine and the reference agree on THAT order
     val raw = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
       .filter(p => p._1 != p._2)
@@ -318,5 +318,91 @@ class GraphSpec extends SparkSpecBase {
     }
     Caches.releaseAll()
     assert(ex.getMessage.contains("empty"), ex.getMessage)
+  }
+
+  /** Symmetrize an undirected pair list into the both-directions edge
+    * frame kCore expects. */
+  private def sym(pairs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+
+  private def runKCore(pairs: Seq[(Long, Long)], k: Int, rounds: Int) = {
+    val got = Graph.kCore(sym(pairs).toDF("src", "dst"), k, rounds)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    got
+  }
+
+  /** Plain-Scala synchronous-peel reference. */
+  private def kCoreReference(pairs: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] = {
+    val e = sym(pairs).distinct
+    var surv = e.map(_._1).toSet
+    var out = Map.empty[Long, Long]
+    for (_ <- 1 to rounds) {
+      val deg = e.filter(p => surv(p._1) && surv(p._2))
+        .groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+      out = deg.filter(_._2 >= k)
+      surv = out.keySet
+    }
+    out
+  }
+
+  test("kCore peels a pendant chain off a triangle (k=2)") {
+    // triangle {1,2,3} + chain 3–4–5: round 1 drops 5 (deg 1), round 2
+    // drops 4 (its only surviving neighbor is 3), fixpoint = the triangle
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(runKCore(g, 2, 1) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L))
+    assert(runKCore(g, 2, 3) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: K4 survives k=3; everything dies at k=4") {
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(runKCore(k4, 3, 4) ==
+      Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    assert(runKCore(k4, 4, 2) == Map.empty)
+  }
+
+  test("kCore equals the synchronous-peel reference on random graphs") {
+    val rnd = new scala.util.Random(23)
+    val pairs = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    for (k <- Seq(2, 3, 4); r <- Seq(1, 3))
+      assert(runKCore(pairs, k, r) == kCoreReference(pairs, k, r),
+        s"k=$k rounds=$r")
+  }
+
+  test("connectedComponents labels every node with its component min") {
+    // two components {1,2,3} (chained) and {10,11}; direction must not
+    // matter (the union-find symmetrizes)
+    val got = Graph.connectedComponents(
+        Seq((2L, 1L), (2L, 3L), (11L, 10L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(got ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents equals a plain reachability reference on random graphs") {
+    val rnd = new scala.util.Random(41)
+    val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val got = Graph.connectedComponents(pairs.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    // reference: iterate min-label to fixpoint over the symmetric closure
+    val e = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    var lab = e.map(_._1).distinct.map(n => n -> n).toMap
+    var changed = true
+    while (changed) {
+      val nxt = lab.map { case (n, l) =>
+        val nl = (l +: e.collect { case (a, b) if a == n => lab(b) }).min
+        n -> nl
+      }
+      changed = nxt != lab
+      lab = nxt
+    }
+    assert(got == lab)
   }
 }

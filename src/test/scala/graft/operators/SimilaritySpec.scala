@@ -215,6 +215,66 @@ class SimilaritySpec extends SparkSpecBase {
     } finally idx.release()
   }
 
+  test("ivfPqResTopK: exact point ≡ brute force; planted duplicate at rank 1; shifted-codebook encode matches the driver-side residual twin") {
+    val idx = Similarity.buildIvfPqResIndex(emb, nCells = 8, m = 8, ksub = 16)
+    try {
+      // exact point: every cell probed + corpus-sized shortlist ⇒ ≡ brute
+      // force (the rescore is exact cosine over everything; the residual
+      // codebook shift cannot change that)
+      val exact = Similarity.ivfPqResTopK(emb.filter(col("vec_id") < 3), idx, emb,
+          k = 4, nProbe = 8, shortlist = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+      val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+      assert(exact == brute)
+
+      // the CASE-dispatched NearestCells encode over shifted codebooks must
+      // equal the plain-Scala residual twin: cell = argmin ‖v − centroid‖²
+      // (lowest-index ties), code_mi = argmin_j ‖v|sub − shiftedCb(cell)(mi)(j)‖²
+      // — same left-to-right Σ(x−c)² fold, float widened to double
+      val sub = idx.cellCodebooks.head.head.head.size
+      val m = idx.cellCodebooks.head.size
+      def argmin(v: Array[Double], cands: Seq[Seq[Double]]): Int = {
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- cands.indices) {
+          var s = 0.0
+          for (j <- v.indices) { val d = v(j) - cands(c)(j); s += d * d }
+          if (s < bestD) { best = c; bestD = s }
+        }
+        best
+      }
+      val got = idx.encoded.orderBy("neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toVector))
+      val raw = emb.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      assert(got.length == raw.length)
+      got.zip(raw).foreach { case ((gid, gCell, gCodes), (rid, v)) =>
+        assert(gid == rid)
+        val cell = argmin(v, idx.centroids)
+        assert(gCell == cell, s"cell mismatch for vec $gid")
+        val codes = (0 until m).map { mi =>
+          argmin(java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub),
+            idx.cellCodebooks(cell)(mi))
+        }.toVector
+        assert(gCodes == codes, s"codes mismatch for vec $gid")
+      }
+
+      // operating point: a corpus vector queried against the index finds its
+      // planted identical twin (self-probe law + identical codes tie best)
+      val dup = emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      val idx2 = Similarity.buildIvfPqResIndex(emb.unionAll(dup), nCells = 8, m = 8, ksub = 16)
+      try {
+        val got2 = Similarity.ivfPqResTopK(emb.filter(col("vec_id") === 0), idx2,
+            emb.unionAll(dup), k = 3, nProbe = 2, shortlist = 10)
+          .filter(col("rank") === 1).collect().head
+        assert(got2.getLong(2) == 10000L && got2.getDouble(3) == 1.0)
+      } finally idx2.release()
+    } finally idx.release()
+  }
+
   test("buildPqIndex: codes cover all subspaces; release drops the index cache") {
     val idx = Similarity.buildPqIndex(emb, m = 4, ksub = 8)
     val codes = idx.encoded.select("codes").collect()

@@ -167,7 +167,8 @@ class PlanSpec extends SparkSpecBase {
         "dedup_incremental", "corpus_sample",
         "decontaminate", "text_repetition", "corpus_mix", "curation_pipeline",
         "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_exact",
-        "kmeans_assign", "ann_topk_ivfpq", "ann_topk_ivfpq_exact")) {
+        "kmeans_assign", "ann_topk_ivfpq", "ann_topk_ivfpq_exact",
+        "ann_topk_ivfpq_res", "ann_topk_ivfpq_res_exact")) {
       val p = plan(name)
       assert(!p.contains("lambdafunction"),
         s"$name plan has an interpreted HOF:\n$p")
