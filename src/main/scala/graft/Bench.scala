@@ -514,25 +514,6 @@ object Bench {
       name -> dt
     }
 
-    // PER-STAGE attribution of the auto-dedup pipeline on the same
-    // dup-heavy corpus: the wired dedup_auto plan fuses
-    // sample→signature→discovery→verify→cluster→survivors into end-to-end
-    // medians that two rounds of driver artifacts could not localize
-    // (7.1 s driver vs 1.8 s builder) — this staged replay times each
-    // stage under whatever load the host is carrying, so the artifact
-    // says WHERE the time went, not just that it went
-    val dedupStages = {
-      val st = Dedup.nearDupStageTimings(docs10, k = 3, threshold = 0.5)
-      graft.operators.Caches.releaseAll()
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      st.foreach { case (n, s) =>
-        System.err.println(f"[stress] dedup_auto stage $n%-14s $s%.2f s") }
-      st.map { case (n, s) => "\"" + n + "\":" + f"$s%.3f" }
-        .mkString("{", ",", "}")
-    }
-
     // recall@5 vs brute force at the SAME stress operating points, computed
     // OUTSIDE the timed cases (ground truth + re-executions are
     // measurement infrastructure, not the thing being measured)
@@ -563,6 +544,27 @@ object Bench {
     // hard-corpus blocks below build and release their own indexes)
     if (ivfIndex != null) ivfIndex.release()
     if (ivfPqIndex != null) ivfPqIndex.release()
+
+    // PER-STAGE attribution of the auto-dedup pipeline on the same
+    // dup-heavy corpus: the wired dedup_auto plan fuses
+    // sample→signature→discovery→verify→cluster→survivors into end-to-end
+    // medians that two rounds of driver artifacts could not localize
+    // (7.1 s driver vs 1.8 s builder) — this staged replay times each
+    // stage under whatever load the host is carrying, so the artifact
+    // says WHERE the time went, not just that it went. Runs AFTER the
+    // recall pass: its blanket cache sweep would otherwise evict the
+    // keepCaches=true index materializations the recall pass reads.
+    val dedupStages = {
+      val st = Dedup.nearDupStageTimings(docs10, k = 3, threshold = 0.5)
+      graft.operators.Caches.releaseAll()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      st.foreach { case (n, s) =>
+        System.err.println(f"[stress] dedup_auto stage $n%-14s $s%.2f s") }
+      st.map { case (n, s) => "\"" + n + "\":" + f"$s%.3f" }
+        .mkString("{", ",", "}")
+    }
 
     // HARD-corpus recall@5: the ×100 corpus above certifies only the
     // duplicate-retrieval case — every query's true top-5 are its exact

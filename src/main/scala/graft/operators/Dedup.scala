@@ -55,6 +55,101 @@ object Dedup {
       .select("keep_id", "n_dups")
 
   /**
+   * EXACT-SUBSTRING DEDUP WITH REMOVAL — the TRANSFORM half of Lee et al.
+   * ("Deduplicating Training Data Makes Language Models Better"), whose
+   * MEASUREMENT half is [[TextProfile.corpusDupSpans]] / `dup_span_profile`:
+   * rewrite the corpus so every duplicated k-token span keeps its FIRST
+   * occurrence (lexicographic min (doc_id, position)) and later occurrences
+   * are CUT from their documents' token streams.
+   *
+   * Semantics (a pure function of the corpus — both engines replay it
+   * identically):
+   *  1. tokenize as [[graft.expressions.ShingleHashes]] does (trim, split
+   *     on `\s+`); docs with null/whitespace-only text are excluded;
+   *  2. every k-token span occurrence is a posting (doc_id, pos, hash) —
+   *     ALL occurrences, so a span repeated WITHIN one document
+   *     deduplicates too (Lee et al. remove any duplicated substring, not
+   *     just cross-doc ones); a doc with ≤ k tokens contributes its whole
+   *     text as one span at pos 1;
+   *  3. a span with ≥ 2 occurrences keeps exactly its min-(doc_id, pos)
+   *     occurrence; every other occurrence marks token positions
+   *     [pos, min(pos + k − 1, n)] for removal;
+   *  4. each document re-emits its surviving tokens in position order,
+   *     single-space-joined (whitespace is NORMALIZED by the rewrite — the
+   *     exactNormalized equivalence class, documented behavior). A fully
+   *     duplicated document rewrites to the empty string.
+   * Removal is the UNION of the cut spans' ranges, so a keeper occurrence
+   * overlapping a cut span in the same document may still lose tokens —
+   * the standard span-union semantics (the alternative, re-protecting
+   * keeper ranges, is order-dependent and NOT a pure function of the
+   * posting set).
+   *
+   * Scale shape (100 TB): the postings shuffle carries (hash, doc, pos)
+   * longs — never text; the keeper is a partial-aggregable
+   * `min(struct(doc, pos))` per hash (the `line_dedup` shape — NEVER a
+   * window); a boilerplate span occurring M times costs M postings and
+   * M − 1 cut rows — LINEAR in occurrences, no pair explosion (contrast
+   * any pairwise-join formulation, quadratic in M). Removed positions
+   * explode bounded ×k, deduped by (doc, pos). The per-doc reassembly
+   * `collect_list` is bounded by the document's own token count — the
+   * same memory bound as carrying the text column itself. All plan-native
+   * expressions (posexplode / sequence / sort_array / GetArrayStructFields
+   * / concat_ws) — no lambda, no window, no cartesian (PlanSpec-pinned).
+   *
+   * The engine keys postings by 64-bit xxhash64 span hashes; the oracle
+   * recounts RAW STRING spans — they agree under hash injectivity on the
+   * corpus (the ngram_jaccard argument; a collision would merge two
+   * distinct spans and the gate's hash compare would catch it).
+   *
+   * Output: (doc_id, n_tokens, n_removed, text_rewritten) for every doc
+   * with non-blank text — n_tokens the ORIGINAL token count, n_removed
+   * how many token positions were cut.
+   *
+   * Intermediates persist through [[Caches.persistTracked]]; callers
+   * release with `Caches.releaseAll()` after materializing.
+   */
+  def spanRewrite(docs: DataFrame, k: Int = 3): DataFrame = {
+    val base = Caches.persistTracked(docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("ts"),
+        shingleHashes(col("text"), k).as("hs")))
+    val spans = Caches.persistTracked(base
+      .select(col("doc_id"), size(col("ts")).as("n"),
+        posexplode(col("hs")).as(Seq("p0", "h")))
+      .select(col("doc_id"), col("n"),
+        (col("p0") + lit(1)).as("pos"), col("h")))
+    // keeper per duplicated span: lexicographic min (doc_id, pos) —
+    // partial-aggregable struct min, never a window
+    val keep = spans.groupBy("h")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("kp"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("kp.doc_id").as("kd"), col("kp.pos").as("kpos"))
+    val cut = spans.join(keep, "h")
+      .filter(!(col("doc_id") === col("kd") && col("pos") === col("kpos")))
+    val rem = cut
+      .select(col("doc_id"), explode(
+        sequence(col("pos"), least(col("pos") + lit(k - 1), col("n"))))
+        .as("pos"))
+      .distinct()
+    val remCnt = rem.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    val tok = base
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + lit(1)).as("pos"), col("t"))
+    val reb = tok.join(rem, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        sort_array(collect_list(struct(col("pos"), col("t"))))
+          .getField("t")).as("text_rewritten"))
+    base.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(remCnt, Seq("doc_id"), "left")
+      .join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("text_rewritten"), lit("")).as("text_rewritten"))
+  }
+
+  /**
    * Exact dedup at scale, two-phase so document text only crosses a shuffle
    * when it is actually a duplicate candidate:
    *
@@ -688,9 +783,17 @@ object Dedup {
     val pairs = Caches.persistTracked(
       verifyJaccard(cand, shSets, threshold).select("doc_a", "doc_b"))
     timed("verify")(mat(pairs))
-    val losers = timed("cluster")(
-      duplicateClusters(pairs, loopParts = loopParts)
-        .filter(col("doc_id") =!= col("cluster")))
+    // materialize the losers frame INSIDE the cluster stage: the
+    // duplicateClusters RDD loop is eager, but the returned frame's
+    // filter is not — leaving it lazy would bill the remaining
+    // cluster-resolution work to the survivors stage, blurring exactly
+    // the attribution this tool exists to provide
+    val losers = timed("cluster") {
+      val l = Caches.persistTracked(
+        duplicateClusters(pairs, loopParts = loopParts)
+          .filter(col("doc_id") =!= col("cluster")))
+      mat(l); l
+    }
     timed("survivors")(mat(
       docs.join(losers, Seq("doc_id"), "left_anti").select("doc_id")))
     buf.toSeq

@@ -1205,6 +1205,79 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // EXACT-SUBSTRING DEDUP WITH REMOVAL — the transform dup_span_profile
+    // only measures (Lee et al.'s actual deduplicate-training-data step):
+    // every duplicated 3-token span keeps its min-(doc_id, pos) first
+    // occurrence; later occurrences' token ranges are cut and each doc
+    // re-emits its surviving tokens in position order. The oracle replays
+    // the whole algorithm on RAW STRING spans where the engine ships
+    // 64-bit hashes (the injectivity argument), with ALL-INTEGER
+    // positions: span postings via DuckDB's parallel unnest (positions
+    // zipped with spans), the keeper as the two-step lexicographic min
+    // (min doc, then min pos within that doc — ≡ the engine's
+    // min(struct(doc, pos))), removal ranges as generate_series, and the
+    // reassembly as the lm_surprisal list_sort+list_transform fold. No
+    // doubles anywhere — the output is integers and strings, so the hash
+    // compare is exact by construction.
+    QueryDef.of("dedup_span_rewrite",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |), sh AS (
+        |  SELECT doc_id, len(ts) AS n,
+        |    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ts) - 2),
+        |                             i -> array_to_string(ts[i:i+2], ' ')) END AS gs
+        |  FROM toks
+        |), sp AS (
+        |  SELECT doc_id, n, unnest(generate_series(1, len(gs))) AS pos,
+        |         unnest(gs) AS g
+        |  FROM sh
+        |), freq AS (
+        |  SELECT g, min(doc_id) AS kd FROM sp
+        |  GROUP BY g HAVING count(*) >= 2
+        |), k2 AS (
+        |  SELECT sp.g AS g, f.kd AS kd, min(sp.pos) AS kpos
+        |  FROM sp JOIN freq f ON sp.g = f.g AND sp.doc_id = f.kd
+        |  GROUP BY sp.g, f.kd
+        |), cut AS (
+        |  SELECT sp.doc_id AS doc_id, sp.pos AS pos, sp.n AS n
+        |  FROM sp JOIN k2 ON sp.g = k2.g
+        |  WHERE NOT (sp.doc_id = k2.kd AND sp.pos = k2.kpos)
+        |), rem AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id,
+        |      unnest(generate_series(pos, least(pos + 2, n))) AS pos
+        |    FROM cut)
+        |), tok AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ts))) AS pos,
+        |         unnest(ts) AS t
+        |  FROM toks
+        |), kept AS (
+        |  SELECT tok.doc_id AS doc_id, tok.pos AS pos, tok.t AS t
+        |  FROM tok LEFT JOIN rem
+        |    ON tok.doc_id = rem.doc_id AND tok.pos = rem.pos
+        |  WHERE rem.doc_id IS NULL
+        |), reb AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    list_sort(list(struct_pack(pos := pos, t := t))), s -> s.t),
+        |    ' ') AS text_rewritten
+        |  FROM kept GROUP BY doc_id
+        |), rc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |  FROM rem GROUP BY doc_id
+        |)
+        |SELECT toks.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  COALESCE(rc.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+        |  COALESCE(reb.text_rewritten, '') AS text_rewritten
+        |FROM toks LEFT JOIN rc ON toks.doc_id = rc.doc_id
+        |LEFT JOIN reb ON toks.doc_id = reb.doc_id
+        |ORDER BY toks.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.spanRewrite(
+          Tables.documents(s, dir).select("doc_id", "text"), k = 3)
+        .orderBy("doc_id")
+    },
+
     // CCNet-style statistical quality score: per-doc mean unigram
     // surprisal under the corpus's OWN MLE unigram model — the
     // training-free stand-in for KenLM perplexity bucketing (head/middle/

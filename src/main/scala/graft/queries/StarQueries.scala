@@ -20,12 +20,15 @@ object StarQueries {
   /** Oracle for `graph_pagerank`: k power-iteration steps unrolled as a
     * CTE chain (the bpe_merges technique). Each level replays the
     * engine's update exactly: per-node incoming mass as the engine's
-    * TWO-LEVEL deterministic fold — contributions salted into 64
-    * buckets by src % 64, sorted-folded within each (dst, bucket) by
-    * contributor id, then the per-bucket partial sums sorted-folded by
-    * bucket id (two nested list_sort + list_reduce levels — the
-    * hub-safe association order the engine uses so no aggregation key
-    * ever owns more than in-degree/64 contributions) — then
+    * TWO-LEVEL deterministic fold — contributions salted into `b`
+    * buckets by src % b (default b = 16, the ONE shared constant with
+    * the engine's `foldBuckets = 16` default; change BOTH or the
+    * bit-equality contract breaks), sorted-folded within each
+    * (dst, bucket) by contributor id, then the per-bucket partial sums
+    * sorted-folded by bucket id (two nested list_sort + list_reduce
+    * levels — the hub-safe association order the engine uses so no
+    * aggregation key ever owns more than in-degree/b
+    * contributions) — then
     * (1.0 − 0.85)/N + 0.85·Σ — the jump term spelled as the SAME
     * subtraction the driver computes, with BOTH literals cast to DOUBLE:
     * DuckDB parses bare 1.0/0.85 as DECIMAL and folds the subtraction

@@ -540,9 +540,17 @@ object EventsStreaming {
    * out-of-order streams).
    *
    * State per user is at most |steps| longs once quiet (the min-time
-   * carry) plus the watermark-horizon-bounded buffer — dropped entirely
-   * once the user completes the funnel, so finished users cost |steps|
-   * longs forever and an EVENT-TIME TIMEOUT flushes users who go quiet.
+   * carry) plus the watermark-horizon-bounded buffer; the buffer is
+   * dropped once the user completes the funnel, and an EVENT-TIME
+   * TIMEOUT flushes the buffers of users who go quiet. The |steps|-long
+   * carry itself is RETAINED FOREVER, deliberately — `state.remove()`
+   * after completion or a quiet-flush would let a later event recreate
+   * the user as funnel-virgin and re-emit step rows, breaking
+   * append-mode exactness (each (user, step) must appear at most once).
+   * The trade is explicit: unbounded user cardinality costs
+   * O(users × |steps|) longs of state store — the price of exactness
+   * without an output-dedup pass; cap it operationally by bounding the
+   * user-id universe per stream, not by removing state here.
    *
    * `events` needs (userCol, tsCol, idCol, typeCol).
    */

@@ -349,4 +349,111 @@ class DedupSpec extends SparkSpecBase {
     assert(exact == expected)
     assert(lsh == expected) // identical vectors collide in every band
   }
+
+  /** Plain-Scala replay of [[Dedup.spanRewrite]]'s exact semantics (raw
+    * string spans instead of hashes — the oracle's side of the injectivity
+    * argument): postings → min-(doc, pos) keeper per duplicated span →
+    * union of cut ranges → position-ordered reassembly. */
+  private def refSpanRewrite(docs: Seq[(Long, String)], k: Int = 3)
+      : Map[Long, (Long, Long, String)] = {
+    val toks = docs.filter { case (_, t) => t != null && t.trim.nonEmpty }
+      .map { case (id, t) => id -> t.trim.split("\\s+", -1).toVector }
+    def spansOf(ts: Vector[String]): Vector[(Int, String)] =
+      if (ts.size <= k) Vector(1 -> ts.mkString(" "))
+      else (1 to ts.size - k + 1)
+        .map(p => p -> ts.slice(p - 1, p - 1 + k).mkString(" ")).toVector
+    val postings = for ((id, ts) <- toks; (p, g) <- spansOf(ts))
+      yield (g, id, p)
+    val cut = postings.groupBy(_._1).values.filter(_.size >= 2).flatMap {
+      occ =>
+        val keeper = occ.map(o => (o._2, o._3)).min
+        occ.filter(o => (o._2, o._3) != keeper)
+    }
+    val nOf = toks.toMap.map { case (id, ts) => id -> ts.size }
+    val remByDoc = cut.toSeq.groupBy(_._2).map { case (id, os) =>
+      id -> os.flatMap(o => o._3 to math.min(o._3 + k - 1, nOf(id))).toSet
+    }
+    toks.map { case (id, ts) =>
+      val rem = remByDoc.getOrElse(id, Set.empty[Int])
+      val kept = ts.zipWithIndex.collect { case (t, i) if !rem(i + 1) => t }
+      id -> ((ts.size.toLong, rem.size.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  private def runSpanRewrite(in: Seq[(Long, String)], k: Int = 3)
+      : Map[Long, (Long, Long, String)] = {
+    val out = Dedup.spanRewrite(in.toDF("doc_id", "text"), k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    Caches.releaseAll()
+    out
+  }
+
+  test("spanRewrite ≡ plain-Scala reference on planted corner cases") {
+    val corpus = Seq(
+      // keeper doc: owns the first "a b c" → untouched
+      1L -> "a b c u1x u1y u1z",
+      // cross-doc dup: "a b c" at pos 3 → cuts tokens 3-5
+      2L -> "u2x u2y a b c u2z",
+      // within-doc repeat: "x y z" at pos 1 (keeper) and pos 5 → cuts 5-7
+      3L -> "x y z q3 x y z",
+      // exact full-doc pair: 5 loses every span → emptied
+      4L -> "p q r s t",
+      5L -> "p q r s t",
+      // short doc (n <= k): whole text is ONE span; 7 duplicates 6 → emptied
+      6L -> "mm nn",
+      7L -> "mm nn",
+      // unique doc and blank/null rows (excluded)
+      8L -> "solo u8a u8b u8c u8d",
+      9L -> "   ",
+      10L -> null)
+    val got = runSpanRewrite(corpus)
+    val want = refSpanRewrite(corpus)
+    assert(got == want)
+    // the law-level assertions the construction was built to exercise:
+    assert(got(1L) == ((6L, 0L, "a b c u1x u1y u1z"))) // keeper untouched
+    assert(got(2L) == ((6L, 3L, "u2x u2y u2z")))       // span cut mid-doc
+    assert(got(3L) == ((7L, 3L, "x y z q3")))          // within-doc repeat
+    assert(got(5L) == ((5L, 5L, "")))                  // full dup emptied
+    assert(got(7L) == ((2L, 2L, "")))                  // short-doc whole-span
+    assert(!got.contains(9L) && !got.contains(10L))    // blank/null excluded
+  }
+
+  test("spanRewrite overlap: union of cut ranges, not per-span double count") {
+    // "a b c d" duplicated as two overlapping trigrams "a b c" + "b c d":
+    // doc 12 loses positions {3,4,5,6} (union), n_removed = 4 not 6
+    val corpus = Seq(
+      11L -> "a b c d w1 w2",
+      12L -> "z1 z2 a b c d")
+    val got = runSpanRewrite(corpus)
+    assert(got == refSpanRewrite(corpus))
+    assert(got(12L) == ((6L, 4L, "z1 z2")))
+  }
+
+  test("spanRewrite ≡ reference on the full sf0.001 documents corpus") {
+    val real = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(runSpanRewrite(real) == refSpanRewrite(real))
+  }
+
+  test("spanRewrite law: rewritten corpus has zero cross-doc dup-span mass") {
+    // planted cross-doc duplicates over otherwise doc-unique fillers: after
+    // the rewrite no 3-token span appears in two docs (keepers survive
+    // ONCE; new adjacencies are made of unique fillers) — the Lee et al.
+    // "re-profile after dedup" acceptance check
+    val corpus = (1L to 20L).map { id =>
+      val fill = (1 to 8).map(i => s"u${id}w$i")
+      val planted =
+        if (id % 2 == 0) Seq("shared span alpha beta gamma") else Seq.empty
+      id -> (fill.take(4) ++ planted ++ fill.drop(4)).mkString(" ")
+    }
+    val rewritten = Dedup.spanRewrite(corpus.toDF("doc_id", "text"), k = 3)
+      .select(col("doc_id"), col("text_rewritten").as("text"))
+      .filter(length(trim(col("text"))) > 0)
+    val reprofiled = TextProfile.corpusDupSpans(rewritten, k = 3)
+      .agg(sum("n_dup")).collect()(0).getLong(0)
+    Caches.releaseAll()
+    assert(reprofiled == 0L)
+  }
 }
