@@ -56,6 +56,26 @@ object Caches {
     cp
   }
 
+  /** [[checkpointTracked]] for ITERATIVE-LOOP state frames: additionally
+    * drops the origin statistics the checkpoint inherits from the plan it
+    * truncated (via [[org.apache.spark.sql.graftbridge.DatasetBridge
+    * .dropCheckpointStats]]). A loop that joins its own state twice per
+    * round CUBES the size-only estimate each round, and each cap
+    * re-exports the compounded BigInt as the next segment's leaf stats —
+    * exponential digit growth that turns the optimizer into
+    * million-digit BigInteger arithmetic (measured: the 20-round
+    * core-number loop spent MINUTES in `multiplyToomCook3`; linear after
+    * this). Loop caps want the checkpoint's TRUNCATION, not its stats
+    * memory — AQE re-plans from real runtime sizes anyway. The tracked
+    * entry is the checkpoint itself (same backing RDD), so the release
+    * contract is unchanged. */
+  private[graft] def checkpointTrackedFreshStats(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cp = df.localCheckpoint()
+    tracked.add(cp)
+    org.apache.spark.sql.graftbridge.DatasetBridge.dropCheckpointStats(cp)
+  }
+
   /** Persist `ds` into the INDEX registry: caches whose lifetime is an
     * index object's (IVF assignments), which must SURVIVE the per-query
     * [[releaseAll]] drain — an ANN service probes one materialized

@@ -64,9 +64,14 @@ object Graph {
       step: (S, Int, DataFrame => DataFrame) => S): S = {
     var s = init
     for (i <- 1 to steps) {
+      // fresh-stats variant: a loop cap wants the checkpoint's lineage
+      // TRUNCATION, not its stats memory — inherited origin stats
+      // compound (exponentially, for loops that join their state twice
+      // per round) into million-digit BigInt estimates; see
+      // Caches.checkpointTrackedFreshStats
       val cap: DataFrame => DataFrame =
         if (capEvery > 0 && i % capEvery == 0 && i < steps)
-          Caches.checkpointTracked
+          Caches.checkpointTrackedFreshStats
         else identity
       s = step(s, i, cap)
     }
@@ -103,11 +108,12 @@ object Graph {
    *    partial sums are then sorted-folded by bucket id. The addition
    *    order is still a pure function of the graph — DuckDB replays it
    *    as two nested list_sort + list_reduce levels — but no single
-   *    aggregation key ever owns more than ~in-degree/B contributions,
-   *    and a hub's in-edges hash across up to B reducer tasks instead of
-   *    materializing one unbounded array in one task (the flat
+   *    aggregation key ever owns more than ~in-degree/B contributions:
+   *    a hub's in-edges become B independently sort-spillable groups
+   *    (still within ONE task under the one-exchange plan below — see
+   *    the repartition comment) instead of one unbounded array (the flat
    *    sorted-fold's 100×-scale hazard: a 10⁷-in-degree hub = one 10⁷
-   *    element array in one task).
+   *    element array in one aggregation buffer).
    *  - `exact = false` (production mode): a plain `sum()` — full
    *    map-side partial aggregation, only (dst, partial-sum) rows cross
    *    the shuffle, bounded state per key. The result differs from the
@@ -480,6 +486,70 @@ object Graph {
         (deg.select("node"), deg)
     }
     out
+  }
+
+  /**
+   * CORE-NUMBER DECOMPOSITION (coreness per node) via the H-INDEX
+   * ITERATION (Lü, Zhou, Zhang, Stanley 2016, "The H-index of a network
+   * node and its relation to degree and coreness"): h₀(v) = deg(v),
+   * hₜ₊₁(v) = h-index of {hₜ(u) : u ∈ N(v)} — provably monotonically
+   * non-increasing and convergent to EXACTLY the k-core number of v.
+   * The per-k completion of [[kCore]] (which answers "who survives the
+   * k-core?" for ONE k; this answers "what is every node's maximal k?"
+   * in one pass) — chosen over peel-with-increasing-k because peeling
+   * nests two loops (levels × rounds-to-fixpoint, an unrolled oracle of
+   * hundreds of CTEs at this corpus's degeneracy 15), where the h-index
+   * recurrence is ONE loop of pure integer joins.
+   *
+   * Caller contract: both directions of each undirected edge, distinct,
+   * no self-loops (the [[kCore]] convention). With bounded `rounds` the
+   * output is the r-round h-index estimate — a pure function of
+   * (graph, r) both engines replay identically; at a fixpoint it IS the
+   * coreness (GraphSpec pins the wired round count as a fixpoint at the
+   * gate SFs by checking one extra round is a no-op, and the estimate
+   * only ever OVERSHOOTS coreness, never under).
+   *
+   * The h-index is computed WITHOUT per-node neighbor arrays (the
+   * pagerank collect_list lesson): h-index(v) = max{k : |{u ∈ N(v) :
+   * hₜ(u) ≥ k}| ≥ k}, so each edge (v,u) emits candidate thresholds
+   * k = 1..min(hₜ(v), hₜ(u)) (truncation by hₜ(v) is lossless BECAUSE
+   * the iteration is non-increasing), then a partial-aggregated
+   * count per (node, k), filter count ≥ k, max(k) per node. The
+   * explosion is bounded by the LOWER endpoint's h-value — the
+   * Chiba–Nishizeki orientation bound, Σ_edges min(h) = O(α·|E|) with
+   * α the arboricity — so a 10⁷-degree hub's edges fan out by their
+   * low-degree endpoints' values, never by the hub's. All integers;
+   * per-aggregation-key state is a single count/max — bounded.
+   *
+   * Scale shape: the |E| base is checkpoint-tracked pre-partitioned on
+   * `src` ([[iterate]] leaf); each round is two equi-joins of the
+   * |V|-bounded h-frame onto it + two partial aggregations; lineage
+   * capped every 2nd round. Nodes whose neighbors all reach h = 0
+   * coalesce to 0 via the left join from the node universe.
+   *
+   * Output: (node, core) for every node in the edge list — core = the
+   * r-round h-index value (= coreness once converged).
+   */
+  def coreNumbers(edges: DataFrame, rounds: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = checkpointEdges(edges, src, dst)
+    val h0 = Caches.checkpointTracked(
+      e.groupBy(col(src).as("node")).agg(count(lit(1)).as("h")))
+    iterate(h0, rounds, capEvery = 2) { (h, _, cap) =>
+      val cand = e
+        .join(h.select(col("node").as(src), col("h").as("ha")), src)
+        .join(h.select(col("node").as(dst), col("h").as("hb")), dst)
+        // Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty —
+        // drop zero-h endpoints before exploding the threshold range
+        .filter(least(col("ha"), col("hb")) >= 1)
+        .select(col(src).as("node"),
+          explode(sequence(lit(1L), least(col("ha"), col("hb")))).as("k"))
+      val hm = cand.groupBy("node", "k").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= col("k"))
+        .groupBy("node").agg(max(col("k")).as("h"))
+      cap(h0.select("node").join(hm, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h")))
+    }.select(col("node"), col("h").as("core"))
   }
 
   /**

@@ -199,6 +199,46 @@ object StarQueries {
        |SELECT node, deg FROM d$rounds ORDER BY node""".stripMargin
   }
 
+  /** Oracle for `graph_corenum`: `rounds` h-index iterations (Lü et al.
+    * 2016 — h₀ = degree, hₜ₊₁(v) = h-index of neighbors' hₜ, convergent
+    * to coreness) unrolled as a CTE chain over [[strongCoPurchaseCte]].
+    * Each level replays the engine's threshold-counting h-index exactly:
+    * per edge, candidate thresholds k = 1..min(hₜ(src), hₜ(dst))
+    * (truncation lossless — the iteration is non-increasing), count per
+    * (node, k), keep counts ≥ k, max k; nodes with no qualifying k
+    * coalesce to 0 from the h0 node universe. All BIGINT — the chain
+    * replays bit-for-bit.
+    *
+    * Every h level and the edge base are AS MATERIALIZED: each level
+    * references its predecessor TWICE (both endpoint joins), so DuckDB's
+    * default CTE inlining would expand the 20-level chain into 2²⁰
+    * copies of the base scan (measured: "too many open files" before
+    * the hint, instant after). */
+  private def coreNumbersOracle(rounds: Int): String = {
+    def level(i: Int): String =
+      s"""c$i AS (
+         |  SELECT node, unnest(generate_series(CAST(1 AS BIGINT), mh)) AS k
+         |  FROM (SELECT em.src AS node, least(a.h, b.h) AS mh
+         |        FROM em JOIN h${i - 1} a ON em.src = a.node
+         |               JOIN h${i - 1} b ON em.dst = b.node
+         |        WHERE least(a.h, b.h) >= 1)
+         |), m$i AS (
+         |  SELECT node, CAST(max(k) AS BIGINT) AS h
+         |  FROM (SELECT node, k, count(*) AS c FROM c$i GROUP BY node, k)
+         |  WHERE c >= k GROUP BY node
+         |), h$i AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(m.h, CAST(0 AS BIGINT)) AS h
+         |  FROM (SELECT node FROM h0) n LEFT JOIN m$i m ON n.node = m.node
+         |)""".stripMargin
+    s"""$strongCoPurchaseCte,
+       |em AS MATERIALIZED (SELECT src, dst FROM e),
+       |h0 AS MATERIALIZED (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS h
+       |  FROM em GROUP BY src),
+       |${(1 to rounds).map(level).mkString(",\n")}
+       |SELECT node, h AS core FROM h$rounds ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `graph_components`: min-reachable-id per node via a
     * recursive CTE over the symmetrized edge set (the fuzzy_clusters
     * technique). In an undirected graph the reach set IS the component,
@@ -1962,6 +2002,21 @@ object StarQueries {
       // (the fuzzy_clusters/dedup_survivors convention)
       graft.operators.Graph.connectedComponents(pr, src = "s", dst = "d",
           loopParts = 1)
+        .orderBy("node")
+    },
+
+    // CORE-NUMBER DECOMPOSITION (every node's maximal k-core) on the
+    // same sparse co-purchase graph — the per-k completion of
+    // graph_kcore, via the Lü-et-al h-index iteration (h₀ = degree,
+    // hₜ₊₁ = h-index of neighbors' hₜ → coreness). 20 rounds is a
+    // measured FIXPOINT at every tested SF (sf0.001 needs all 20 — its
+    // 200-node graph is dense, degeneracy 15; sf0.01 needs 9, sf0.1
+    // needs 4; GraphSpec pins round-21 as a no-op), and extra rounds
+    // are idempotent at a fixpoint, so the bounded schedule IS the
+    // coreness. All integers — the CTE chain replays bit-for-bit.
+    QueryDef.of("graph_corenum", coreNumbersOracle(20)) { (s, dir) =>
+      val e = strongCoPurchaseEdges(s, dir)
+      graft.operators.Graph.coreNumbers(e, rounds = 20)
         .orderBy("node")
     },
 

@@ -56,6 +56,19 @@ case class FunnelState(reached: List[Long], buffer: List[FunnelEvent])
   * at `t_us`. */
 case class FunnelStepOut(user_id: Long, step: Int, t_us: Long)
 
+/** Per-user state for [[EventsStreaming.retentionCells]]: the FINAL
+  * cohort bucket (min-time carry — one long, fixed once the first event
+  * finalizes), the period offsets already emitted (bounded by the user's
+  * distinct active periods), plus the above-watermark event-time buffer
+  * the horizon bounds. */
+case class RetentionState(hasCohort: Boolean, cohortBucket: Long,
+    emitted: List[Long], buffer: List[Long])
+
+/** One watermark-final retention cell reach: `user_id` was active
+  * `period_offset` periods after their `cohort_period`. */
+case class RetentionCellOut(user_id: Long, cohort_period: Long,
+    period_offset: Long)
+
 /**
  * Structured Streaming tier. The reference is strictly batch (SURVEY.md
  * §2.10 — finite input, full barrier before results), so everything here is
@@ -598,6 +611,86 @@ object EventsStreaming {
           state.update(ns)
           // only a non-empty buffer needs a watermark-advance wake-up
           if (ns.buffer.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+          out.result().iterator
+      }
+  }
+
+  /**
+   * Streaming twin of the batch cohort-retention triangle
+   * ([[graft.operators.Cohort.retention]] / the `events_retention`
+   * query): emits one append-mode row per user per (cohort, offset)
+   * cell the moment that cell is watermark-FINAL. Downstream a plain
+   * streaming `groupBy(cohort_period, period_offset).count()` maintains
+   * the live retention grid (each user appears at most once per cell,
+   * so count ≡ the batch COUNT DISTINCT).
+   *
+   * Why the cohort is final the moment the user's FIRST event
+   * finalizes: the cohort is the user's min time bucket, and finality
+   * is monotone — every event still in flight has event time ≥ the
+   * watermark, which is strictly above every already-finalized event's
+   * time, so no future event can land in an earlier bucket than the
+   * earliest FINALIZED one (the [[transitions]] finality argument,
+   * applied to `min`). Buffered events finalize in increasing time
+   * order, so within the very first flush the minimum is applied before
+   * any cell is computed from it.
+   *
+   * Same time math as the batch operator, integer end-to-end: bucket =
+   * µs div `unitsPerBucket`, cohort = min bucket, offset =
+   * (bucket − cohort) div `bucketsPerPeriod` — all operands
+   * non-negative, so `div` (truncation) and floor agree and the
+   * StreamingSpec pin compares bit-equal longs.
+   *
+   * State per user: the 1-long cohort carry, the emitted-offset list
+   * (bounded by the user's distinct ACTIVE periods — weeks with ≥ 1
+   * event, not stream length), and the watermark-horizon-bounded
+   * buffer. As in [[funnelSteps]], state is retained once quiet —
+   * removing it would let a later event re-emit already-final cells
+   * and break append-mode exactness.
+   *
+   * `events` needs (userCol, tsCol).
+   */
+  def retentionCells(events: DataFrame, unitsPerBucket: Long,
+      bucketsPerPeriod: Int, userCol: String = "user_id",
+      tsCol: String = "ts",
+      watermarkDelay: String = "2 hours"): Dataset[RetentionCellOut] = {
+    require(unitsPerBucket > 0,
+      s"unitsPerBucket must be positive, got $unitsPerBucket")
+    require(bucketsPerPeriod > 0,
+      s"bucketsPerPeriod must be positive, got $bucketsPerPeriod")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perPeriod = bucketsPerPeriod.toLong
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col(userCol).cast("long").as("user"),
+        unix_micros(col(tsCol)).as("us"), col(tsCol).as("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RetentionState, RetentionCellOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state: GroupState[RetentionState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption
+            .getOrElse(RetentionState(false, 0L, Nil, Nil))
+          if (!state.hasTimedOut)
+            st = st.copy(buffer = st.buffer ++ rows.map(_._2))
+          val (fin, keep) = st.buffer.partition(_ < wmUs)
+          var hasC = st.hasCohort
+          var cB = st.cohortBucket
+          var emitted = st.emitted
+          val out = Seq.newBuilder[RetentionCellOut]
+          fin.sorted.foreach { us =>
+            val b = Math.floorDiv(us, unitsPerBucket)
+            if (!hasC) { hasC = true; cB = b }
+            val off = Math.floorDiv(b - cB, perPeriod)
+            if (!emitted.contains(off)) {
+              emitted = off :: emitted
+              out += RetentionCellOut(userId,
+                Math.floorDiv(cB, perPeriod), off)
+            }
+          }
+          state.update(RetentionState(hasC, cB, emitted, keep))
+          if (keep.nonEmpty)
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
           out.result().iterator
       }

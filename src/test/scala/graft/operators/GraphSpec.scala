@@ -405,4 +405,126 @@ class GraphSpec extends SparkSpecBase {
     }
     assert(got == lab)
   }
+
+  private def runCoreNumbers(pairs: Seq[(Long, Long)], rounds: Int) = {
+    val got = Graph.coreNumbers(sym(pairs).toDF("src", "dst"), rounds)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    got
+  }
+
+  /** Plain-Scala h-index iteration (the exact recurrence the engine
+    * runs): h₀ = degree, hₜ₊₁(v) = h-index of neighbors' hₜ. */
+  private def hIndexReference(pairs: Seq[(Long, Long)],
+      rounds: Int): Map[Long, Long] = {
+    val adj = sym(pairs).distinct.groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet }
+    def hIndex(vals: Seq[Long]): Long = {
+      val s = vals.sortBy(-_)
+      s.zipWithIndex.collect { case (v, i) if v >= i + 1 => i + 1L }
+        .lastOption.getOrElse(0L)
+    }
+    var h = adj.map { case (n, ns) => n -> ns.size.toLong }
+    for (_ <- 1 to rounds)
+      h = adj.map { case (n, ns) => n -> hIndex(ns.toSeq.map(h)) }
+    h
+  }
+
+  /** True coreness by peel-to-fixpoint with increasing k. */
+  private def corenessReference(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = sym(pairs).distinct
+    var surv = e.map(_._1).toSet
+    var core = Map.empty[Long, Long]
+    var k = 1L
+    while (surv.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val deg = surv.map(n =>
+          n -> e.count(p => p._1 == n && surv(p._2)).toLong).toMap
+        val drop = surv.filter(deg(_) < k)
+        changed = drop.nonEmpty
+        core = core ++ drop.map(_ -> (k - 1)).toMap
+        surv = surv -- drop
+      }
+      core = core ++ surv.map(_ -> k).toMap // provisional for survivors
+      k += 1
+    }
+    core
+  }
+
+  test("coreNumbers: triangle with a pendant chain — hand-computed cores") {
+    // triangle {1,2,3} core 2; chain 3–4–5 core 1
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(runCoreNumbers(g, 6) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+    // K4 plus a pendant: clique core 3, pendant core 1
+    val k4p = (for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)) :+
+      ((3L, 9L))
+    assert(runCoreNumbers(k4p, 8) ==
+      Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 9L -> 1L))
+  }
+
+  test("coreNumbers equals the h-index recurrence at EVERY round count") {
+    val rnd = new scala.util.Random(57)
+    val pairs = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    for (r <- Seq(1, 2, 5))
+      assert(runCoreNumbers(pairs, r) == hIndexReference(pairs, r),
+        s"rounds=$r")
+  }
+
+  test("coreNumbers converges to true peel coreness and only overshoots") {
+    val rnd = new scala.util.Random(91)
+    val pairs = (Seq.fill(150)(
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))) ++
+      // plant a K5 so the graph has a real 4-core
+      (for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b))).distinct
+    val truth = corenessReference(pairs)
+    assert(runCoreNumbers(pairs, 30) == truth)
+    // bounded rounds: monotone non-increasing, never below coreness
+    val early = runCoreNumbers(pairs, 2)
+    val later = runCoreNumbers(pairs, 4)
+    assert(truth.forall { case (n, c) =>
+      later(n) >= c && early(n) >= later(n) })
+  }
+
+  test("iterate caps drop compounded checkpoint stats (the BigInt blowup guard)") {
+    // checkpoint-inherited origin stats CUBE per round through the two
+    // h-joins; before the fresh-stats cap, 12 rounds ≈ 19·3⁶-digit size
+    // estimates and the optimizer ground minutes of BigInteger multiply
+    // (rounds 17→21 each doubled wall time). The law: the final frame's
+    // size estimate stays a SMALL number — bounded by the ≤ 2 uncapped
+    // tail rounds over default leaf stats, regardless of round count.
+    val rnd = new scala.util.Random(57)
+    val pairs = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val out = Graph.coreNumbers(sym(pairs).toDF("src", "dst"), rounds = 12)
+    val bits = out.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    Caches.releaseAll()
+    assert(bits < 1024,
+      s"sizeInBytes bitLength $bits — checkpoint stats are compounding again")
+  }
+
+  test("coreNumbers: the wired 20 rounds are a fixpoint on the sf0.001 graph") {
+    // the graph_corenum query's co-purchase graph (parts sharing >= 2
+    // distinct orders, symmetrized) — round 21 must change nothing,
+    // certifying the bounded schedule IS the coreness there
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pr = li.select(col("ok"), col("pk").as("s"))
+      .join(li.select(col("ok"), col("pk").as("d")), "ok")
+      .filter(col("s") < col("d"))
+      .groupBy("s", "d").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val pairs = pr.select("s", "d").as[(Long, Long)].collect().toSeq
+    val at20 = runCoreNumbers(pairs, 20)
+    assert(at20 == runCoreNumbers(pairs, 21))
+    assert(at20.values.max == 15L) // the measured degeneracy at sf0.001
+  }
 }
