@@ -723,4 +723,83 @@ object Similarity {
       .join(broadcast(pairs), "neighbor_id")
     rescoreTopK(cand, k)
   }
+
+  /**
+   * SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the corpus in embedding space, find
+   * near-duplicate GROUPS only within clusters, and keep one
+   * representative per group. The pairwise cosine work is bounded per
+   * cluster — Σ|cell|² instead of the global N² — which is the paper's
+   * entire scale argument: at 100 TB you run k ≈ 10⁵ clusters (the paper
+   * uses 50k on LAION) and the quadratic never sees more than a cell.
+   * Here the cells come from caller-supplied plan-constant centroids
+   * (the certified [[assignCells]] arithmetic), so cell count is the one
+   * knob between this test-scale configuration and the production one.
+   *
+   * Semantics, all deterministic so a SQL oracle can replay them with NO
+   * separation assumption (the full algorithm is mirrored op-for-op):
+   *  1. cell(v) = argmin squared-L2 centroid ([[NearestCells]]' total
+   *     order — float→double widening, lowest index on ties);
+   *  2. duplicate pairs = within-cell pairs with cosine ≥ `threshold`
+   *     (native [[graft.expressions.CosineSimilarity]], certified
+   *     bit-equal to DuckDB's list_cosine_similarity by the ann rows);
+   *  3. duplicate groups = connected components of the pair graph
+   *     ([[Dedup.duplicateClusters]]' pointer-jumping union-find —
+   *     components cannot span cells, pairs never do);
+   *  4. keeper per group = the member with the LOWEST cosine to its own
+   *     cell centroid (the paper's keep-least-prototypical rule — the
+   *     most central member is the most redundant with the rest of the
+   *     cluster), ties to the smallest vec_id — a total order.
+   *
+   * Scale shape: assignment is one shuffle-free codegen'd scan (centroids
+   * are plan constants); the pair join is an equi-join on `cell` (the
+   * shuffle key a small int — never a cartesian); the component loop is
+   * sized to the PAIR GRAPH, not the corpus; keeper selection is a
+   * partial-aggregated min_by under the (centroid_cos, vec_id) struct
+   * order — never a window; centroid cosines are computed only for
+   * GROUP MEMBERS (pair-graph nodes, usually ≪ corpus) via a broadcast
+   * of the k-row centroid table. Nothing data-sized touches the driver.
+   *
+   * Returns (dropped_id, kept_id): one row per removed member, pointing
+   * at its group's surviving representative. Callers anti-join
+   * `dropped_id` against the corpus for the surviving set. The persisted
+   * assignment intermediate is registered with [[Caches]] — release via
+   * `Caches.releaseAll()` after materializing.
+   */
+  def semanticDedup(corpus: DataFrame, centroids: Seq[Seq[Double]],
+      threshold: Double, loopParts: Int = 0): DataFrame = {
+    // one assignment scan feeds the pair join (twice) and the member
+    // re-read — persist it or the codegen'd argmin runs three times
+    val assigned = Caches.persistTracked(corpus.select(
+      col("vec_id").cast("long").as("vec_id"), col("embedding"),
+      element_at(nearestCells(col("embedding"), centroids, 1), 1)
+        .cast("long").as("cell")))
+    val pairs = assigned
+      .select(col("cell"), col("vec_id").as("doc_a"), col("embedding").as("e_a"))
+      .join(assigned.select(col("cell"), col("vec_id").as("doc_b"),
+        col("embedding").as("e_b")), "cell")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(VectorFunctions.cosine(col("e_a"), col("e_b")) >= threshold)
+      .select("doc_a", "doc_b")
+    // groups of mutually-similar members (union-find; eager, owns its caches)
+    val members = Dedup.duplicateClusters(pairs, loopParts = loopParts)
+    // centroid table: k rows, broadcast — never a plan-constant CASE here
+    // because members ≪ corpus makes the join side tiny anyway
+    val spark = corpus.sparkSession
+    val centDf = spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+      .toDF("cell", "c_emb")
+    val scored = members
+      .join(assigned, members("doc_id") === assigned("vec_id"))
+      .join(broadcast(centDf), "cell")
+      .select(col("cluster"), col("vec_id"),
+        VectorFunctions.cosine(col("embedding"), col("c_emb")).as("ccos"))
+    val keepers = scored
+      .groupBy("cluster")
+      .agg(min_by(col("vec_id"), struct(col("ccos"), col("vec_id")))
+        .as("kept_id"))
+    scored.join(keepers, "cluster")
+      .filter(col("vec_id") =!= col("kept_id"))
+      .select(col("vec_id").as("dropped_id"), col("kept_id"))
+  }
 }

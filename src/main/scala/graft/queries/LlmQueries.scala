@@ -303,7 +303,68 @@ object LlmQueries {
         |WHERE doc_id NOT IN (SELECT src FROM reach WHERE cluster <> src)
         |ORDER BY doc_id""".stripMargin
 
-  /** Fixed centroid seed shared by `kmeans_assign`/`cluster_labels`: the
+  /** Oracle for `dedup_semantic`: the WHOLE SemDeDup algorithm replayed
+    * op-for-op — NO separation assumption. Assignment is kmeans_assign's
+    * certified fold (left-to-right Σ(x−c)² with float→double widening,
+    * (dist, cell) argmin); within-cell pair cosines and member→centroid
+    * cosines via list_cosine_similarity on DOUBLE[] casts (certified
+    * bit-equal to the native CosineSimilarity by the ann rows); groups
+    * via the survivorsOracle recursive-reachability CTE; keeper = min
+    * under the (ccos, vec_id) total order. The 0.4 threshold is spelled
+    * CAST(0.4 AS DOUBLE) — a bare 0.4 folds as DECIMAL in DuckDB (the
+    * pageRank literal pitfall) and would compare differently at the
+    * boundary. */
+  private val semanticDedupOracle: String =
+    """WITH c AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings WHERE vec_id < 8
+      |), q AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS ev
+      |  FROM embeddings
+      |), d AS (
+      |  SELECT q.vec_id, c.cell,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(c.cv)),
+      |        i -> (q.ev[i] - c.cv[i]) * (q.ev[i] - c.cv[i]))),
+      |      (a, x) -> a + x) AS dist,
+      |    q.ev
+      |  FROM q CROSS JOIN c
+      |), asg AS (
+      |  SELECT vec_id, cell, ev FROM (
+      |    SELECT vec_id, cell, ev, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d)
+      |  WHERE rn = 1
+      |), p AS (
+      |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+      |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |  WHERE list_cosine_similarity(x.ev, y.ev) >= CAST(0.4 AS DOUBLE)
+      |), edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM p
+      |  UNION ALL SELECT doc_b, doc_a FROM p
+      |), reach AS (
+      |  WITH RECURSIVE r(src, node) AS (
+      |    SELECT DISTINCT s, s FROM edges
+      |    UNION
+      |    SELECT r.src, e.d FROM r JOIN edges e ON r.node = e.s
+      |  ) SELECT src, min(node) AS cluster FROM r GROUP BY src
+      |), mem AS (
+      |  SELECT reach.src AS vec_id, reach.cluster,
+      |    list_cosine_similarity(asg.ev, c.cv) AS ccos
+      |  FROM reach JOIN asg ON reach.src = asg.vec_id
+      |             JOIN c ON asg.cell = c.cell
+      |), keep AS (
+      |  SELECT cluster, vec_id AS kept_id FROM (
+      |    SELECT cluster, vec_id, row_number() OVER (
+      |      PARTITION BY cluster ORDER BY ccos, vec_id) AS rn FROM mem)
+      |  WHERE rn = 1
+      |)
+      |SELECT m.vec_id AS dropped_id, keep.kept_id
+      |FROM mem m JOIN keep ON m.cluster = keep.cluster
+      |WHERE m.vec_id <> keep.kept_id
+      |ORDER BY dropped_id, kept_id""".stripMargin
+
+  /** Fixed centroid seed shared by `kmeans_assign`/`cluster_labels`/
+    * `dedup_semantic`: the
     * first 8 vectors, in vec_id order. The oracle equates the centroid
     * ARRAY INDEX with its cell = vec_id — an identity that only holds
     * when vec_ids 0..7 all exist and are dense, so assert exactly that:
@@ -590,6 +651,26 @@ object LlmQueries {
       val planted = e.unionAll(
         e.select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding")))
       Dedup.embeddingNearDupLsh(planted, threshold = 0.9).orderBy("id_a", "id_b")
+    },
+
+    // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): embedding-space
+    // near-duplicate GROUPS found only within k-means cells, one
+    // representative kept per group — the paper's keep-least-prototypical
+    // rule (lowest cosine to the cell centroid, ties to min vec_id).
+    // Unlike dedup_embedding (LSH recall on planted exact copies) this
+    // row runs on the RAW corpus at τ = 0.4 — real graded-similarity
+    // groups (21/24/262 pairs at sf0.001/0.01/0.1) — and its oracle
+    // replays the WHOLE algorithm (assignment fold, pair cosines,
+    // reachability components, keeper order) with no separation
+    // assumption: every arithmetic op is mirrored, so the row is exact
+    // at any corpus. Scale: the quadratic is per-cell (Σ|cell|², the
+    // paper's 50k-cluster argument), assignment is a shuffle-free scan,
+    // keeper a partial-agg min_by — see Similarity.semanticDedup.
+    QueryDef.of("dedup_semantic", semanticDedupOracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedup(emb, fixedCentroids(emb), threshold = 0.4,
+          loopParts = 1)
+        .orderBy("dropped_id", "kept_id")
     },
 
     // Full dedup pipeline: near-dup pairs → connected components → keep the

@@ -421,4 +421,60 @@ class SimilaritySpec extends SparkSpecBase {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  /** Plain-Scala replay of [[Similarity.semanticDedup]]'s EXACT semantics
+    * (assignment fold, pair cosines, union-find components, the
+    * keep-least-prototypical (ccos, vec_id) keeper order) on the real
+    * sf0.001 corpus. Every double is computed with the same op order the
+    * native expressions use (left-to-right index fold, per-element
+    * float→double widening), so the comparison is exact — the same
+    * bit-equality bar the DuckDB oracle holds the query to. */
+  test("semanticDedup ≡ plain-Scala SemDeDup replay on sf0.001") {
+    val local = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cents: Seq[Seq[Double]] = local.filter(_._1 < 8)
+      .map(_._2.map(_.toDouble).toSeq).toSeq
+    def cos(a: Array[Float], c: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nc = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * c(i); na += a(i).toDouble * a(i).toDouble
+        nc += c(i) * c(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nc))
+    }
+    val cell = local.map { case (id, v) =>
+      val d2 = cents.map(c => v.indices
+        .foldLeft(0.0) { (s, i) => val d = v(i).toDouble - c(i); s + d * d })
+      id -> d2.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+    }.toMap
+    val pairs = for {
+      (a, va) <- local; (b, vb) <- local
+      if a < b && cell(a) == cell(b) &&
+        cos(va, vb.map(_.toDouble).toSeq) >= 0.4
+    } yield (a, b)
+    assert(pairs.nonEmpty, "fixture must have within-cell near-dups")
+    // union-find → min-reachable-id component labels
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byId = local.toMap
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val groups = members.groupBy(find)
+    val expected = groups.values.flatMap { ms =>
+      val keeper = ms.minBy { m => (cos(byId(m), cents(cell(m))), m) }
+      ms.filter(_ != keeper).map(m => (m, keeper))
+    }.toSet
+    val got = Similarity.semanticDedup(emb, cents, threshold = 0.4,
+        loopParts = 1)
+      .as[(Long, Long)].collect().toSet
+    graft.operators.Caches.releaseAll()
+    assert(got == expected)
+    // laws: a keeper is never dropped; drops are unique
+    val (dropped, kept) = (got.map(_._1), got.map(_._2))
+    assert(dropped.intersect(kept).isEmpty)
+    assert(got.toSeq.map(_._1).distinct.size == got.size)
+  }
 }
