@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -149,6 +149,56 @@ object Graph {
     val n = nodes.count() // bounded eager job: ONE driver-side long
     val jump = (1.0 - damping) / n.toDouble
     val r0 = nodes.select(col("node"), lit(1.0 / n.toDouble).as("pr"))
+    prLoop(base, nodes, r0, lit(jump), iterations, damping, exact,
+      foldBuckets, src, dst)
+  }
+
+  /**
+   * PERSONALIZED PAGERANK (the topic-sensitive variant, Haveliwala
+   * 2002): identical power iteration to [[pageRank]] except the teleport
+   * mass lands only on a SEED SET S — jump_v = (1−d)/|S| for v ∈ S and 0
+   * elsewhere, r0 = 1/|S| on S — so ranks measure proximity TO THE SEEDS
+   * ("what else does this neighborhood buy", related-item retrieval,
+   * seed-expansion labeling) instead of global centrality.
+   *
+   * `seeds` are PLAN CONSTANTS (an `isin` predicate — the caller
+   * collects them, a bounded driver-side list by contract: seed sets
+   * are hand-sized, like [[bfs]]'s source). Everything else — the
+   * checkpointed contribution base, the hub-safe two-level exact fold /
+   * production `sum()` mode, the one-exchange shape — is [[pageRank]]'s
+   * machinery verbatim via the shared loop, so the same oracle technique
+   * replays it (the jump term becomes a CASE over seed membership; the
+   * driver computes (1−d)/|S| with the same subtraction the oracle
+   * spells). Caller contract on `edges` matches [[pageRank]].
+   */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+      iterations: Int = 5, damping: Double = 0.85, src: String = "src",
+      dst: String = "dst", exact: Boolean = true,
+      foldBuckets: Int = 16): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs a non-empty seed set")
+    val e = edges.select(col(src), col(dst)).distinct()
+    val deg = e.groupBy(src).agg(count(lit(1)).as("deg"))
+    val base = Caches.checkpointTracked(
+      e.join(deg, src).repartition(col(src)).sortWithinPartitions(src))
+    val nodes = Caches.checkpointTracked(deg.select(col(src).as("node")))
+    val jumpS = (1.0 - damping) / seeds.size.toDouble
+    val isSeed = col("node").isin(seeds: _*)
+    val r0 = nodes.select(col("node"),
+      when(isSeed, lit(1.0 / seeds.size.toDouble)).otherwise(lit(0.0d))
+        .as("pr"))
+    prLoop(base, nodes, r0,
+      when(isSeed, lit(jumpS)).otherwise(lit(0.0d)),
+      iterations, damping, exact, foldBuckets, src, dst)
+  }
+
+  /** The shared power-iteration loop behind [[pageRank]] /
+    * [[personalizedPageRank]] — see pageRank's scaladoc for the
+    * exact-vs-production fold modes and the one-exchange argument.
+    * `jumpCol` is the per-node teleport term (a literal for the uniform
+    * walk, a seed-membership CASE for the personalized one). */
+  private def prLoop(base: DataFrame, nodes: DataFrame, r0: DataFrame,
+      jumpCol: Column, iterations: Int, damping: Double, exact: Boolean,
+      foldBuckets: Int, src: String, dst: String): DataFrame = {
     // rank-lineage cap every 2nd step (see [[iterate]]) on the |V|-row
     // rank frame
     iterate(r0, iterations, capEvery = 2) { (r, _, cap) =>
@@ -189,7 +239,7 @@ object Graph {
           .select(col(dst).as("node"), col("s"))
       cap(nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
-          (lit(jump) + lit(damping) * coalesce(col("s"), lit(0.0d)))
+          (jumpCol + lit(damping) * coalesce(col("s"), lit(0.0d)))
             .as("pr")))
     }
   }
@@ -574,4 +624,102 @@ object Graph {
       edges.select(col(src).as("doc_a"), col(dst).as("doc_b")),
       loopParts = loopParts)
       .select(col("doc_id").as("node"), col("cluster").as("component"))
+
+  /**
+   * DIRECTED MODULARITY of a node partition (Leicht & Newman 2008,
+   * "Community structure in directed networks" — reduces to Newman's
+   * undirected Q on a symmetrized edge list, which is exactly what the
+   * co-purchase graph is): per-community
+   *
+   *   q_c = e_c/m − (out_c · in_c)/m²
+   *
+   * where m = |E| (directed edges), e_c = edges with BOTH endpoints in c,
+   * out_c/in_c = total out-/in-degree of c's nodes. Σ_c q_c is the usual
+   * global Q ∈ [−1/2, 1); the per-community rows are the useful
+   * diagnostic (which communities are denser than chance).
+   *
+   * Determinism: every input to q_c is an INTEGER COUNT, and the one
+   * double expression is fixed-shape (`within/m − out·in/m/m`, casts
+   * applied before the divides) — an oracle mirrors it op-for-op with no
+   * summation-order ambiguity because nothing sums doubles. The global Q
+   * is intentionally NOT a column here: summing C per-community doubles
+   * is order-dependent; [[modularityTotal]] computes it from exact
+   * integer sums instead.
+   *
+   * Scale shape: ONE |E|-sized shuffle — edges join the broadcast-able
+   * label map on each endpoint (two equi-joins on node), then a single
+   * `groupBy(sl, dl)` partial-aggregated count produces the community
+   * MIXING MATRIX (≤ C² entries, sparse in practice); within/out/in all
+   * derive from that compact frame with tiny aggregations. m rides in as
+   * a one-row broadcast (`crossJoin(broadcast(...))` — a
+   * BroadcastNestedLoopJoin over one row, never a CartesianProduct). No
+   * window, nothing data-sized on the driver. At 100 TB the label map is
+   * |V|-sized — when it outgrows broadcast, the two joins shuffle on
+   * node, which AQE handles; the mixing matrix stays ≤ C².
+   *
+   * Output: (label, nodes, within_edges, out_degree, in_degree, q), one
+   * row per community in the `labels` frame (communities whose nodes
+   * have no edges still appear, zero-filled).
+   *
+   * Caller contract: edges are used AS GIVEN — a multigraph is a
+   * legitimate input (every duplicate edge counts in m and the
+   * marginals). Unlike [[pageRank]]/[[labelPropagation]] there is no
+   * internal `distinct()`; dedupe upstream for a simple graph.
+   */
+  def modularity(edges: DataFrame, labels: DataFrame,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = edges.select(col(src).as("s"), col(dst).as("d"))
+    val lab = labels.select(col("node"), col("label"))
+    val mDf = e.agg(count(lit(1)).cast("double").as("m"))
+    // |E|-shuffle once: label both endpoints, collapse to the mixing matrix
+    val mixing = Caches.persistTracked(e
+      .join(lab.select(col("node").as("s"), col("label").as("sl")), "s")
+      .join(lab.select(col("node").as("d"), col("label").as("dl")), "d")
+      .groupBy("sl", "dl").agg(count(lit(1)).as("cnt")))
+    val within = mixing.filter(col("sl") === col("dl"))
+      .select(col("sl").as("label"), col("cnt").as("within_edges"))
+    val outDeg = mixing.groupBy(col("sl").as("label"))
+      .agg(sum(col("cnt")).as("out_degree"))
+    val inDeg = mixing.groupBy(col("dl").as("label"))
+      .agg(sum(col("cnt")).as("in_degree"))
+    val coms = lab.groupBy("label").agg(count(lit(1)).as("nodes"))
+    coms
+      .join(within, Seq("label"), "left")
+      .join(outDeg, Seq("label"), "left")
+      .join(inDeg, Seq("label"), "left")
+      .crossJoin(broadcast(mDf))
+      .select(col("label"), col("nodes"),
+        coalesce(col("within_edges"), lit(0L)).as("within_edges"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        (coalesce(col("within_edges"), lit(0L)).cast("double") / col("m")
+          - coalesce(col("out_degree"), lit(0L)).cast("double")
+            * coalesce(col("in_degree"), lit(0L)).cast("double")
+            / col("m") / col("m")).as("q"))
+  }
+
+  /**
+   * GLOBAL modularity Q = Σ_c q_c, computed WITHOUT summing doubles:
+   * Q = W/m − P/m² where W = Σ_c e_c and P = Σ_c out_c·in_c are exact
+   * integer sums (order-independent), divided once at the end with the
+   * same cast-then-divide shape as [[modularity]]. Long arithmetic holds
+   * to m < ~3·10⁹ per community-degree product; beyond that (the 100 TB
+   * regime) switch the two sums to DECIMAL(38,0) — Spark's decimal sum
+   * is exact and deterministic too.
+   *
+   * Output: one row (m, within_total, degree_product_sum, q).
+   */
+  def modularityTotal(edges: DataFrame, labels: DataFrame,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val perCom = modularity(edges, labels, src, dst)
+    val mDf = edges.agg(count(lit(1)).cast("double").as("m"))
+    perCom.agg(
+        sum(col("within_edges")).as("within_total"),
+        sum(col("out_degree") * col("in_degree")).as("degree_product_sum"))
+      .crossJoin(broadcast(mDf))
+      .select(col("m"), col("within_total"), col("degree_product_sum"),
+        (col("within_total").cast("double") / col("m")
+          - col("degree_product_sum").cast("double") / col("m") / col("m"))
+          .as("q"))
+  }
 }

@@ -74,6 +74,61 @@ object StarQueries {
        |SELECT node, pr FROM r$k ORDER BY node""".stripMargin
   }
 
+  /** Oracle for `graph_ppr`: [[pageRankOracle]]'s two-level-fold CTE
+    * chain with the PERSONALIZED teleport — the jump term is a CASE over
+    * seed membership ((1−d)/|S| on the `nSeeds` smallest nodes, else an
+    * exact 0.0), r0 is 1/|S| on seeds. |S| is spelled as the literal
+    * `$nSeeds` because the engine side computes (1.0−0.85)/seeds.size
+    * driver-side with the same op order; every other double rule
+    * (cast-before-divide, the never-pre-folded 0.15) is pageRankOracle's
+    * verbatim. */
+  private def pprOracle(k: Int, nSeeds: Int, b: Int = 16): String = {
+    val jump =
+      s"""CASE WHEN nd.node IN (SELECT node FROM seeds)
+         |      THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |           / CAST($nSeeds AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+    def level(i: Int): String =
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    $jump
+         |      + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
+         |  FROM nodes nd
+         |  LEFT JOIN (
+         |    SELECT b.dst, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_sort(list(struct_pack(bkt := b.bkt,
+         |        bs := b.bs))), x -> x.bs)), (a, x) -> a + x) AS s
+         |    FROM (
+         |      SELECT e.dst, e.src % $b AS bkt,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(list_sort(list(struct_pack(src := e.src,
+         |            c := r.pr / CAST(d.deg AS DOUBLE)))), x -> x.c)),
+         |          (a, x) -> a + x) AS bs
+         |      FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node
+         |      GROUP BY e.dst, e.src % $b
+         |    ) b GROUP BY b.dst
+         |  ) s ON nd.node = s.dst
+         |)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e AS (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+       |), deg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+       |), nodes AS (SELECT src AS node FROM deg),
+       |seeds AS (SELECT node FROM nodes ORDER BY node LIMIT $nSeeds),
+       |r0 AS (
+       |  SELECT node,
+       |    CASE WHEN node IN (SELECT node FROM seeds)
+       |         THEN CAST(1.0 AS DOUBLE) / CAST($nSeeds AS DOUBLE)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS pr
+       |  FROM nodes
+       |),
+       |${(1 to k).map(level).mkString(",\n")}
+       |SELECT node, pr FROM r$k ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `graph_lpa`: k synchronous label-propagation rounds
     * unrolled as a CTE chain (the pageRankOracle technique). Each level
     * replays the engine's update exactly: count in-neighbor labels, then
@@ -82,7 +137,10 @@ object StarQueries {
     * over the per-node aggregated label counts (bounded by in-degree),
     * which is the oracle's affordance — the engine side does the same
     * argmax as a partial-aggregated max_by, never a window. */
-  private def lpaOracle(k: Int): String = {
+  /** The co-purchase graph + k synchronous LPA rounds as a reusable WITH
+    * body — `lpaOracle` selects the final labels; `modularityOracle`
+    * builds the community mixing matrix on top of the same chain. */
+  private def lpaCtes(k: Int): String = {
     def level(i: Int): String =
       s"""l$i AS (
          |  SELECT dst AS node, label FROM (
@@ -93,16 +151,73 @@ object StarQueries {
          |    GROUP BY e.dst, l.label)
          |  WHERE rn = 1
          |)""".stripMargin
-    s"""WITH li AS (
+    s"""li AS (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
        |), e AS (
        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
        |), nodes AS (SELECT DISTINCT dst AS node FROM e),
        |l0 AS (SELECT node, node AS label FROM nodes),
-       |${(1 to k).map(level).mkString(",\n")}
-       |SELECT node, label FROM l$k ORDER BY node""".stripMargin
+       |${(1 to k).map(level).mkString(",\n")}""".stripMargin
   }
+
+  private def lpaOracle(k: Int): String =
+    s"""WITH ${lpaCtes(k)}
+       |SELECT node, label FROM l$k ORDER BY node""".stripMargin
+
+  /** Shared WITH body for the two modularity oracles: the LPA(k) labels,
+    * m as a pre-cast DOUBLE (the engine casts count→double BEFORE the
+    * divides — mirror that), the labeled-edge mixing matrix, and the
+    * within/out/in marginals. Every count is an integer; the only doubles
+    * are the final fixed-shape expressions in the SELECTs, so there is no
+    * summation-order ambiguity to mirror. DuckDB sum(BIGINT) returns
+    * HUGEINT — every sum is cast back to BIGINT to match Spark's long. */
+  private def modularityCtes(k: Int): String =
+    s"""${lpaCtes(k)},
+       |lab AS (SELECT node, label FROM l$k),
+       |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+       |mix AS (
+       |  SELECT ls.label AS sl, ld.label AS dl, count(*) AS cnt
+       |  FROM e JOIN lab ls ON e.src = ls.node
+       |         JOIN lab ld ON e.dst = ld.node
+       |  GROUP BY ls.label, ld.label
+       |), w AS (SELECT sl AS label, cnt AS within_edges FROM mix WHERE sl = dl),
+       |od AS (SELECT sl AS label, CAST(sum(cnt) AS BIGINT) AS out_degree
+       |       FROM mix GROUP BY sl),
+       |idg AS (SELECT dl AS label, CAST(sum(cnt) AS BIGINT) AS in_degree
+       |        FROM mix GROUP BY dl),
+       |coms AS (SELECT label, count(*) AS nodes FROM lab GROUP BY label),
+       |percom AS (
+       |  SELECT coms.label, coms.nodes,
+       |    COALESCE(w.within_edges, 0) AS within_edges,
+       |    COALESCE(od.out_degree, 0) AS out_degree,
+       |    COALESCE(idg.in_degree, 0) AS in_degree
+       |  FROM coms
+       |  LEFT JOIN w ON coms.label = w.label
+       |  LEFT JOIN od ON coms.label = od.label
+       |  LEFT JOIN idg ON coms.label = idg.label
+       |)""".stripMargin
+
+  private def modularityOracle(k: Int): String =
+    s"""WITH ${modularityCtes(k)}
+       |SELECT label, nodes, within_edges, out_degree, in_degree,
+       |  CAST(within_edges AS DOUBLE) / m.m
+       |    - CAST(out_degree AS DOUBLE) * CAST(in_degree AS DOUBLE)
+       |      / m.m / m.m AS q
+       |FROM percom CROSS JOIN m
+       |ORDER BY label""".stripMargin
+
+  private def modularityTotalOracle(k: Int): String =
+    s"""WITH ${modularityCtes(k)},
+       |tot AS (
+       |  SELECT CAST(sum(within_edges) AS BIGINT) AS within_total,
+       |    CAST(sum(out_degree * in_degree) AS BIGINT) AS degree_product_sum
+       |  FROM percom
+       |)
+       |SELECT m.m AS m, within_total, degree_product_sum,
+       |  CAST(within_total AS DOUBLE) / m.m
+       |    - CAST(degree_product_sum AS DOUBLE) / m.m / m.m AS q
+       |FROM tot CROSS JOIN m""".stripMargin
 
   /** Oracle for `graph_bfs`: k level-synchronous frontier expansions
     * unrolled as a CTE chain (the lpaOracle technique). Level i selects
@@ -1909,6 +2024,28 @@ object StarQueries {
         .orderBy("node")
     },
 
+    // PERSONALIZED PageRank on the same co-purchase graph (Haveliwala
+    // 2002): teleport mass pinned to the 4 smallest part ids — "what
+    // else does this seed neighborhood buy", the related-item retrieval
+    // view next to graph_pagerank's global centrality. Seeds are plan
+    // constants (4-row bounded collect, the bfsFromMinSource pattern);
+    // everything else is pageRank's hub-safe machinery verbatim, and the
+    // oracle is the same two-level-fold CTE chain with the jump term as
+    // a seed-membership CASE.
+    QueryDef.of("graph_ppr", pprOracle(5, 4)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      val seeds = e.select(col("src")).distinct().orderBy("src").limit(4)
+        .collect().map(_.getLong(0)).toSeq // 4-row bounded collect
+      graft.operators.Graph.personalizedPageRank(e, seeds, iterations = 5)
+        .orderBy("node")
+    },
+
     // Label-propagation communities over the same co-purchase graph
     // (4 synchronous rounds, Raghavan et al.): which parts cluster into
     // "bought-together" neighborhoods — the community view next to
@@ -2018,6 +2155,47 @@ object StarQueries {
       val e = strongCoPurchaseEdges(s, dir)
       graft.operators.Graph.coreNumbers(e, rounds = 20)
         .orderBy("node")
+    },
+
+    // MODULARITY of the LPA(4) partition on the co-purchase graph
+    // (Leicht–Newman directed Q, which on this symmetrized edge list is
+    // Newman's undirected Q): per-community q_c = e_c/m − out_c·in_c/m² —
+    // "how much denser than chance is each bought-together community",
+    // the quality score for graph_lpa's output. Every q_c input is an
+    // integer count (ONE |E|-shuffle → the C×C mixing matrix, then tiny
+    // marginals), and the single double expression is fixed-shape, so
+    // the oracle mirrors it with no summation-order ambiguity.
+    QueryDef.of("graph_modularity", modularityOracle(4)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      // distinct HERE: modularity (unlike pageRank/labelPropagation)
+      // takes edges as given — a multigraph is a legitimate input — so
+      // the co-purchase multiplicity must collapse before m is counted
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val labels = graft.operators.Graph.labelPropagation(e, iterations = 4)
+      graft.operators.Graph.modularity(e, labels)
+        .orderBy("label")
+    },
+
+    // GLOBAL modularity Q = Σ_c q_c of the same partition — computed
+    // from exact integer sums (W = Σ e_c, P = Σ out_c·in_c), never by
+    // summing C per-community doubles (order-dependent), then the same
+    // cast-then-divide shape: Q = W/m − P/m². One row.
+    QueryDef.of("graph_modularity_q", modularityTotalOracle(4)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      // distinct for the same multigraph reason as graph_modularity
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val labels = graft.operators.Graph.labelPropagation(e, iterations = 4)
+      graft.operators.Graph.modularityTotal(e, labels)
     },
 
     // Declarative data-quality audit over the star schema — the

@@ -142,6 +142,51 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  /** [[prReference]] with the personalized teleport: jump and r0 mass on
+    * the seed set only — the same two-level fold everywhere else. */
+  private def pprReference(edges: Seq[(Long, Long)], seeds: Set[Long],
+      k: Int, d: Double = 0.85, b: Int = 16): Map[Long, Double] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = deg.keys.toSeq.sorted
+    val jump = (1.0 - d) / seeds.size.toDouble
+    var r = nodes.map(v =>
+      v -> (if (seeds(v)) 1.0 / seeds.size.toDouble else 0.0)).toMap
+    for (_ <- 1 to k) {
+      val in = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(_._1).groupBy(_ % b).toSeq.sortBy(_._1)
+          .map { case (_, srcs) =>
+            srcs.sorted.foldLeft(0.0)((a, s) => a + r(s) / deg(s).toDouble)
+          }.foldLeft(0.0)(_ + _)
+      }
+      r = nodes.map(v => v ->
+        ((if (seeds(v)) jump else 0.0) + d * in.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank is bit-equal to the seeded two-level-fold reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val raw = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(p => p._1 != p._2)
+    val symE = raw ++ raw.map(_.swap)
+    val nodes = symE.map(_._1).distinct.sorted
+    val seeds = nodes.take(4)
+    val got = Graph.personalizedPageRank(symE.toDF("src", "dst"), seeds,
+        iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    Caches.releaseAll()
+    assert(got == pprReference(symE, seeds.toSet, 5))
+    // teleport conservation: total mass stays ~1 here too
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // proximity: a seed outranks the global-uniform walk's rank for it
+    val uni = Graph.pageRank(symE.toDF("src", "dst"), iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    Caches.releaseAll()
+    assert(seeds.forall(s => got(s) > uni(s)))
+  }
+
   test("pageRank ranks a star's hub above its spokes") {
     import spark.implicits._
     val spokes = (1L to 8L)
@@ -526,5 +571,85 @@ class GraphSpec extends SparkSpecBase {
     val at20 = runCoreNumbers(pairs, 20)
     assert(at20 == runCoreNumbers(pairs, 21))
     assert(at20.values.max == 15L) // the measured degeneracy at sf0.001
+  }
+
+  /** Plain-Scala modularity replay with the operator's EXACT double op
+    * order (cast-then-divide, within/m − out·in/m/m) — the bit-equality
+    * twin. Returns label → (nodes, within, out, in, q). */
+  private def modReference(edges: Seq[(Long, Long)], lab: Map[Long, Long])
+      : Map[Long, (Long, Long, Long, Long, Double)] = {
+    val m = edges.size.toDouble
+    val mix = edges.groupBy(e => (lab(e._1), lab(e._2)))
+      .view.mapValues(_.size.toLong).toMap
+    lab.values.toSeq.distinct.map { c =>
+      val within = mix.getOrElse((c, c), 0L)
+      val out = mix.collect { case ((s, _), n) if s == c => n }.sum
+      val in = mix.collect { case ((_, d), n) if d == c => n }.sum
+      val nodes = lab.count(_._2 == c).toLong
+      c -> (nodes, within, out, in,
+        within.toDouble / m - out.toDouble * in.toDouble / m / m)
+    }.toMap
+  }
+
+  private def runModularity(edges: Seq[(Long, Long)], lab: Map[Long, Long]) = {
+    val got = Graph.modularity(edges.toDF("src", "dst"),
+        lab.toSeq.toDF("node", "label"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    Caches.releaseAll()
+    got
+  }
+
+  test("modularity: two cliques + one bridge, bit-equal to the reference") {
+    // two symmetrized triangles {1,2,3} and {4,5,6}, one bridge 3→4/4→3
+    val cliq = sym(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)))
+    val lab = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+    val got = runModularity(cliq, lab)
+    val ref = modReference(cliq, lab)
+    assert(got.keySet == ref.keySet)
+    for (c <- got.keySet) {
+      assert(got(c)._1 == ref(c)._1 && got(c)._2 == ref(c)._2 &&
+        got(c)._3 == ref(c)._3 && got(c)._4 == ref(c)._4, s"counts, community $c")
+      assert(java.lang.Double.doubleToRawLongBits(got(c)._5) ==
+        java.lang.Double.doubleToRawLongBits(ref(c)._5), s"q bits, community $c")
+    }
+    // a good 2-clique split is strongly positive
+    assert(got.values.map(_._5).sum > 0.3)
+  }
+
+  test("modularity laws: one-community Q = 0 exactly; zero-edge community zero-filled") {
+    val e = sym(Seq((1L, 2L), (2L, 3L)))
+    val oneCom = Map(1L -> 7L, 2L -> 7L, 3L -> 7L)
+    val q1 = runModularity(e, oneCom)
+    assert(q1(7L)._5 == 0.0) // m/m − m·m/m² — exact in fp too
+    // node 9 is isolated (labels frame carries it, edges don't)
+    val withIso = runModularity(e, oneCom + (9L -> 9L))
+    assert(withIso(9L) == ((1L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("modularityTotal: Q from integer sums equals the reference on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 3
+      val base = (for { _ <- 1 to 4 * n } yield
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val edges = sym(base)
+      val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+      val lab = nodes.map(v => v -> (v % 3)).toMap
+      val m = edges.size.toDouble
+      val ref = modReference(edges, lab)
+      val wTot = ref.values.map(_._2).sum
+      val pTot = ref.values.map(v => v._3 * v._4).sum
+      val expQ = wTot.toDouble / m - pTot.toDouble / m / m
+      val got = Graph.modularityTotal(edges.toDF("src", "dst"),
+          lab.toSeq.toDF("node", "label"))
+        .as[(Double, Long, Long, Double)].collect().head
+      Caches.releaseAll()
+      assert(got == ((m, wTot, pTot, expQ)), s"trial $trial")
+      // and the double-summed per-community Q agrees to fp tolerance
+      assert(math.abs(ref.values.map(_._5).sum - got._4) < 1e-12)
+    }
   }
 }
