@@ -664,38 +664,65 @@ object Graph {
    * Caller contract: edges are used AS GIVEN — a multigraph is a
    * legitimate input (every duplicate edge counts in m and the
    * marginals). Unlike [[pageRank]]/[[labelPropagation]] there is no
-   * internal `distinct()`; dedupe upstream for a simple graph.
+   * internal `distinct()`; dedupe upstream for a simple graph. `labels`
+   * must cover every edge endpoint (m is derived from the labeled
+   * mixing matrix — an unlabeled endpoint would silently drop its
+   * edges; a partition that misses nodes is ill-posed for Q anyway).
+   * Both persisted intermediates release via `Caches.releaseAll()`.
    */
   def modularity(edges: DataFrame, labels: DataFrame,
       src: String = "src", dst: String = "dst"): DataFrame = {
+    val (lab, mixing) = labeledMixing(edges, labels, src, dst)
+    val mDf = mixing.agg(sum(col("cnt")).cast("double").as("m"))
+    communityMarginals(lab, mixing)
+      .crossJoin(broadcast(mDf))
+      .select(col("label"), col("nodes"), col("within_edges"),
+        col("out_degree"), col("in_degree"),
+        (col("within_edges").cast("double") / col("m")
+          - col("out_degree").cast("double")
+            * col("in_degree").cast("double")
+            / col("m") / col("m")).as("q"))
+  }
+
+  /** The one |E|-shuffle behind [[modularity]]/[[modularityTotal]]: label
+    * both endpoints, collapse to the ≤C² community mixing matrix. BOTH
+    * frames persist through [[Caches]] — the label frame is |V|-bounded
+    * and typically the output of an ITERATIVE operator (LPA), whose whole
+    * loop would otherwise replay once per downstream consumer (three
+    * joins read it here — measured 3× the LPA cost before persisting);
+    * the mixing matrix feeds m plus three marginal aggregations. m is
+    * derived FROM the matrix (Σcnt — one tiny agg on C² rows) instead of
+    * a second |E| scan; by the label-coverage contract this equals |E|. */
+  private def labeledMixing(edges: DataFrame, labels: DataFrame,
+      src: String, dst: String): (DataFrame, DataFrame) = {
     val e = edges.select(col(src).as("s"), col(dst).as("d"))
-    val lab = labels.select(col("node"), col("label"))
-    val mDf = e.agg(count(lit(1)).cast("double").as("m"))
-    // |E|-shuffle once: label both endpoints, collapse to the mixing matrix
+    val lab = Caches.persistTracked(labels.select(col("node"), col("label")))
     val mixing = Caches.persistTracked(e
       .join(lab.select(col("node").as("s"), col("label").as("sl")), "s")
       .join(lab.select(col("node").as("d"), col("label").as("dl")), "d")
       .groupBy("sl", "dl").agg(count(lit(1)).as("cnt")))
+    (lab, mixing)
+  }
+
+  /** (label, nodes, within_edges, out_degree, in_degree) per community —
+    * the integer inputs both modularity faces share. All-tiny aggs and
+    * joins over the C²-bounded mixing matrix and the |V| label frame. */
+  private def communityMarginals(lab: DataFrame,
+      mixing: DataFrame): DataFrame = {
     val within = mixing.filter(col("sl") === col("dl"))
       .select(col("sl").as("label"), col("cnt").as("within_edges"))
     val outDeg = mixing.groupBy(col("sl").as("label"))
       .agg(sum(col("cnt")).as("out_degree"))
     val inDeg = mixing.groupBy(col("dl").as("label"))
       .agg(sum(col("cnt")).as("in_degree"))
-    val coms = lab.groupBy("label").agg(count(lit(1)).as("nodes"))
-    coms
+    lab.groupBy("label").agg(count(lit(1)).as("nodes"))
       .join(within, Seq("label"), "left")
       .join(outDeg, Seq("label"), "left")
       .join(inDeg, Seq("label"), "left")
-      .crossJoin(broadcast(mDf))
       .select(col("label"), col("nodes"),
         coalesce(col("within_edges"), lit(0L)).as("within_edges"),
         coalesce(col("out_degree"), lit(0L)).as("out_degree"),
-        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
-        (coalesce(col("within_edges"), lit(0L)).cast("double") / col("m")
-          - coalesce(col("out_degree"), lit(0L)).cast("double")
-            * coalesce(col("in_degree"), lit(0L)).cast("double")
-            / col("m") / col("m")).as("q"))
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
   }
 
   /**
@@ -711,9 +738,9 @@ object Graph {
    */
   def modularityTotal(edges: DataFrame, labels: DataFrame,
       src: String = "src", dst: String = "dst"): DataFrame = {
-    val perCom = modularity(edges, labels, src, dst)
-    val mDf = edges.agg(count(lit(1)).cast("double").as("m"))
-    perCom.agg(
+    val (lab, mixing) = labeledMixing(edges, labels, src, dst)
+    val mDf = mixing.agg(sum(col("cnt")).cast("double").as("m"))
+    communityMarginals(lab, mixing).agg(
         sum(col("within_edges")).as("within_total"),
         sum(col("out_degree") * col("in_degree")).as("degree_product_sum"))
       .crossJoin(broadcast(mDf))

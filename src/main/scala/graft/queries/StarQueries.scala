@@ -166,22 +166,23 @@ object StarQueries {
        |SELECT node, label FROM l$k ORDER BY node""".stripMargin
 
   /** Shared WITH body for the two modularity oracles: the LPA(k) labels,
-    * m as a pre-cast DOUBLE (the engine casts count→double BEFORE the
-    * divides — mirror that), the labeled-edge mixing matrix, and the
-    * within/out/in marginals. Every count is an integer; the only doubles
-    * are the final fixed-shape expressions in the SELECTs, so there is no
+    * the labeled-edge mixing matrix, m derived from it as Σcnt (the
+    * engine's one-|E|-scan shape — sum(cnt) → BIGINT → DOUBLE, cast
+    * BEFORE the divides, mirrored op-for-op), and the within/out/in
+    * marginals. Every count is an integer; the only doubles are the
+    * final fixed-shape expressions in the SELECTs, so there is no
     * summation-order ambiguity to mirror. DuckDB sum(BIGINT) returns
     * HUGEINT — every sum is cast back to BIGINT to match Spark's long. */
   private def modularityCtes(k: Int): String =
     s"""${lpaCtes(k)},
        |lab AS (SELECT node, label FROM l$k),
-       |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
        |mix AS (
        |  SELECT ls.label AS sl, ld.label AS dl, count(*) AS cnt
        |  FROM e JOIN lab ls ON e.src = ls.node
        |         JOIN lab ld ON e.dst = ld.node
        |  GROUP BY ls.label, ld.label
-       |), w AS (SELECT sl AS label, cnt AS within_edges FROM mix WHERE sl = dl),
+       |),
+       |m AS (SELECT CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS m FROM mix), w AS (SELECT sl AS label, cnt AS within_edges FROM mix WHERE sl = dl),
        |od AS (SELECT sl AS label, CAST(sum(cnt) AS BIGINT) AS out_degree
        |       FROM mix GROUP BY sl),
        |idg AS (SELECT dl AS label, CAST(sum(cnt) AS BIGINT) AS in_degree
