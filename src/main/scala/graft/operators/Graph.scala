@@ -626,6 +626,99 @@ object Graph {
       .select(col("doc_id").as("node"), col("cluster").as("component"))
 
   /**
+   * PARALLEL LOUVAIN MOVE PHASE (the local-move step of Blondel et al.
+   * 2008, with the DIRECTED-modularity gain of Dugué & Perez 2015 —
+   * the same Q [[modularity]] scores, so the two operators compose):
+   * k synchronous rounds; in each, EVERY node simultaneously
+   * re-assigns itself to the candidate community maximizing the
+   * isolated-join gain
+   *
+   *   S(v, c) = (k_v→c + k_c→v)/m
+   *             − (dout_v·totin'_c + din_v·totout'_c)/m²
+   *
+   * over the communities of its out- and in-neighbors plus its own
+   * (tot' excludes v itself when scoring its own community — the
+   * remove-then-rejoin convention), ties to the SMALLEST community
+   * label. A total order, so the whole k-round trajectory is a pure
+   * function of the graph: classic sequential Louvain is
+   * visit-order-dependent and no oracle could replay it; the
+   * synchronous variant is the standard parallel-Louvain shape (the
+   * documented trade: simultaneous moves can oscillate on symmetric
+   * structures, so this is a FIXED-k move phase — the LPA contract —
+   * not an iterate-to-convergence).
+   *
+   * Determinism of the score: every input is an INTEGER (edge counts
+   * k_v→c/k_c→v, degrees, community degree totals), m is one exact
+   * driver-collected long (the [[pageRank]] N pattern), and S is a
+   * fixed-shape cast-then-multiply/divide expression — two double
+   * products added in a fixed order, nothing data-order-dependent —
+   * so DuckDB replays it bit-for-bit and the argmax under
+   * (S desc, c asc) agrees.
+   *
+   * Scale shape per round: two |E| equi-joins of labels onto the
+   * checkpointed pre-sorted edge base (one per direction) + partial-agg
+   * counts per (node, candidate community) — candidate sets bounded by
+   * degree, never materialized per node; community totals are a
+   * C-row aggregate joined back on the candidate key; the argmax is a
+   * partial-aggregated `max_by` under the (S, −c) struct order — never
+   * a window. State is the |V|-row label frame, lineage-capped every
+   * 2nd round ([[iterate]]). Output: (node, label) after `iterations`
+   * rounds from the all-singletons start.
+   */
+  def louvainMove(edges: DataFrame, iterations: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = checkpointEdges(edges, src, dst)
+    val degs = Caches.checkpointTracked(
+      e.groupBy(col(src).as("node")).agg(count(lit(1)).as("dout"))
+        .join(e.groupBy(col(dst).as("node")).agg(count(lit(1)).as("din")),
+          Seq("node"), "full")
+        .select(col("node"), coalesce(col("dout"), lit(0L)).as("dout"),
+          coalesce(col("din"), lit(0L)).as("din")))
+    val m = e.count().toDouble // bounded eager job: ONE driver-side long
+    val lab0 = degs.select(col("node"), col("node").as("label"))
+    iterate(lab0, iterations, capEvery = 2) { (lab, _, cap) =>
+      val tot = lab.join(degs, "node").groupBy("label")
+        .agg(sum(col("dout")).as("tout"), sum(col("din")).as("tin"))
+        .withColumnRenamed("label", "c")
+      val kout = e
+        .join(lab.select(col("node").as(dst), col("label").as("c")), dst)
+        .groupBy(col(src).as("node"), col("c"))
+        .agg(count(lit(1)).as("kvc"))
+      val kin = e
+        .join(lab.select(col("node").as(src), col("label").as("c")), src)
+        .groupBy(col(dst).as("node"), col("c"))
+        .agg(count(lit(1)).as("kcv"))
+      // out-mass, in-mass, and the always-present own-community row
+      // merge in one partial-agg pass; tot' subtracts v's own degrees
+      // when it scores the community it is already in
+      val cand = kout
+        .select(col("node"), col("c"), col("kvc"), lit(0L).as("kcv"))
+        .unionAll(kin.select(col("node"), col("c"),
+          lit(0L).as("kvc"), col("kcv")))
+        .unionAll(lab.select(col("node"), col("label").as("c"),
+          lit(0L).as("kvc"), lit(0L).as("kcv")))
+        .groupBy("node", "c")
+        .agg(sum(col("kvc")).as("kvc"), sum(col("kcv")).as("kcv"))
+      val scored = cand
+        .join(degs, "node")
+        .join(lab, "node")
+        .join(tot, "c")
+        .select(col("node"), col("c"),
+          ((col("kvc") + col("kcv")).cast("double") / lit(m)
+            - (col("dout").cast("double")
+                * (col("tin") - when(col("label") === col("c"), col("din"))
+                    .otherwise(lit(0L))).cast("double")
+               + col("din").cast("double")
+                * (col("tout") - when(col("label") === col("c"), col("dout"))
+                    .otherwise(lit(0L))).cast("double"))
+              / lit(m) / lit(m)).as("s"))
+      cap(scored.groupBy("node")
+        .agg(max_by(col("c"), struct(col("s"), (-col("c")).as("nc")))
+          .as("label")))
+    }
+  }
+
+  /**
    * DIRECTED MODULARITY of a node partition (Leicht & Newman 2008,
    * "Community structure in directed networks" — reduces to Newman's
    * undirected Q on a symmetrized edge list, which is exactly what the

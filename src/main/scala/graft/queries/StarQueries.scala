@@ -129,6 +129,69 @@ object StarQueries {
        |SELECT node, pr FROM r$k ORDER BY node""".stripMargin
   }
 
+  /** Oracle for `graph_louvain`: k synchronous parallel-Louvain move
+    * rounds unrolled as a CTE chain. Each level replays the engine's
+    * round exactly: community degree totals (all BIGINT), the per-(node,
+    * candidate) edge masses as a 3-way UNION ALL (out-mass, in-mass, the
+    * always-present own-community row) summed in one GROUP BY, then the
+    * directed-gain argmax under (S DESC, c ASC) — S mirrored
+    * op-for-op (CAST-then-multiply/divide, the two products added in a
+    * fixed order, tot' subtracting v's own degrees via the same CASE).
+    * Every lab/tot/cand level is AS MATERIALIZED — levels are referenced
+    * several times each and default inlining would compound
+    * exponentially across rounds (the graph_corenum lesson). */
+  private def louvainOracle(k: Int): String = {
+    def level(i: Int): String =
+      s"""t$i AS MATERIALIZED (
+         |  SELECT l.label AS c, CAST(sum(d.dout) AS BIGINT) AS tout,
+         |    CAST(sum(d.din) AS BIGINT) AS tin
+         |  FROM l${i - 1} l JOIN degs d ON l.node = d.node GROUP BY l.label
+         |), cand$i AS MATERIALIZED (
+         |  SELECT node, c, CAST(sum(kvc) AS BIGINT) AS kvc,
+         |    CAST(sum(kcv) AS BIGINT) AS kcv FROM (
+         |    SELECT e.src AS node, l.label AS c, 1 AS kvc, 0 AS kcv
+         |    FROM e JOIN l${i - 1} l ON e.dst = l.node
+         |    UNION ALL
+         |    SELECT e.dst, l.label, 0, 1 FROM e JOIN l${i - 1} l ON e.src = l.node
+         |    UNION ALL
+         |    SELECT node, label, 0, 0 FROM l${i - 1})
+         |  GROUP BY node, c
+         |), l$i AS MATERIALIZED (
+         |  SELECT node, c AS label FROM (
+         |    SELECT cand.node, cand.c,
+         |      row_number() OVER (PARTITION BY cand.node ORDER BY
+         |        CAST(cand.kvc + cand.kcv AS DOUBLE) / mm.m
+         |        - (CAST(d.dout AS DOUBLE)
+         |             * CAST(t.tin - CASE WHEN l.label = cand.c
+         |                 THEN d.din ELSE 0 END AS DOUBLE)
+         |           + CAST(d.din AS DOUBLE)
+         |             * CAST(t.tout - CASE WHEN l.label = cand.c
+         |                 THEN d.dout ELSE 0 END AS DOUBLE))
+         |          / mm.m / mm.m DESC, cand.c ASC) AS rn
+         |    FROM cand$i cand
+         |    JOIN degs d ON cand.node = d.node
+         |    JOIN l${i - 1} l ON cand.node = l.node
+         |    JOIN t$i t ON cand.c = t.c
+         |    CROSS JOIN mm)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e AS (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+       |), douts AS (SELECT src AS node, count(*) AS dout FROM e GROUP BY src),
+       |dins AS (SELECT dst AS node, count(*) AS din FROM e GROUP BY dst),
+       |degs AS (
+       |  SELECT COALESCE(o.node, i.node) AS node,
+       |    COALESCE(o.dout, 0) AS dout, COALESCE(i.din, 0) AS din
+       |  FROM douts o FULL JOIN dins i ON o.node = i.node
+       |), mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+       |l0 AS (SELECT node, node AS label FROM degs),
+       |${(1 to k).map(level).mkString(",\n")}
+       |SELECT node, label FROM l$k ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `graph_lpa`: k synchronous label-propagation rounds
     * unrolled as a CTE chain (the pageRankOracle technique). Each level
     * replays the engine's update exactly: count in-neighbor labels, then
@@ -2155,6 +2218,27 @@ object StarQueries {
     QueryDef.of("graph_corenum", coreNumbersOracle(20)) { (s, dir) =>
       val e = strongCoPurchaseEdges(s, dir)
       graft.operators.Graph.coreNumbers(e, rounds = 20)
+        .orderBy("node")
+    },
+
+    // PARALLEL LOUVAIN move phase on the co-purchase graph (3
+    // synchronous rounds from the all-singletons start, directed
+    // Dugué–Perez gain — the same Q graph_modularity scores, so the two
+    // compose into a measurable modularity-ascent story). Deterministic
+    // BY CONSTRUCTION (simultaneous best moves, ties to the smallest
+    // community label — sequential Louvain is visit-order dependent and
+    // un-replayable); the gain's every input is an integer and the
+    // expression fixed-shape, so the CTE chain replays each round
+    // bit-for-bit.
+    QueryDef.of("graph_louvain", louvainOracle(3)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.louvainMove(e, iterations = 3)
         .orderBy("node")
     },
 

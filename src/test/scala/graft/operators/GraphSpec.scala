@@ -573,6 +573,77 @@ class GraphSpec extends SparkSpecBase {
     assert(at20.values.max == 15L) // the measured degeneracy at sf0.001
   }
 
+  /** Plain-Scala replay of [[Graph.louvainMove]]'s exact semantics:
+    * per-round community totals, per-(node, candidate) edge masses
+    * (own community always a candidate), the directed Dugué–Perez gain
+    * with the SAME double op order, argmax under (S desc, c asc). */
+  private def louvainReference(edges: Seq[(Long, Long)], k: Int)
+      : Map[Long, Long] = {
+    val e = edges.distinct
+    val m = e.size.toDouble
+    val dout = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val din = e.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nodes = (dout.keys ++ din.keys).toSeq.distinct.sorted
+    def d(mm: Map[Long, Long], v: Long) = mm.getOrElse(v, 0L)
+    var lab = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to k) {
+      val tout = nodes.groupBy(lab).view.mapValues(_.map(d(dout, _)).sum).toMap
+      val tin = nodes.groupBy(lab).view.mapValues(_.map(d(din, _)).sum).toMap
+      lab = nodes.map { v =>
+        val kvc = e.filter(_._1 == v).groupBy(p => lab(p._2))
+          .view.mapValues(_.size.toLong).toMap
+        val kcv = e.filter(_._2 == v).groupBy(p => lab(p._1))
+          .view.mapValues(_.size.toLong).toMap
+        val cands = (kvc.keys ++ kcv.keys ++ Seq(lab(v))).toSeq.distinct
+        val best = cands.map { c =>
+          val own = if (lab(v) == c) 1L else 0L
+          val s = (kvc.getOrElse(c, 0L) + kcv.getOrElse(c, 0L)).toDouble / m -
+            (d(dout, v).toDouble * (tin(c) - own * d(din, v)).toDouble +
+             d(din, v).toDouble * (tout(c) - own * d(dout, v)).toDouble) / m / m
+          (c, s)
+        }.minBy { case (c, s) => (-s, c) }._1
+        v -> best
+      }.toMap
+    }
+    lab
+  }
+
+  test("louvainMove equals the directed-gain reference on random symmetric graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 2) {
+      val raw = Seq.fill(200)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2)
+      val symE = (raw ++ raw.map(_.swap)).distinct
+      val got = Graph.louvainMove(symE.toDF("src", "dst"), iterations = 3)
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      assert(got == louvainReference(symE, 3), s"trial $trial")
+    }
+  }
+
+  test("louvainMove: two cliques with one bridge settle to per-clique communities") {
+    import spark.implicits._
+    // K4 {1..4} + K4 {5..8}, one bridge 4–5
+    val cl = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val cr = for { a <- 5L to 8L; b <- 5L to 8L if a != b } yield (a, b)
+    val edges = (cl ++ cr ++ Seq((4L, 5L), (5L, 4L))).distinct
+    val got = Graph.louvainMove(edges.toDF("src", "dst"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(got == louvainReference(edges, 3))
+    assert((1L to 4L).map(got).distinct.size == 1, "left clique one community")
+    assert((5L to 8L).map(got).distinct.size == 1, "right clique one community")
+    assert(got(1L) != got(5L), "cliques stay separate")
+    // and the move phase genuinely ascends Q on this graph: the found
+    // partition scores higher than singletons (whose Q is negative here)
+    val labDf = got.toSeq.toDF("node", "label")
+    val q = Graph.modularityTotal(edges.toDF("src", "dst"), labDf)
+      .as[(Double, Long, Long, Double)].collect().head._4
+    Caches.releaseAll()
+    assert(q > 0.3, s"clique partition should score strongly positive, got $q")
+  }
+
   /** Plain-Scala modularity replay with the operator's EXACT double op
     * order (cast-then-divide, within/m − out·in/m/m) — the bit-equality
     * twin. Returns label → (nodes, within, out, in, q). */
