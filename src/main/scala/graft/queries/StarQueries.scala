@@ -140,7 +140,7 @@ object StarQueries {
     * Every lab/tot/cand level is AS MATERIALIZED — levels are referenced
     * several times each and default inlining would compound
     * exponentially across rounds (the graph_corenum lesson). */
-  private def louvainOracle(k: Int): String = {
+  private def louvainCtes(k: Int): String = {
     def level(i: Int): String =
       s"""t$i AS MATERIALIZED (
          |  SELECT l.label AS c, CAST(sum(d.dout) AS BIGINT) AS tout,
@@ -175,7 +175,7 @@ object StarQueries {
          |    CROSS JOIN mm)
          |  WHERE rn = 1
          |)""".stripMargin
-    s"""WITH li AS (
+    s"""li AS (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
        |), e AS (
        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
@@ -188,9 +188,30 @@ object StarQueries {
        |  FROM douts o FULL JOIN dins i ON o.node = i.node
        |), mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
        |l0 AS (SELECT node, node AS label FROM degs),
-       |${(1 to k).map(level).mkString(",\n")}
-       |SELECT node, label FROM l$k ORDER BY node""".stripMargin
+       |${(1 to k).map(level).mkString(",\n")}""".stripMargin
   }
+
+  private def louvainOracle(k: Int): String =
+    s"""WITH ${louvainCtes(k)}
+       |SELECT node, label FROM l$k ORDER BY node""".stripMargin
+
+  /** Oracle for `graph_louvain_q`: the Louvain chain's final labels fed
+    * through the SAME marginal + integer-sum-total arithmetic as
+    * `graph_modularity_q` — the ascent measurement (compare against the
+    * LPA partition's Q on the same graph). */
+  private def louvainQOracle(k: Int): String =
+    s"""WITH ${louvainCtes(k)},
+       |lab AS (SELECT node, label FROM l$k),
+       |$modularityMarginalCtes,
+       |tot AS (
+       |  SELECT CAST(sum(within_edges) AS BIGINT) AS within_total,
+       |    CAST(sum(out_degree * in_degree) AS BIGINT) AS degree_product_sum
+       |  FROM percom
+       |)
+       |SELECT m.m AS m, within_total, degree_product_sum,
+       |  CAST(within_total AS DOUBLE) / m.m
+       |    - CAST(degree_product_sum AS DOUBLE) / m.m / m.m AS q
+       |FROM tot CROSS JOIN m""".stripMargin
 
   /** Oracle for `graph_lpa`: k synchronous label-propagation rounds
     * unrolled as a CTE chain (the pageRankOracle technique). Each level
@@ -236,31 +257,39 @@ object StarQueries {
     * final fixed-shape expressions in the SELECTs, so there is no
     * summation-order ambiguity to mirror. DuckDB sum(BIGINT) returns
     * HUGEINT — every sum is cast back to BIGINT to match Spark's long. */
+  /** The mixing-matrix → marginals block, appended after ANY `lab`
+    * (node, label) and `e` (src, dst) CTEs — shared by the
+    * LPA-partition modularity oracles and the Louvain-partition
+    * `graph_louvain_q`. */
+  private val modularityMarginalCtes: String =
+    """mix AS (
+      |  SELECT ls.label AS sl, ld.label AS dl, count(*) AS cnt
+      |  FROM e JOIN lab ls ON e.src = ls.node
+      |         JOIN lab ld ON e.dst = ld.node
+      |  GROUP BY ls.label, ld.label
+      |),
+      |m AS (SELECT CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS m FROM mix),
+      |w AS (SELECT sl AS label, cnt AS within_edges FROM mix WHERE sl = dl),
+      |od AS (SELECT sl AS label, CAST(sum(cnt) AS BIGINT) AS out_degree
+      |       FROM mix GROUP BY sl),
+      |idg AS (SELECT dl AS label, CAST(sum(cnt) AS BIGINT) AS in_degree
+      |        FROM mix GROUP BY dl),
+      |coms AS (SELECT label, count(*) AS nodes FROM lab GROUP BY label),
+      |percom AS (
+      |  SELECT coms.label, coms.nodes,
+      |    COALESCE(w.within_edges, 0) AS within_edges,
+      |    COALESCE(od.out_degree, 0) AS out_degree,
+      |    COALESCE(idg.in_degree, 0) AS in_degree
+      |  FROM coms
+      |  LEFT JOIN w ON coms.label = w.label
+      |  LEFT JOIN od ON coms.label = od.label
+      |  LEFT JOIN idg ON coms.label = idg.label
+      |)""".stripMargin
+
   private def modularityCtes(k: Int): String =
     s"""${lpaCtes(k)},
        |lab AS (SELECT node, label FROM l$k),
-       |mix AS (
-       |  SELECT ls.label AS sl, ld.label AS dl, count(*) AS cnt
-       |  FROM e JOIN lab ls ON e.src = ls.node
-       |         JOIN lab ld ON e.dst = ld.node
-       |  GROUP BY ls.label, ld.label
-       |),
-       |m AS (SELECT CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS m FROM mix), w AS (SELECT sl AS label, cnt AS within_edges FROM mix WHERE sl = dl),
-       |od AS (SELECT sl AS label, CAST(sum(cnt) AS BIGINT) AS out_degree
-       |       FROM mix GROUP BY sl),
-       |idg AS (SELECT dl AS label, CAST(sum(cnt) AS BIGINT) AS in_degree
-       |        FROM mix GROUP BY dl),
-       |coms AS (SELECT label, count(*) AS nodes FROM lab GROUP BY label),
-       |percom AS (
-       |  SELECT coms.label, coms.nodes,
-       |    COALESCE(w.within_edges, 0) AS within_edges,
-       |    COALESCE(od.out_degree, 0) AS out_degree,
-       |    COALESCE(idg.in_degree, 0) AS in_degree
-       |  FROM coms
-       |  LEFT JOIN w ON coms.label = w.label
-       |  LEFT JOIN od ON coms.label = od.label
-       |  LEFT JOIN idg ON coms.label = idg.label
-       |)""".stripMargin
+       |$modularityMarginalCtes""".stripMargin
 
   private def modularityOracle(k: Int): String =
     s"""WITH ${modularityCtes(k)}
@@ -2240,6 +2269,23 @@ object StarQueries {
         .select("src", "dst")
       graft.operators.Graph.louvainMove(e, iterations = 3)
         .orderBy("node")
+    },
+
+    // THE ASCENT MEASUREMENT: global Q of the Louvain(3) partition on
+    // the same graph, through the same integer-sum total as
+    // graph_modularity_q — putting a certified number on "the move
+    // phase found denser communities than label propagation" (compare
+    // the two one-row outputs directly).
+    QueryDef.of("graph_louvain_q", louvainQOracle(3)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct() // modularity's simple-graph m
+      val labels = graft.operators.Graph.louvainMove(e, iterations = 3)
+      graft.operators.Graph.modularityTotal(e, labels)
     },
 
     // MODULARITY of the LPA(4) partition on the co-purchase graph
