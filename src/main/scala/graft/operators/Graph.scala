@@ -819,6 +819,33 @@ object Graph {
   }
 
   /**
+   * LOUVAIN AGGREGATION PHASE (the coarsening half of Blondel et al.
+   * 2008, next to [[louvainMove]]'s local-move half): collapse a node
+   * partition into its WEIGHTED COMMUNITY GRAPH — one node per
+   * community, edge weight = number of original edges between the two
+   * communities, SELF-LOOPS carrying the within-community mass (the
+   * standard aggregation convention: a second-level pass needs that
+   * mass to score further merges). This is exactly the community
+   * mixing matrix [[modularity]] aggregates — ONE |E|-shuffle, output
+   * ≤C² rows — exposed as a graph so community-level structure can be
+   * fed back through the toolkit (triangles/components/pagerank of the
+   * community graph, or plain inspection: "which communities talk").
+   *
+   * Caller contract matches [[modularity]]: edges as given (multigraph
+   * weights accumulate), labels must cover every edge endpoint,
+   * intermediates release via `Caches.releaseAll()`.
+   *
+   * Output: (src, dst, weight) — community ids from `labels`, ordered
+   * by nothing (callers sort).
+   */
+  def coarsen(edges: DataFrame, labels: DataFrame,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val (_, mixing) = labeledMixing(edges, labels, src, dst)
+    mixing.select(col("sl").as("src"), col("dl").as("dst"),
+      col("cnt").as("weight"))
+  }
+
+  /**
    * GLOBAL modularity Q = Σ_c q_c, computed WITHOUT summing doubles:
    * Q = W/m − P/m² where W = Σ_c e_c and P = Σ_c out_c·in_c are exact
    * integer sums (order-independent), divided once at the end with the

@@ -213,6 +213,18 @@ object StarQueries {
        |    - CAST(degree_product_sum AS DOUBLE) / m.m / m.m AS q
        |FROM tot CROSS JOIN m""".stripMargin
 
+  /** Oracle for `graph_coarsen`: the Louvain chain's final labels
+    * collapsed to the weighted community graph — the mixing-matrix CTE
+    * verbatim with self-loops kept (the aggregation-phase convention). */
+  private def coarsenOracle(k: Int): String =
+    s"""WITH ${louvainCtes(k)},
+       |lab AS (SELECT node, label FROM l$k)
+       |SELECT ls.label AS src, ld.label AS dst, count(*) AS weight
+       |FROM e JOIN lab ls ON e.src = ls.node
+       |       JOIN lab ld ON e.dst = ld.node
+       |GROUP BY ls.label, ld.label
+       |ORDER BY src, dst""".stripMargin
+
   /** Oracle for `graph_lpa`: k synchronous label-propagation rounds
     * unrolled as a CTE chain (the pageRankOracle technique). Each level
     * replays the engine's update exactly: count in-neighbor labels, then
@@ -2269,6 +2281,24 @@ object StarQueries {
         .select("src", "dst")
       graft.operators.Graph.louvainMove(e, iterations = 3)
         .orderBy("node")
+    },
+
+    // LOUVAIN AGGREGATION PHASE: the Louvain(3) partition collapsed to
+    // its weighted community graph (self-loops = within-community mass,
+    // the convention a second-level pass needs) — "which bought-together
+    // neighborhoods talk to each other", community-level structure fed
+    // back through the graph toolkit. One |E|-shuffle to ≤C² rows.
+    QueryDef.of("graph_coarsen", coarsenOracle(3)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val labels = graft.operators.Graph.louvainMove(e, iterations = 3)
+      graft.operators.Graph.coarsen(e, labels)
+        .orderBy("src", "dst")
     },
 
     // THE ASCENT MEASUREMENT: global Q of the Louvain(3) partition on

@@ -644,6 +644,22 @@ class GraphSpec extends SparkSpecBase {
     assert(q > 0.3, s"clique partition should score strongly positive, got $q")
   }
 
+  test("coarsen: two cliques + bridge collapse to a 2-node weighted graph with self-loops") {
+    import spark.implicits._
+    val cl = for { a <- 1L to 3L; b <- 1L to 3L if a != b } yield (a, b)
+    val cr = for { a <- 4L to 6L; b <- 4L to 6L if a != b } yield (a, b)
+    val edges = (cl ++ cr ++ Seq((3L, 4L), (4L, 3L))).distinct
+    val lab = (1L to 3L).map(_ -> 1L) ++ (4L to 6L).map(_ -> 4L)
+    val got = Graph.coarsen(edges.toDF("src", "dst"),
+        lab.toDF("node", "label"))
+      .as[(Long, Long, Long)].collect().toSet
+    Caches.releaseAll()
+    // 6 directed within-edges per K3 (self-loops), 1 bridge each way
+    assert(got == Set((1L, 1L, 6L), (4L, 4L, 6L), (1L, 4L, 1L), (4L, 1L, 1L)))
+    // weight conservation: Σweight = |E|
+    assert(got.toSeq.map(_._3).sum == edges.size)
+  }
+
   /** Plain-Scala modularity replay with the operator's EXACT double op
     * order (cast-then-divide, within/m − out·in/m/m) — the bit-equality
     * twin. Returns label → (nodes, within, out, in, q). */
