@@ -149,8 +149,47 @@ object Graph {
     val n = nodes.count() // bounded eager job: ONE driver-side long
     val jump = (1.0 - damping) / n.toDouble
     val r0 = nodes.select(col("node"), lit(1.0 / n.toDouble).as("pr"))
-    prLoop(base, nodes, r0, lit(jump), iterations, damping, exact,
-      foldBuckets, src, dst)
+    prLoop(base, nodes, r0, lit(jump),
+      col("pr") / col("deg").cast("double"),
+      iterations, damping, exact, foldBuckets, src, dst)
+  }
+
+  /**
+   * WEIGHTED PAGERANK over a DIRECTED edge list with POSITIVE INTEGER
+   * weights (the co-purchase strength, a click count, a message
+   * volume): identical power iteration to [[pageRank]] except each
+   * node's rank is distributed over its out-edges PROPORTIONALLY to
+   * weight — contribution = pr·w/sw with sw = Σ out-weights — so
+   * centrality follows traffic mass, not mere adjacency (the natural
+   * companion to [[sssp]]'s weighted distances on the same graph).
+   *
+   * Caller contract: one row per distinct (src, dst) with its weight
+   * (positive — a zero-weight edge should just be absent); every node
+   * appears as a src. Everything else — the checkpointed
+   * (src, dst, w, sw) base, the hub-safe two-level exact fold /
+   * production `sum()` mode, the one-exchange shape, the uniform
+   * teleport — is [[pageRank]]'s machinery verbatim via the shared
+   * loop. The contribution's op order is fixed as (pr · w) / sw
+   * (integers cast to double first), which an oracle mirrors; with all
+   * weights equal to 1 it degenerates to pr·1.0/deg = pr/deg
+   * BIT-FOR-BIT (IEEE x·1.0 = x), so the unweighted operator is
+   * literally this one's w ≡ 1 special case — GraphSpec pins that law.
+   */
+  def pageRankWeighted(edges: DataFrame, iterations: Int = 5,
+      damping: Double = 0.85, src: String = "src", dst: String = "dst",
+      weight: String = "w", exact: Boolean = true,
+      foldBuckets: Int = 16): DataFrame = {
+    val e = edges.select(col(src), col(dst), col(weight).as("w"))
+    val sw = e.groupBy(src).agg(sum(col("w")).as("sw"))
+    val base = Caches.checkpointTracked(
+      e.join(sw, src).repartition(col(src)).sortWithinPartitions(src))
+    val nodes = Caches.checkpointTracked(sw.select(col(src).as("node")))
+    val n = nodes.count() // bounded eager job: ONE driver-side long
+    val jump = (1.0 - damping) / n.toDouble
+    val r0 = nodes.select(col("node"), lit(1.0 / n.toDouble).as("pr"))
+    prLoop(base, nodes, r0, lit(jump),
+      col("pr") * col("w").cast("double") / col("sw").cast("double"),
+      iterations, damping, exact, foldBuckets, src, dst)
   }
 
   /**
@@ -188,24 +227,28 @@ object Graph {
         .as("pr"))
     prLoop(base, nodes, r0,
       when(isSeed, lit(jumpS)).otherwise(lit(0.0d)),
+      col("pr") / col("deg").cast("double"),
       iterations, damping, exact, foldBuckets, src, dst)
   }
 
   /** The shared power-iteration loop behind [[pageRank]] /
-    * [[personalizedPageRank]] — see pageRank's scaladoc for the
-    * exact-vs-production fold modes and the one-exchange argument.
-    * `jumpCol` is the per-node teleport term (a literal for the uniform
-    * walk, a seed-membership CASE for the personalized one). */
+    * [[personalizedPageRank]] / [[pageRankWeighted]] — see pageRank's
+    * scaladoc for the exact-vs-production fold modes and the
+    * one-exchange argument. `jumpCol` is the per-node teleport term (a
+    * literal for the uniform walk, a seed-membership CASE for the
+    * personalized one); `contribC` is the per-edge contribution
+    * expression over the base's columns plus the joined `pr`
+    * (pr/deg for the uniform walk, pr·w/sw for the weighted one). */
   private def prLoop(base: DataFrame, nodes: DataFrame, r0: DataFrame,
-      jumpCol: Column, iterations: Int, damping: Double, exact: Boolean,
-      foldBuckets: Int, src: String, dst: String): DataFrame = {
+      jumpCol: Column, contribC: Column, iterations: Int, damping: Double,
+      exact: Boolean, foldBuckets: Int, src: String, dst: String)
+      : DataFrame = {
     // rank-lineage cap every 2nd step (see [[iterate]]) on the |V|-row
     // rank frame
     iterate(r0, iterations, capEvery = 2) { (r, _, cap) =>
       val contribs = base
         .join(r.select(col("node").as(src), col("pr")), src)
-        .select(col(dst), col(src),
-          (col("pr") / col("deg").cast("double")).as("c"))
+        .select(col(dst), col(src), contribC.as("c"))
       val sums =
         if (exact) contribs
           .select(col(dst), (col(src) % lit(foldBuckets.toLong)).as("bkt"),

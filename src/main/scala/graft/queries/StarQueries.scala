@@ -74,6 +74,53 @@ object StarQueries {
        |SELECT node, pr FROM r$k ORDER BY node""".stripMargin
   }
 
+  /** Oracle for `graph_pagerank_weighted`: [[pageRankOracle]]'s
+    * two-level-fold CTE chain with WEIGHTED contributions — the edge CTE
+    * carries w = shared-order count, sw = Σ out-weights replaces deg,
+    * and the fold's element is r.pr · CAST(w AS DOUBLE) / CAST(sw AS
+    * DOUBLE), the same (pr·w)/sw op order the engine fixes. Every other
+    * double rule (cast-before-divide, the never-pre-folded 0.15, nested
+    * list_sort + list_reduce levels) is pageRankOracle's verbatim. */
+  private def pageRankWeightedOracle(k: Int, b: Int = 16): String = {
+    def level(i: Int): String =
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(n AS DOUBLE)
+         |      + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
+         |  FROM nodes nd CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT b.dst, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_sort(list(struct_pack(bkt := b.bkt,
+         |        bs := b.bs))), x -> x.bs)), (a, x) -> a + x) AS s
+         |    FROM (
+         |      SELECT e.dst, e.src % $b AS bkt,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(list_sort(list(struct_pack(src := e.src,
+         |            c := r.pr * CAST(e.w AS DOUBLE) / CAST(d.sw AS DOUBLE)))),
+         |            x -> x.c)),
+         |          (a, x) -> a + x) AS bs
+         |      FROM e JOIN swd d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node
+         |      GROUP BY e.dst, e.src % $b
+         |    ) b GROUP BY b.dst
+         |  ) s ON nd.node = s.dst
+         |)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e AS (
+       |  SELECT a.pk AS src, b.pk AS dst, count(*) AS w
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+       |  GROUP BY a.pk, b.pk
+       |), swd AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e GROUP BY src
+       |), nodes AS (SELECT src AS node FROM swd),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT node, 1.0 / CAST(n AS DOUBLE) AS pr FROM nodes CROSS JOIN nn
+       |),
+       |${(1 to k).map(level).mkString(",\n")}
+       |SELECT node, pr FROM r$k ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `graph_ppr`: [[pageRankOracle]]'s two-level-fold CTE
     * chain with the PERSONALIZED teleport — the jump term is a CASE over
     * seed membership ((1−d)/|S| on the `nSeeds` smallest nodes, else an
@@ -2126,6 +2173,26 @@ object StarQueries {
         .filter(col("src") =!= col("dst"))
         .select("src", "dst")
       graft.operators.Graph.pageRank(e, iterations = 5)
+        .orderBy("node")
+    },
+
+    // WEIGHTED PageRank on the co-purchase graph: rank distributed over
+    // out-edges proportionally to SHARED-ORDER COUNT (the basket
+    // strength sssp already uses as distance) — centrality that follows
+    // traffic mass, not mere adjacency. Contribution (pr·w)/sw with
+    // integer weights; the oracle replays the same two-level fold with
+    // the weighted element. With w ≡ 1 this operator IS graph_pagerank
+    // bit-for-bit (GraphSpec pins the law).
+    QueryDef.of("graph_pagerank_weighted",
+      pageRankWeightedOracle(5)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.operators.Graph.pageRankWeighted(e, iterations = 5)
         .orderBy("node")
     },
 

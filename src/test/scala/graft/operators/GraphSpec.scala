@@ -187,6 +187,78 @@ class GraphSpec extends SparkSpecBase {
     assert(seeds.forall(s => got(s) > uni(s)))
   }
 
+  /** [[prReference]] with weighted contributions (pr·w)/sw — the same
+    * two-level fold, the element computed in the operator's op order. */
+  private def prwReference(edges: Seq[(Long, Long, Long)], k: Int,
+      d: Double = 0.85, b: Int = 16): Map[Long, Double] = {
+    val sw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val w = edges.map(e => (e._1, e._2) -> e._3).toMap
+    val nodes = sw.keys.toSeq.sorted
+    val n = nodes.size
+    val jump = (1.0 - d) / n.toDouble
+    var r = nodes.map(_ -> 1.0 / n.toDouble).toMap
+    for (_ <- 1 to k) {
+      val in = edges.map(e => (e._1, e._2)).groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(_._1).groupBy(_ % b).toSeq.sortBy(_._1)
+          .map { case (_, srcs) =>
+            srcs.sorted.foldLeft(0.0)((a, s) =>
+              a + r(s) * w((s, dst)).toDouble / sw(s).toDouble)
+          }.foldLeft(0.0)(_ + _)
+      }
+      r = nodes.map(v => v -> (jump + d * in.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("pageRankWeighted is bit-equal to the weighted two-level-fold reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val raw = Seq.fill(260)((rnd.nextInt(180).toLong, rnd.nextInt(180).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val symW = (raw ++ raw.map(_.swap)).distinct
+      .map { case (a, b) => (a, b, (a + b) % 7 + 1) } // deterministic weights
+    val got = Graph.pageRankWeighted(symW.toDF("src", "dst", "w"),
+        iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    Caches.releaseAll()
+    assert(got == prwReference(symW, 5))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // mass conservation
+  }
+
+  test("pageRankWeighted with w ≡ 1 IS pageRank, bit-for-bit (IEEE x·1.0 = x)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val raw = Seq.fill(200)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+    val sym = (raw ++ raw.map(_.swap)).distinct
+    val unw = Graph.pageRank(sym.toDF("src", "dst"), iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    Caches.releaseAll()
+    val wtd = Graph.pageRankWeighted(
+        sym.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"),
+        iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    Caches.releaseAll()
+    assert(unw.keySet == wtd.keySet)
+    unw.foreach { case (node, v) =>
+      assert(java.lang.Double.doubleToRawLongBits(v) ==
+        java.lang.Double.doubleToRawLongBits(wtd(node)), s"node $node")
+    }
+  }
+
+  test("pageRankWeighted: the heavier out-edge's target collects more rank") {
+    import spark.implicits._
+    // hub 0 splits rank 9:1 between a=1 and b=2; back-edges keep the
+    // graph dangling-free and symmetric in STRUCTURE, weights differ
+    val edges = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+    val got = Graph.pageRankWeighted(edges.toDF("src", "dst", "w"),
+        iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    Caches.releaseAll()
+    assert(got == prwReference(edges, 5))
+    assert(got(1L) > got(2L), "9x weight must out-rank 1x")
+  }
+
   test("pageRank ranks a star's hub above its spokes") {
     import spark.implicits._
     val spokes = (1L to 8L)
