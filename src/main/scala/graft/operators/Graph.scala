@@ -709,15 +709,47 @@ object Graph {
    * rounds from the all-singletons start.
    */
   def louvainMove(edges: DataFrame, iterations: Int,
-      src: String = "src", dst: String = "dst"): DataFrame = {
-    val e = checkpointEdges(edges, src, dst)
+      src: String = "src", dst: String = "dst"): DataFrame =
+    louvainLoop(
+      Caches.checkpointTracked(edges.select(col(src), col(dst)).distinct()
+        .withColumn("w", lit(1L))
+        .repartition(col(src)).sortWithinPartitions(src)),
+      iterations, src, dst)
+
+  /**
+   * WEIGHTED parallel Louvain move phase: [[louvainMove]] over a
+   * POSITIVE-INTEGER-weighted edge list — every mass in the gain
+   * (k_v→c, k_c→v, degrees, community totals, m) becomes a weight SUM
+   * instead of an edge count, the formula and argmax order unchanged.
+   * With w ≡ 1 the sums equal the counts, so the unweighted operator is
+   * this one's special case EXACTLY (GraphSpec pins it). Self-loops are
+   * legitimate input and contribute to k_v→own and both degrees — which
+   * is what makes this the move phase a SECOND Louvain level runs on
+   * [[coarsen]]'s output (self-loops = within-community mass).
+   * Caller contract: one row per distinct (src, dst) with its weight.
+   */
+  def louvainMoveWeighted(edges: DataFrame, iterations: Int,
+      src: String = "src", dst: String = "dst",
+      weight: String = "w"): DataFrame =
+    louvainLoop(
+      Caches.checkpointTracked(edges.select(col(src), col(dst),
+          col(weight).cast("bigint").as("w"))
+        .repartition(col(src)).sortWithinPartitions(src)),
+      iterations, src, dst)
+
+  /** The shared move loop: `e` is the checkpointed (src, dst, w) base —
+    * w ≡ 1 for the unweighted face (sums of ones ARE the counts, so the
+    * two faces share one plan shape and one oracle technique). */
+  private def louvainLoop(e: DataFrame, iterations: Int,
+      src: String, dst: String): DataFrame = {
     val degs = Caches.checkpointTracked(
-      e.groupBy(col(src).as("node")).agg(count(lit(1)).as("dout"))
-        .join(e.groupBy(col(dst).as("node")).agg(count(lit(1)).as("din")),
+      e.groupBy(col(src).as("node")).agg(sum(col("w")).as("dout"))
+        .join(e.groupBy(col(dst).as("node")).agg(sum(col("w")).as("din")),
           Seq("node"), "full")
         .select(col("node"), coalesce(col("dout"), lit(0L)).as("dout"),
           coalesce(col("din"), lit(0L)).as("din")))
-    val m = e.count().toDouble // bounded eager job: ONE driver-side long
+    // bounded eager job: ONE driver-side long (total edge weight)
+    val m = e.agg(sum(col("w"))).collect()(0).getLong(0).toDouble
     val lab0 = degs.select(col("node"), col("node").as("label"))
     iterate(lab0, iterations, capEvery = 2) { (lab, _, cap) =>
       val tot = lab.join(degs, "node").groupBy("label")
@@ -726,11 +758,11 @@ object Graph {
       val kout = e
         .join(lab.select(col("node").as(dst), col("label").as("c")), dst)
         .groupBy(col(src).as("node"), col("c"))
-        .agg(count(lit(1)).as("kvc"))
+        .agg(sum(col("w")).as("kvc"))
       val kin = e
         .join(lab.select(col("node").as(src), col("label").as("c")), src)
         .groupBy(col(dst).as("node"), col("c"))
-        .agg(count(lit(1)).as("kcv"))
+        .agg(sum(col("w")).as("kcv"))
       // out-mass, in-mass, and the always-present own-community row
       // merge in one partial-agg pass; tot' subtracts v's own degrees
       // when it scores the community it is already in

@@ -242,6 +242,65 @@ object StarQueries {
     s"""WITH ${louvainCtes(k)}
        |SELECT node, label FROM l$k ORDER BY node""".stripMargin
 
+  /** Oracle for `graph_louvain_weighted`: [[louvainCtes]]' chain with
+    * every mass a WEIGHT SUM — e carries w = shared-order count,
+    * douts/dins/mm sum w, the cand masses emit e.w instead of 1 — the
+    * gain expression and argmax order verbatim. */
+  private def louvainWeightedOracle(k: Int): String = {
+    def level(i: Int): String =
+      s"""t$i AS MATERIALIZED (
+         |  SELECT l.label AS c, CAST(sum(d.dout) AS BIGINT) AS tout,
+         |    CAST(sum(d.din) AS BIGINT) AS tin
+         |  FROM l${i - 1} l JOIN degs d ON l.node = d.node GROUP BY l.label
+         |), cand$i AS MATERIALIZED (
+         |  SELECT node, c, CAST(sum(kvc) AS BIGINT) AS kvc,
+         |    CAST(sum(kcv) AS BIGINT) AS kcv FROM (
+         |    SELECT e.src AS node, l.label AS c, e.w AS kvc, 0 AS kcv
+         |    FROM e JOIN l${i - 1} l ON e.dst = l.node
+         |    UNION ALL
+         |    SELECT e.dst, l.label, 0, e.w FROM e JOIN l${i - 1} l ON e.src = l.node
+         |    UNION ALL
+         |    SELECT node, label, 0, 0 FROM l${i - 1})
+         |  GROUP BY node, c
+         |), l$i AS MATERIALIZED (
+         |  SELECT node, c AS label FROM (
+         |    SELECT cand.node, cand.c,
+         |      row_number() OVER (PARTITION BY cand.node ORDER BY
+         |        CAST(cand.kvc + cand.kcv AS DOUBLE) / mm.m
+         |        - (CAST(d.dout AS DOUBLE)
+         |             * CAST(t.tin - CASE WHEN l.label = cand.c
+         |                 THEN d.din ELSE 0 END AS DOUBLE)
+         |           + CAST(d.din AS DOUBLE)
+         |             * CAST(t.tout - CASE WHEN l.label = cand.c
+         |                 THEN d.dout ELSE 0 END AS DOUBLE))
+         |          / mm.m / mm.m DESC, cand.c ASC) AS rn
+         |    FROM cand$i cand
+         |    JOIN degs d ON cand.node = d.node
+         |    JOIN l${i - 1} l ON cand.node = l.node
+         |    JOIN t$i t ON cand.c = t.c
+         |    CROSS JOIN mm)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e AS (
+       |  SELECT a.pk AS src, b.pk AS dst, count(*) AS w
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+       |  GROUP BY a.pk, b.pk
+       |), douts AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS dout
+       |             FROM e GROUP BY src),
+       |dins AS (SELECT dst AS node, CAST(sum(w) AS BIGINT) AS din
+       |         FROM e GROUP BY dst),
+       |degs AS (
+       |  SELECT COALESCE(o.node, i.node) AS node,
+       |    COALESCE(o.dout, 0) AS dout, COALESCE(i.din, 0) AS din
+       |  FROM douts o FULL JOIN dins i ON o.node = i.node
+       |), mm AS (SELECT CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS m FROM e),
+       |l0 AS (SELECT node, node AS label FROM degs),
+       |${(1 to k).map(level).mkString(",\n")}
+       |SELECT node, label FROM l$k ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `graph_louvain_q`: the Louvain chain's final labels fed
     * through the SAME marginal + integer-sum-total arithmetic as
     * `graph_modularity_q` — the ascent measurement (compare against the
@@ -2347,6 +2406,25 @@ object StarQueries {
         .filter(col("src") =!= col("dst"))
         .select("src", "dst")
       graft.operators.Graph.louvainMove(e, iterations = 3)
+        .orderBy("node")
+    },
+
+    // WEIGHTED parallel Louvain on the co-purchase graph weighted by
+    // shared-order count: every gain mass a weight sum — communities of
+    // basket STRENGTH, not mere adjacency (and the move phase a second
+    // Louvain level would run on graph_coarsen's self-looped community
+    // graph). With w ≡ 1 this is graph_louvain exactly; here the
+    // weights genuinely reorder moves.
+    QueryDef.of("graph_louvain_weighted",
+      louvainWeightedOracle(3)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.operators.Graph.louvainMoveWeighted(e, iterations = 3)
         .orderBy("node")
     },
 

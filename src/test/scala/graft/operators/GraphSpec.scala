@@ -694,6 +694,76 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  /** [[louvainReference]] with weighted masses — same formula, every
+    * count a weight sum. */
+  private def louvainWeightedReference(edges: Seq[(Long, Long, Long)],
+      k: Int): Map[Long, Long] = {
+    val m = edges.map(_._3).sum.toDouble
+    val dout = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val din = edges.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = (dout.keys ++ din.keys).toSeq.distinct.sorted
+    def d(mm: Map[Long, Long], v: Long) = mm.getOrElse(v, 0L)
+    var lab = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to k) {
+      val tout = nodes.groupBy(lab).view.mapValues(_.map(d(dout, _)).sum).toMap
+      val tin = nodes.groupBy(lab).view.mapValues(_.map(d(din, _)).sum).toMap
+      lab = nodes.map { v =>
+        val kvc = edges.filter(_._1 == v).groupBy(p => lab(p._2))
+          .view.mapValues(_.map(_._3).sum).toMap
+        val kcv = edges.filter(_._2 == v).groupBy(p => lab(p._1))
+          .view.mapValues(_.map(_._3).sum).toMap
+        val cands = (kvc.keys ++ kcv.keys ++ Seq(lab(v))).toSeq.distinct
+        val best = cands.map { c =>
+          val own = if (lab(v) == c) 1L else 0L
+          val s = (kvc.getOrElse(c, 0L) + kcv.getOrElse(c, 0L)).toDouble / m -
+            (d(dout, v).toDouble * (tin(c) - own * d(din, v)).toDouble +
+             d(din, v).toDouble * (tout(c) - own * d(dout, v)).toDouble) / m / m
+          (c, s)
+        }.minBy { case (c, s) => (-s, c) }._1
+        v -> best
+      }.toMap
+    }
+    lab
+  }
+
+  test("louvainMoveWeighted equals the weighted reference; w ≡ 1 IS louvainMove") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val raw = Seq.fill(180)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2)
+    val symE = (raw ++ raw.map(_.swap)).distinct
+    val wtd = symE.map { case (a, b) => (a, b, (a * b) % 5 + 1) }
+    val got = Graph.louvainMoveWeighted(wtd.toDF("src", "dst", "w"),
+        iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(got == louvainWeightedReference(wtd, 3))
+    // w ≡ 1: the weighted face IS the unweighted operator
+    val ones = symE.map { case (a, b) => (a, b, 1L) }
+    val viaW = Graph.louvainMoveWeighted(ones.toDF("src", "dst", "w"),
+        iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    val unw = Graph.louvainMove(symE.toDF("src", "dst"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(viaW == unw)
+  }
+
+  test("louvainMoveWeighted handles self-loops (the coarsened-graph input shape)") {
+    import spark.implicits._
+    // two 2-node communities with heavy self-loops and a light bridge —
+    // the shape coarsen() emits; self-loop mass keeps each side together
+    val edges = Seq((1L, 1L, 10L), (2L, 2L, 10L), (1L, 2L, 1L), (2L, 1L, 1L))
+    val got = Graph.louvainMoveWeighted(edges.toDF("src", "dst", "w"),
+        iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(got == louvainWeightedReference(edges, 2))
+    assert(got(1L) != got(2L),
+      "self-loop mass should dominate the light bridge — no merge")
+  }
+
   test("louvainMove: two cliques with one bridge settle to per-clique communities") {
     import spark.implicits._
     // K4 {1..4} + K4 {5..8}, one bridge 4–5
