@@ -242,27 +242,30 @@ object StarQueries {
     s"""WITH ${louvainCtes(k)}
        |SELECT node, label FROM l$k ORDER BY node""".stripMargin
 
-  /** Oracle for `graph_louvain_weighted`: [[louvainCtes]]' chain with
-    * every mass a WEIGHT SUM — e carries w = shared-order count,
-    * douts/dins/mm sum w, the cand masses emit e.w instead of 1 — the
-    * gain expression and argmax order verbatim. */
-  private def louvainWeightedOracle(k: Int): String = {
+  /** The WEIGHTED Louvain CTE machinery, name-prefixed so two chains
+    * can coexist in one statement (the two-level `graph_louvain2`
+    * oracle): given an edge CTE `$e` with (src, dst, w), emits
+    * `${p}degs`/`${p}mm`/`${p}l0..k` etc. — every mass a weight sum,
+    * the gain expression and argmax order [[louvainCtes]]' verbatim. */
+  private def louvainWeightedChain(k: Int, e: String, p: String): String = {
     def level(i: Int): String =
-      s"""t$i AS MATERIALIZED (
+      s"""${p}t$i AS MATERIALIZED (
          |  SELECT l.label AS c, CAST(sum(d.dout) AS BIGINT) AS tout,
          |    CAST(sum(d.din) AS BIGINT) AS tin
-         |  FROM l${i - 1} l JOIN degs d ON l.node = d.node GROUP BY l.label
-         |), cand$i AS MATERIALIZED (
+         |  FROM ${p}l${i - 1} l JOIN ${p}degs d ON l.node = d.node
+         |  GROUP BY l.label
+         |), ${p}cand$i AS MATERIALIZED (
          |  SELECT node, c, CAST(sum(kvc) AS BIGINT) AS kvc,
          |    CAST(sum(kcv) AS BIGINT) AS kcv FROM (
-         |    SELECT e.src AS node, l.label AS c, e.w AS kvc, 0 AS kcv
-         |    FROM e JOIN l${i - 1} l ON e.dst = l.node
+         |    SELECT $e.src AS node, l.label AS c, $e.w AS kvc, 0 AS kcv
+         |    FROM $e JOIN ${p}l${i - 1} l ON $e.dst = l.node
          |    UNION ALL
-         |    SELECT e.dst, l.label, 0, e.w FROM e JOIN l${i - 1} l ON e.src = l.node
+         |    SELECT $e.dst, l.label, 0, $e.w
+         |    FROM $e JOIN ${p}l${i - 1} l ON $e.src = l.node
          |    UNION ALL
-         |    SELECT node, label, 0, 0 FROM l${i - 1})
+         |    SELECT node, label, 0, 0 FROM ${p}l${i - 1})
          |  GROUP BY node, c
-         |), l$i AS MATERIALIZED (
+         |), ${p}l$i AS MATERIALIZED (
          |  SELECT node, c AS label FROM (
          |    SELECT cand.node, cand.c,
          |      row_number() OVER (PARTITION BY cand.node ORDER BY
@@ -274,32 +277,57 @@ object StarQueries {
          |             * CAST(t.tout - CASE WHEN l.label = cand.c
          |                 THEN d.dout ELSE 0 END AS DOUBLE))
          |          / mm.m / mm.m DESC, cand.c ASC) AS rn
-         |    FROM cand$i cand
-         |    JOIN degs d ON cand.node = d.node
-         |    JOIN l${i - 1} l ON cand.node = l.node
-         |    JOIN t$i t ON cand.c = t.c
-         |    CROSS JOIN mm)
+         |    FROM ${p}cand$i cand
+         |    JOIN ${p}degs d ON cand.node = d.node
+         |    JOIN ${p}l${i - 1} l ON cand.node = l.node
+         |    JOIN ${p}t$i t ON cand.c = t.c
+         |    CROSS JOIN ${p}mm mm)
          |  WHERE rn = 1
          |)""".stripMargin
+    s"""${p}douts AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS dout
+       |             FROM $e GROUP BY src),
+       |${p}dins AS (SELECT dst AS node, CAST(sum(w) AS BIGINT) AS din
+       |         FROM $e GROUP BY dst),
+       |${p}degs AS (
+       |  SELECT COALESCE(o.node, i.node) AS node,
+       |    COALESCE(o.dout, 0) AS dout, COALESCE(i.din, 0) AS din
+       |  FROM ${p}douts o FULL JOIN ${p}dins i ON o.node = i.node
+       |), ${p}mm AS (SELECT CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS m
+       |              FROM $e),
+       |${p}l0 AS (SELECT node, node AS label FROM ${p}degs),
+       |${(1 to k).map(level).mkString(",\n")}""".stripMargin
+  }
+
+  /** Oracle for `graph_louvain_weighted`: the weighted chain over the
+    * shared-order-weighted co-purchase edges. */
+  private def louvainWeightedOracle(k: Int): String =
     s"""WITH li AS (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
        |), e AS (
        |  SELECT a.pk AS src, b.pk AS dst, count(*) AS w
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
        |  GROUP BY a.pk, b.pk
-       |), douts AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS dout
-       |             FROM e GROUP BY src),
-       |dins AS (SELECT dst AS node, CAST(sum(w) AS BIGINT) AS din
-       |         FROM e GROUP BY dst),
-       |degs AS (
-       |  SELECT COALESCE(o.node, i.node) AS node,
-       |    COALESCE(o.dout, 0) AS dout, COALESCE(i.din, 0) AS din
-       |  FROM douts o FULL JOIN dins i ON o.node = i.node
-       |), mm AS (SELECT CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS m FROM e),
-       |l0 AS (SELECT node, node AS label FROM degs),
-       |${(1 to k).map(level).mkString(",\n")}
-       |SELECT node, label FROM l$k ORDER BY node""".stripMargin
-  }
+       |),
+       |${louvainWeightedChain(k, "e", "v")}
+       |SELECT node, label FROM vl$k ORDER BY node""".stripMargin
+
+  /** Oracle for `graph_louvain2` — the genuine TWO-LEVEL Louvain:
+    * level-1 unweighted chain (lab1), the coarsened self-looped
+    * community graph as e2, the weighted chain over it (prefix `u`),
+    * and each node mapped to its community's level-2 label. */
+  private def louvain2Oracle(k1: Int, k2: Int): String =
+    s"""WITH ${louvainCtes(k1)},
+       |lab1 AS (SELECT node, label FROM l$k1),
+       |e2 AS (
+       |  SELECT ls.label AS src, ld.label AS dst, count(*) AS w
+       |  FROM e JOIN lab1 ls ON e.src = ls.node
+       |         JOIN lab1 ld ON e.dst = ld.node
+       |  GROUP BY ls.label, ld.label
+       |),
+       |${louvainWeightedChain(k2, "e2", "u")}
+       |SELECT lab1.node AS node, u.label AS label2
+       |FROM lab1 JOIN ul$k2 u ON lab1.label = u.node
+       |ORDER BY lab1.node""".stripMargin
 
   /** Oracle for `graph_louvain_q`: the Louvain chain's final labels fed
     * through the SAME marginal + integer-sum-total arithmetic as
@@ -2425,6 +2453,37 @@ object StarQueries {
         .filter(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       graft.operators.Graph.louvainMoveWeighted(e, iterations = 3)
+        .orderBy("node")
+    },
+
+    // TWO-LEVEL LOUVAIN — the real Blondel pipeline: move phase on the
+    // node graph, AGGREGATE into the self-looped community graph
+    // (coarsen), move phase again WEIGHTED on the communities, and map
+    // every node to its community's level-2 label. Level 2 operates on
+    // ≤C nodes — the hierarchy step that makes Louvain tractable on
+    // billion-node graphs (each level shrinks the graph, the expensive
+    // |E| work happens once at the bottom). Every stage is the
+    // composition of already-certified pieces; the oracle chains the
+    // unweighted CTEs, the mixing query, and the prefix-parametrized
+    // weighted CTEs in one statement.
+    QueryDef.of("graph_louvain2", louvain2Oracle(3, 2)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      // persist level-1 labels: coarsen and the final map-back both
+      // consume them — unpersisted, the 3-round loop would replay
+      val l1 = graft.operators.Caches.persistTracked(
+        graft.operators.Graph.louvainMove(e, iterations = 3))
+      val g2 = graft.operators.Graph.coarsen(e, l1)
+      val l2 = graft.operators.Graph.louvainMoveWeighted(g2,
+        iterations = 2, weight = "weight")
+      l1.join(l2.select(col("node").as("label"),
+          col("label").as("label2")), "label")
+        .select("node", "label2")
         .orderBy("node")
     },
 
