@@ -101,6 +101,124 @@ object Bench {
       .foreach(_.unpersist(blocking = true))
   }
 
+  /** One query's full measurement protocol — adaptive warm-up, batched
+    * reps for sub-second steady states, calibration probes bracketing
+    * every rep (all rationale inline below). Returns the artifact tuple
+    * and, when the query errored nowhere, appends it to the resume
+    * state via `record`. */
+  private def runQuery(spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => DataFrame, reps: Int, nThreads: Int,
+      errors: scala.collection.mutable.ArrayBuffer[String],
+      cals: scala.collection.mutable.ArrayBuffer[Double],
+      record: (String, Double, Seq[Double], Double, Double, Int) => Unit)
+      : (String, Double, Seq[Double], Double, Double, Int) = {
+    System.err.println(s"[bench] running $name ×$reps")
+    // One UNTIMED warm-up execution per query before the timed reps.
+    // Measured (r6 artifact + local repro): the first execution of a
+    // query pays its whole-stage-codegen compilation and JIT warm-up —
+    // 2-6× the steady-state time on the stage-heavy dedup pipelines
+    // ([22.2, 8.7, 3.5] s reps on unchanged code) — which made medians a
+    // dice roll on which rep caught the spike. Timed reps measure the
+    // steady state (standard JMH practice); data caches are still cold
+    // per rep (drain() runs between every execution), so the reps time
+    // the PLAN, not a residual cache. The warm-up time is visible in
+    // stderr for anyone who wants first-touch cost.
+    // ADAPTIVE warm-up: sub-second queries reach JIT steady state more
+    // slowly than one execution (observed: dir_search reps 1.36/0.95/0.21
+    // s — a monotone JIT tail on a tiny typed pipeline, 6.4× spread) —
+    // so every query warms until two consecutive executions agree within
+    // 40% (≤ 3 total). Round 7 fast-pathed queries ≥ 2 s with exactly one
+    // warm-up; the judge's re-run still caught a mid-rep spike on
+    // `dedup_survivors` (reps 3.66/7.76/4.99 s — a JIT/GC tail that one
+    // execution of a 40-stage iterative pipeline does not amortize), so
+    // the agreement criterion now applies uniformly. Cost: every query
+    // pays TWO warm-ups (agreement needs two executions to compare), and
+    // a THIRD only when those two disagree by > 40% — bounded wall clock,
+    // roughly double round-7's single warm-up on the expensive queries.
+    var prevW = Double.MaxValue
+    var wi = 0
+    var continueWarm = true
+    while (continueWarm) {
+      val w0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        if (!errors.contains(name)) errors += name
+        System.err.println(s"[bench] $name warm-up failed: ${e.getMessage}")
+      }
+      val wt = (System.nanoTime() - w0) / 1e9
+      System.err.println(f"[bench] $name warm-up #${wi + 1} $wt%.2f s (untimed)")
+      drain(spark)
+      wi += 1
+      continueWarm = wi < 3 &&
+        math.abs(wt - prevW) / math.max(wt, 1e-9) > 0.4
+      prevW = wt
+    }
+    // BATCHED reps for sub-second queries: a 0.3 s median is one GC
+    // pause or scheduler stall away from a 3× outlier rep — exactly the
+    // r8 driver failure (`dedup_exact` spread 2.95× with a quiet probe:
+    // the stall was shorter than a rep gap, so no probe caught it, and
+    // one rep out of three was enough to blow the spread bar). Instead
+    // of more reps (linear wall-clock for linear robustness), each timed
+    // rep of a query whose warm-up steady state is under 1 s becomes the
+    // MEDIAN of K back-to-back individually-timed executions (K sized so
+    // a rep covers ≥ ~1.2 s of query work, capped at 5): a transient
+    // stall lands in one of K executions and the in-rep median discards
+    // it entirely, rather than shipping it as a rep. Queries ≥ 1 s keep
+    // K = 1 — a stall is a small fraction of their rep, and their
+    // variance mode (host load sustained across a whole rep) is the one
+    // the parallel calibration probe attributes. Executions inside a
+    // batch are separated by the untimed cache sweep (lightDrain); the
+    // full GC-settled drain runs between reps as always.
+    val batchK =
+      if (prevW < 1.0)
+        math.min(5, math.max(2, math.ceil(1.2 / math.max(prevW, 0.05)).toInt))
+      else 1
+    val qCals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val runs = (1 to reps).map { _ =>
+      val c = calibrate(nThreads); cals += c; qCals += c
+      val execs = (1 to batchK).map { j =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          if (!errors.contains(name)) errors += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (j < batchK) lightDrain(spark)
+        dt
+      }
+      drain(spark)
+      median(execs)
+    }
+    // trailing probe: each query's reps are BRACKETED by probes (reps+1
+    // samples), so host noise during the last rep still has a probe
+    // window to co-vary with
+    val cTail = calibrate(nThreads); cals += cTail; qCals += cTail
+    val med = median(runs)
+    // max/min rep spread: the first-class variance signal — a query
+    // whose reps disagree by >2× is reporting harness state, not plan
+    // cost, and its median should be read with suspicion
+    // 0.0 (not NaN) on a degenerate zero-length rep: NaN is not valid
+    // JSON and would break the driver's artifact parse
+    val spread = if (runs.min > 0) runs.max / runs.min else 0.0
+    // per-QUERY calibration spread: the attribution rule must compare a
+    // query's rep spread against the probe variance during THAT query's
+    // reps — a run-global cal figure could waive a real regression with
+    // host noise that happened during some other query hours apart
+    val qCalSpread = if (qCals.nonEmpty && qCals.min > 0) qCals.max / qCals.min else 0.0
+    if (spread > 2.0)
+      System.err.println(f"[bench] WARNING: $name rep spread $spread%.1f× " +
+        f"(runs ${runs.map(r => f"$r%.2f").mkString("/")}; cal spread " +
+        f"during its reps $qCalSpread%.2f×) — median unreliable")
+    System.err.println(
+      f"[bench] $name median $med%.2f s spread $spread%.1f× batch ×$batchK " +
+        f"(rep medians ${runs.map(r => f"$r%.2f").mkString("/")})")
+    val out = (name, med, runs.toSeq, spread, qCalSpread, batchK)
+    if (!errors.contains(name))
+      record(name, med, runs.toSeq, spread, qCalSpread, batchK)
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -135,111 +253,55 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_BENCH_STATE=<path>: RESUMABLE full-surface runs. Each
+    // query's finished measurement is appended to the state file as one
+    // JSON line the moment its reps complete; a re-invocation with the
+    // same path loads those lines and skips straight to the first
+    // unmeasured query, then emits the MERGED artifact. This caps the
+    // cost of an interrupted 160-query run at one query, instead of the
+    // whole ~30-50 min surface (the r11 wall-time hazard). Only
+    // error-free queries are recorded — a crashed query re-runs on
+    // resume. Caveat a resumed artifact carries honestly: run-global
+    // `cal` spans only the resumed segment's probes; the per-query
+    // `cal_by_query` attribution (the binding rule) is stored per line
+    // and remains exact.
+    val statePath = sys.env.get("SPARK_GRAFT_BENCH_STATE")
+    val prior: Map[String, (Double, Seq[Double], Double, Double, Int)] =
+      statePath.filter(p => new java.io.File(p).exists()).map { p =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val src = scala.io.Source.fromFile(p)
+        try src.getLines().filter(_.trim.nonEmpty).map { line =>
+          val n = mapper.readTree(line)
+          val runs = (0 until n.get("runs").size())
+            .map(i => n.get("runs").get(i).asDouble())
+          n.get("name").asText() -> (n.get("med").asDouble(), runs.toSeq,
+            n.get("spread").asDouble(), n.get("cal").asDouble(),
+            n.get("batch").asInt())
+        }.toMap
+        finally src.close()
+      }.getOrElse(Map.empty)
+    if (prior.nonEmpty)
+      System.err.println(s"[bench] resuming: ${prior.size} queries loaded " +
+        s"from ${statePath.get}")
+    def recordState(name: String, med: Double, runs: Seq[Double],
+        spread: Double, qcal: Double, batchK: Int): Unit =
+      statePath.foreach { p =>
+        val w = new java.io.FileWriter(p, true)
+        try w.write(s"""{"name":"$name","med":$med,"runs":[${
+          runs.mkString(",")}],"spread":$spread,"cal":$qcal,"batch":$batchK}\n""")
+        finally w.close()
+      }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val cals = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = selected.map { case (name, fn) =>
-      System.err.println(s"[bench] running $name ×$reps")
-      // One UNTIMED warm-up execution per query before the timed reps.
-      // Measured (r6 artifact + local repro): the first execution of a
-      // query pays its whole-stage-codegen compilation and JIT warm-up —
-      // 2-6× the steady-state time on the stage-heavy dedup pipelines
-      // ([22.2, 8.7, 3.5] s reps on unchanged code) — which made medians a
-      // dice roll on which rep caught the spike. Timed reps measure the
-      // steady state (standard JMH practice); data caches are still cold
-      // per rep (drain() runs between every execution), so the reps time
-      // the PLAN, not a residual cache. The warm-up time is visible in
-      // stderr for anyone who wants first-touch cost.
-      // ADAPTIVE warm-up: sub-second queries reach JIT steady state more
-      // slowly than one execution (observed: dir_search reps 1.36/0.95/0.21
-      // s — a monotone JIT tail on a tiny typed pipeline, 6.4× spread) —
-      // so every query warms until two consecutive executions agree within
-      // 40% (≤ 3 total). Round 7 fast-pathed queries ≥ 2 s with exactly one
-      // warm-up; the judge's re-run still caught a mid-rep spike on
-      // `dedup_survivors` (reps 3.66/7.76/4.99 s — a JIT/GC tail that one
-      // execution of a 40-stage iterative pipeline does not amortize), so
-      // the agreement criterion now applies uniformly. Cost: every query
-      // pays TWO warm-ups (agreement needs two executions to compare), and
-      // a THIRD only when those two disagree by > 40% — bounded wall clock,
-      // roughly double round-7's single warm-up on the expensive queries.
-      var prevW = Double.MaxValue
-      var wi = 0
-      var continueWarm = true
-      while (continueWarm) {
-        val w0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          if (!errors.contains(name)) errors += name
-          System.err.println(s"[bench] $name warm-up failed: ${e.getMessage}")
-        }
-        val wt = (System.nanoTime() - w0) / 1e9
-        System.err.println(f"[bench] $name warm-up #${wi + 1} $wt%.2f s (untimed)")
-        drain(spark)
-        wi += 1
-        continueWarm = wi < 3 &&
-          math.abs(wt - prevW) / math.max(wt, 1e-9) > 0.4
-        prevW = wt
+      prior.get(name) match {
+        case Some((med, runs, spread, qcal, batchK)) =>
+          System.err.println(s"[bench] $name resumed from state (median " +
+            f"$med%.2f s)")
+          (name, med, runs, spread, qcal, batchK)
+        case None => runQuery(spark, sfDir, name, fn, reps, nThreads,
+          errors, cals, recordState)
       }
-      // BATCHED reps for sub-second queries: a 0.3 s median is one GC
-      // pause or scheduler stall away from a 3× outlier rep — exactly the
-      // r8 driver failure (`dedup_exact` spread 2.95× with a quiet probe:
-      // the stall was shorter than a rep gap, so no probe caught it, and
-      // one rep out of three was enough to blow the spread bar). Instead
-      // of more reps (linear wall-clock for linear robustness), each timed
-      // rep of a query whose warm-up steady state is under 1 s becomes the
-      // MEDIAN of K back-to-back individually-timed executions (K sized so
-      // a rep covers ≥ ~1.2 s of query work, capped at 5): a transient
-      // stall lands in one of K executions and the in-rep median discards
-      // it entirely, rather than shipping it as a rep. Queries ≥ 1 s keep
-      // K = 1 — a stall is a small fraction of their rep, and their
-      // variance mode (host load sustained across a whole rep) is the one
-      // the parallel calibration probe attributes. Executions inside a
-      // batch are separated by the untimed cache sweep (lightDrain); the
-      // full GC-settled drain runs between reps as always.
-      val batchK =
-        if (prevW < 1.0)
-          math.min(5, math.max(2, math.ceil(1.2 / math.max(prevW, 0.05)).toInt))
-        else 1
-      val qCals = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val runs = (1 to reps).map { _ =>
-        val c = calibrate(nThreads); cals += c; qCals += c
-        val execs = (1 to batchK).map { j =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            if (!errors.contains(name)) errors += name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          val dt = (System.nanoTime() - t0) / 1e9
-          if (j < batchK) lightDrain(spark)
-          dt
-        }
-        drain(spark)
-        median(execs)
-      }
-      // trailing probe: each query's reps are BRACKETED by probes (reps+1
-      // samples), so host noise during the last rep still has a probe
-      // window to co-vary with
-      val cTail = calibrate(nThreads); cals += cTail; qCals += cTail
-      val med = median(runs)
-      // max/min rep spread: the first-class variance signal — a query
-      // whose reps disagree by >2× is reporting harness state, not plan
-      // cost, and its median should be read with suspicion
-      // 0.0 (not NaN) on a degenerate zero-length rep: NaN is not valid
-      // JSON and would break the driver's artifact parse
-      val spread = if (runs.min > 0) runs.max / runs.min else 0.0
-      // per-QUERY calibration spread: the attribution rule must compare a
-      // query's rep spread against the probe variance during THAT query's
-      // reps — a run-global cal figure could waive a real regression with
-      // host noise that happened during some other query hours apart
-      val qCalSpread = if (qCals.nonEmpty && qCals.min > 0) qCals.max / qCals.min else 0.0
-      if (spread > 2.0)
-        System.err.println(f"[bench] WARNING: $name rep spread $spread%.1f× " +
-          f"(runs ${runs.map(r => f"$r%.2f").mkString("/")}; cal spread " +
-          f"during its reps $qCalSpread%.2f×) — median unreliable")
-      System.err.println(
-        f"[bench] $name median $med%.2f s spread $spread%.1f× batch ×$batchK " +
-          f"(rep medians ${runs.map(r => f"$r%.2f").mkString("/")})")
-      (name, med, runs, spread, qCalSpread, batchK)
     }
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -215,11 +215,24 @@ object Graph {
       dst: String = "dst", exact: Boolean = true,
       foldBuckets: Int = 16): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs a non-empty seed set")
+    require(seeds.distinct.size == seeds.size,
+      s"personalizedPageRank seeds must be distinct: $seeds")
     val e = edges.select(col(src), col(dst)).distinct()
     val deg = e.groupBy(src).agg(count(lit(1)).as("deg"))
     val base = Caches.checkpointTracked(
       e.join(deg, src).repartition(col(src)).sortWithinPartitions(src))
     val nodes = Caches.checkpointTracked(deg.select(col(src).as("node")))
+    // Seeds must be src nodes of the graph: an absent seed would silently
+    // lose its teleport + initial-mass share (total rank < 1, quietly
+    // diverging from the documented semantics). One shuffle-free scan of
+    // the ALREADY-checkpointed node frame (localCheckpoint is eager —
+    // nothing recomputes), so the guard costs a narrow count, not a job
+    // over the raw edges.
+    val present = nodes.filter(col("node").isin(seeds: _*))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    require(present == seeds.size,
+      s"personalizedPageRank: ${seeds.size - present} of ${seeds.size} " +
+        "seeds are not src nodes of the graph (teleport mass would be lost)")
     val jumpS = (1.0 - damping) / seeds.size.toDouble
     val isSeed = col("node").isin(seeds: _*)
     val r0 = nodes.select(col("node"),
@@ -709,12 +722,13 @@ object Graph {
    * rounds from the all-singletons start.
    */
   def louvainMove(edges: DataFrame, iterations: Int,
-      src: String = "src", dst: String = "dst"): DataFrame =
+      src: String = "src", dst: String = "dst",
+      symmetric: Boolean = false): DataFrame =
     louvainLoop(
       Caches.checkpointTracked(edges.select(col(src), col(dst)).distinct()
         .withColumn("w", lit(1L))
         .repartition(col(src)).sortWithinPartitions(src)),
-      iterations, src, dst)
+      iterations, src, dst, symmetric)
 
   /**
    * WEIGHTED parallel Louvain move phase: [[louvainMove]] over a
@@ -730,66 +744,124 @@ object Graph {
    */
   def louvainMoveWeighted(edges: DataFrame, iterations: Int,
       src: String = "src", dst: String = "dst",
-      weight: String = "w"): DataFrame =
+      weight: String = "w", symmetric: Boolean = false): DataFrame =
     louvainLoop(
       Caches.checkpointTracked(edges.select(col(src), col(dst),
           col(weight).cast("bigint").as("w"))
         .repartition(col(src)).sortWithinPartitions(src)),
-      iterations, src, dst)
+      iterations, src, dst, symmetric)
 
   /** The shared move loop: `e` is the checkpointed (src, dst, w) base —
     * w ≡ 1 for the unweighted face (sums of ones ARE the counts, so the
-    * two faces share one plan shape and one oracle technique). */
+    * two faces share one plan shape and one oracle technique).
+    *
+    * `symmetric = true` is the caller's ASSERTION that `e` is a
+    * symmetric edge list — for every (u, v, w) the reverse (v, u, w) is
+    * present (self-loops are their own reverse) — which is exactly what
+    * a symmetrized co-purchase / co-occurrence graph and [[coarsen]]'s
+    * output on one are. Under that assertion k_v→c = k_c→v, dout = din
+    * and tout = tin, so the loop computes ONE |E| label join and ONE
+    * degree/total aggregate per round instead of two and doubles the
+    * masses in the gain — BIT-FOR-BIT the general score, because the
+    * halves it folds are exactly equal: kvc + kcv = kvc·2 on longs, and
+    * the two double products X + X = X·2.0 in IEEE for every finite X
+    * (GraphSpec pins fast ≡ general on random symmetrized and
+    * self-looped graphs). An asymmetric edge list under `symmetric =
+    * true` is a CONTRACT VIOLATION and silently scores the wrong gain —
+    * the flag is never inferred (an |E| self-anti-join per call would
+    * cost what the fast path saves). */
   private def louvainLoop(e: DataFrame, iterations: Int,
-      src: String, dst: String): DataFrame = {
-    val degs = Caches.checkpointTracked(
-      e.groupBy(col(src).as("node")).agg(sum(col("w")).as("dout"))
-        .join(e.groupBy(col(dst).as("node")).agg(sum(col("w")).as("din")),
-          Seq("node"), "full")
-        .select(col("node"), coalesce(col("dout"), lit(0L)).as("dout"),
-          coalesce(col("din"), lit(0L)).as("din")))
+      src: String, dst: String, symmetric: Boolean): DataFrame = {
     // bounded eager job: ONE driver-side long (total edge weight)
     val m = e.agg(sum(col("w"))).collect()(0).getLong(0).toDouble
-    val lab0 = degs.select(col("node"), col("node").as("label"))
-    iterate(lab0, iterations, capEvery = 2) { (lab, _, cap) =>
-      val tot = lab.join(degs, "node").groupBy("label")
-        .agg(sum(col("dout")).as("tout"), sum(col("din")).as("tin"))
-        .withColumnRenamed("label", "c")
-      val kout = e
-        .join(lab.select(col("node").as(dst), col("label").as("c")), dst)
-        .groupBy(col(src).as("node"), col("c"))
-        .agg(sum(col("w")).as("kvc"))
-      val kin = e
-        .join(lab.select(col("node").as(src), col("label").as("c")), src)
-        .groupBy(col(dst).as("node"), col("c"))
-        .agg(sum(col("w")).as("kcv"))
-      // out-mass, in-mass, and the always-present own-community row
-      // merge in one partial-agg pass; tot' subtracts v's own degrees
-      // when it scores the community it is already in
-      val cand = kout
-        .select(col("node"), col("c"), col("kvc"), lit(0L).as("kcv"))
-        .unionAll(kin.select(col("node"), col("c"),
-          lit(0L).as("kvc"), col("kcv")))
-        .unionAll(lab.select(col("node"), col("label").as("c"),
-          lit(0L).as("kvc"), lit(0L).as("kcv")))
-        .groupBy("node", "c")
-        .agg(sum(col("kvc")).as("kvc"), sum(col("kcv")).as("kcv"))
-      val scored = cand
-        .join(degs, "node")
-        .join(lab, "node")
-        .join(tot, "c")
-        .select(col("node"), col("c"),
-          ((col("kvc") + col("kcv")).cast("double") / lit(m)
-            - (col("dout").cast("double")
-                * (col("tin") - when(col("label") === col("c"), col("din"))
+    if (symmetric) {
+      // one aggregate: d = dout = din (every node appears as a src by
+      // symmetry, so no full-outer node-universe merge is needed)
+      val degs = Caches.checkpointTracked(
+        e.groupBy(col(src).as("node")).agg(sum(col("w")).as("d")))
+      val lab0 = degs.select(col("node"), col("node").as("label"))
+      iterate(lab0, iterations, capEvery = 2) { (lab, _, cap) =>
+        val tot = lab.join(degs, "node").groupBy("label")
+          .agg(sum(col("d")).as("t"))
+          .withColumnRenamed("label", "c")
+        val kout = e
+          .join(lab.select(col("node").as(dst), col("label").as("c")), dst)
+          .groupBy(col(src).as("node"), col("c"))
+          .agg(sum(col("w")).as("kvc"))
+        // out-mass plus the always-present own-community row (the in
+        // leg of the general loop is this one's mirror image — folded
+        // into the ·2 below, not recomputed)
+        val cand = kout
+          .unionAll(lab.select(col("node"), col("label").as("c"),
+            lit(0L).as("kvc")))
+          .groupBy("node", "c")
+          .agg(sum(col("kvc")).as("kvc"))
+        val scored = cand
+          .join(degs, "node")
+          .join(lab, "node")
+          .join(tot, "c")
+          .select(col("node"), col("c"),
+            // (kvc·2).cast = (kvc + kcv).cast on equal longs;
+            // X·2.0 = X + X bitwise for the equal double products —
+            // the general gain, computed once and doubled
+            ((col("kvc") * lit(2L)).cast("double") / lit(m)
+              - col("d").cast("double")
+                * (col("t") - when(col("label") === col("c"), col("d"))
                     .otherwise(lit(0L))).cast("double")
-               + col("din").cast("double")
-                * (col("tout") - when(col("label") === col("c"), col("dout"))
-                    .otherwise(lit(0L))).cast("double"))
-              / lit(m) / lit(m)).as("s"))
-      cap(scored.groupBy("node")
-        .agg(max_by(col("c"), struct(col("s"), (-col("c")).as("nc")))
-          .as("label")))
+                * lit(2.0)
+                / lit(m) / lit(m)).as("s"))
+        cap(scored.groupBy("node")
+          .agg(max_by(col("c"), struct(col("s"), (-col("c")).as("nc")))
+            .as("label")))
+      }
+    } else {
+      val degs = Caches.checkpointTracked(
+        e.groupBy(col(src).as("node")).agg(sum(col("w")).as("dout"))
+          .join(e.groupBy(col(dst).as("node")).agg(sum(col("w")).as("din")),
+            Seq("node"), "full")
+          .select(col("node"), coalesce(col("dout"), lit(0L)).as("dout"),
+            coalesce(col("din"), lit(0L)).as("din")))
+      val lab0 = degs.select(col("node"), col("node").as("label"))
+      iterate(lab0, iterations, capEvery = 2) { (lab, _, cap) =>
+        val tot = lab.join(degs, "node").groupBy("label")
+          .agg(sum(col("dout")).as("tout"), sum(col("din")).as("tin"))
+          .withColumnRenamed("label", "c")
+        val kout = e
+          .join(lab.select(col("node").as(dst), col("label").as("c")), dst)
+          .groupBy(col(src).as("node"), col("c"))
+          .agg(sum(col("w")).as("kvc"))
+        val kin = e
+          .join(lab.select(col("node").as(src), col("label").as("c")), src)
+          .groupBy(col(dst).as("node"), col("c"))
+          .agg(sum(col("w")).as("kcv"))
+        // out-mass, in-mass, and the always-present own-community row
+        // merge in one partial-agg pass; tot' subtracts v's own degrees
+        // when it scores the community it is already in
+        val cand = kout
+          .select(col("node"), col("c"), col("kvc"), lit(0L).as("kcv"))
+          .unionAll(kin.select(col("node"), col("c"),
+            lit(0L).as("kvc"), col("kcv")))
+          .unionAll(lab.select(col("node"), col("label").as("c"),
+            lit(0L).as("kvc"), lit(0L).as("kcv")))
+          .groupBy("node", "c")
+          .agg(sum(col("kvc")).as("kvc"), sum(col("kcv")).as("kcv"))
+        val scored = cand
+          .join(degs, "node")
+          .join(lab, "node")
+          .join(tot, "c")
+          .select(col("node"), col("c"),
+            ((col("kvc") + col("kcv")).cast("double") / lit(m)
+              - (col("dout").cast("double")
+                  * (col("tin") - when(col("label") === col("c"), col("din"))
+                      .otherwise(lit(0L))).cast("double")
+                 + col("din").cast("double")
+                  * (col("tout") - when(col("label") === col("c"), col("dout"))
+                      .otherwise(lit(0L))).cast("double"))
+                / lit(m) / lit(m)).as("s"))
+        cap(scored.groupBy("node")
+          .agg(max_by(col("c"), struct(col("s"), (-col("c")).as("nc")))
+            .as("label")))
+      }
     }
   }
 

@@ -794,10 +794,18 @@ object Similarity {
       .join(broadcast(centDf), "cell")
       .select(col("cluster"), col("vec_id"),
         VectorFunctions.cosine(col("embedding"), col("c_emb")).as("ccos"))
+    // keeper order must be TOTAL on both engines even when ccos is NULL
+    // (a zero-norm centroid → cosine NULL): Spark struct ordering sorts
+    // NULL first while the DuckDB oracle's ORDER BY ccos, vec_id defaults
+    // to NULLS LAST — coalescing NULL to +inf (unreachable for a real
+    // cosine, which is ≤ 1) makes both engines rank null-ccos members
+    // last with the same vec_id tie-break. Unreachable on corpus
+    // embeddings (non-zero norms), so wired oracle hashes are unchanged.
     val keepers = scored
       .groupBy("cluster")
-      .agg(min_by(col("vec_id"), struct(col("ccos"), col("vec_id")))
-        .as("kept_id"))
+      .agg(min_by(col("vec_id"),
+        struct(coalesce(col("ccos"), lit(Double.PositiveInfinity)),
+          col("vec_id"))).as("kept_id"))
     scored.join(keepers, "cluster")
       .filter(col("vec_id") =!= col("kept_id"))
       .select(col("vec_id").as("dropped_id"), col("kept_id"))

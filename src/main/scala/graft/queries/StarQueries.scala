@@ -224,16 +224,16 @@ object StarQueries {
          |)""".stripMargin
     s"""li AS (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-       |), e AS (
+       |), e AS MATERIALIZED (
        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
        |), douts AS (SELECT src AS node, count(*) AS dout FROM e GROUP BY src),
        |dins AS (SELECT dst AS node, count(*) AS din FROM e GROUP BY dst),
-       |degs AS (
+       |degs AS MATERIALIZED (
        |  SELECT COALESCE(o.node, i.node) AS node,
        |    COALESCE(o.dout, 0) AS dout, COALESCE(i.din, 0) AS din
        |  FROM douts o FULL JOIN dins i ON o.node = i.node
-       |), mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+       |), mm AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
        |l0 AS (SELECT node, node AS label FROM degs),
        |${(1 to k).map(level).mkString(",\n")}""".stripMargin
   }
@@ -288,12 +288,12 @@ object StarQueries {
        |             FROM $e GROUP BY src),
        |${p}dins AS (SELECT dst AS node, CAST(sum(w) AS BIGINT) AS din
        |         FROM $e GROUP BY dst),
-       |${p}degs AS (
+       |${p}degs AS MATERIALIZED (
        |  SELECT COALESCE(o.node, i.node) AS node,
        |    COALESCE(o.dout, 0) AS dout, COALESCE(i.din, 0) AS din
        |  FROM ${p}douts o FULL JOIN ${p}dins i ON o.node = i.node
-       |), ${p}mm AS (SELECT CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS m
-       |              FROM $e),
+       |), ${p}mm AS MATERIALIZED (
+       |  SELECT CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS m FROM $e),
        |${p}l0 AS (SELECT node, node AS label FROM ${p}degs),
        |${(1 to k).map(level).mkString(",\n")}""".stripMargin
   }
@@ -317,8 +317,8 @@ object StarQueries {
     * and each node mapped to its community's level-2 label. */
   private def louvain2Oracle(k1: Int, k2: Int): String =
     s"""WITH ${louvainCtes(k1)},
-       |lab1 AS (SELECT node, label FROM l$k1),
-       |e2 AS (
+       |lab1 AS MATERIALIZED (SELECT node, label FROM l$k1),
+       |e2 AS MATERIALIZED (
        |  SELECT ls.label AS src, ld.label AS dst, count(*) AS w
        |  FROM e JOIN lab1 ls ON e.src = ls.node
        |         JOIN lab1 ld ON e.dst = ld.node
@@ -328,6 +328,35 @@ object StarQueries {
        |SELECT lab1.node AS node, u.label AS label2
        |FROM lab1 JOIN ul$k2 u ON lab1.label = u.node
        |ORDER BY lab1.node""".stripMargin
+
+  /** Oracle for `graph_louvain2_q`: the two-level chain's node-mapped
+    * level-2 labels fed through the marginal + integer-sum-total block —
+    * [[louvain2Oracle]]'s CTEs composed with [[louvainQOracle]]'s tail,
+    * certifying the hierarchy step's Q on the ORIGINAL node graph. */
+  private def louvain2QOracle(k1: Int, k2: Int): String =
+    s"""WITH ${louvainCtes(k1)},
+       |lab1 AS MATERIALIZED (SELECT node, label FROM l$k1),
+       |e2 AS MATERIALIZED (
+       |  SELECT ls.label AS src, ld.label AS dst, count(*) AS w
+       |  FROM e JOIN lab1 ls ON e.src = ls.node
+       |         JOIN lab1 ld ON e.dst = ld.node
+       |  GROUP BY ls.label, ld.label
+       |),
+       |${louvainWeightedChain(k2, "e2", "u")},
+       |lab AS MATERIALIZED (
+       |  SELECT lab1.node AS node, u.label AS label
+       |  FROM lab1 JOIN ul$k2 u ON lab1.label = u.node
+       |),
+       |$modularityMarginalCtes,
+       |tot AS (
+       |  SELECT CAST(sum(within_edges) AS BIGINT) AS within_total,
+       |    CAST(sum(out_degree * in_degree) AS BIGINT) AS degree_product_sum
+       |  FROM percom
+       |)
+       |SELECT m.m AS m, within_total, degree_product_sum,
+       |  CAST(within_total AS DOUBLE) / m.m
+       |    - CAST(degree_product_sum AS DOUBLE) / m.m / m.m AS q
+       |FROM tot CROSS JOIN m""".stripMargin
 
   /** Oracle for `graph_louvain_q`: the Louvain chain's final labels fed
     * through the SAME marginal + integer-sum-total arithmetic as
@@ -2433,7 +2462,10 @@ object StarQueries {
         .join(li.select(col("ok"), col("pk").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
         .select("src", "dst")
-      graft.operators.Graph.louvainMove(e, iterations = 3)
+      // symmetric = true: the ok-self-join emits (a, b) AND (b, a) —
+      // the contract the fast path asserts (one |E| label join/round)
+      graft.operators.Graph.louvainMove(e, iterations = 3,
+          symmetric = true)
         .orderBy("node")
     },
 
@@ -2452,7 +2484,9 @@ object StarQueries {
         .join(li.select(col("ok"), col("pk").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      graft.operators.Graph.louvainMoveWeighted(e, iterations = 3)
+      // symmetric = true: w(a→b) = w(b→a) by the self-join's symmetry
+      graft.operators.Graph.louvainMoveWeighted(e, iterations = 3,
+          symmetric = true)
         .orderBy("node")
     },
 
@@ -2476,15 +2510,50 @@ object StarQueries {
         .select("src", "dst").distinct()
       // persist level-1 labels: coarsen and the final map-back both
       // consume them — unpersisted, the 3-round loop would replay
+      // both levels run the symmetric fast path: e is symmetrized by
+      // the ok-self-join, and coarsen of a symmetric graph is symmetric
+      // (w(c1→c2) = w(c2→c1); self-loops are their own reverse)
       val l1 = graft.operators.Caches.persistTracked(
-        graft.operators.Graph.louvainMove(e, iterations = 3))
+        graft.operators.Graph.louvainMove(e, iterations = 3,
+          symmetric = true))
       val g2 = graft.operators.Graph.coarsen(e, l1)
       val l2 = graft.operators.Graph.louvainMoveWeighted(g2,
-        iterations = 2, weight = "weight")
+        iterations = 2, weight = "weight", symmetric = true)
       l1.join(l2.select(col("node").as("label"),
           col("label").as("label2")), "label")
         .select("node", "label2")
         .orderBy("node")
+    },
+
+    // THE HIERARCHY MEASUREMENT: global Q of the TWO-LEVEL partition on
+    // the original node graph — the capstone of the ascent story
+    // (singletons < LPA(4) < Louvain(3) ≤ Louvain2(3,2), each a
+    // certified one-row output on the same graph and the same
+    // integer-sum total). Level 2 re-moves COMMUNITIES, so its gains
+    // are exactly the coarse-graph modularity deltas — Q here reads the
+    // merged partition back on the node graph, where it is directly
+    // comparable to graph_louvain_q's number.
+    QueryDef.of("graph_louvain2_q", louvain2QOracle(3, 2)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      // the graph_louvain2 composition verbatim (symmetric fast path at
+      // both levels), then the level-2 node partition through the same
+      // integer-sum total as graph_louvain_q
+      val l1 = graft.operators.Caches.persistTracked(
+        graft.operators.Graph.louvainMove(e, iterations = 3,
+          symmetric = true))
+      val g2 = graft.operators.Graph.coarsen(e, l1)
+      val l2 = graft.operators.Graph.louvainMoveWeighted(g2,
+        iterations = 2, weight = "weight", symmetric = true)
+      val labels = l1.join(l2.select(col("node").as("label"),
+          col("label").as("label2")), "label")
+        .select(col("node"), col("label2").as("label"))
+      graft.operators.Graph.modularityTotal(e, labels)
     },
 
     // LOUVAIN AGGREGATION PHASE: the Louvain(3) partition collapsed to
@@ -2500,7 +2569,8 @@ object StarQueries {
         .join(li.select(col("ok"), col("pk").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct()
-      val labels = graft.operators.Graph.louvainMove(e, iterations = 3)
+      val labels = graft.operators.Graph.louvainMove(e, iterations = 3,
+        symmetric = true)
       graft.operators.Graph.coarsen(e, labels)
         .orderBy("src", "dst")
     },
@@ -2518,7 +2588,8 @@ object StarQueries {
         .join(li.select(col("ok"), col("pk").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct() // modularity's simple-graph m
-      val labels = graft.operators.Graph.louvainMove(e, iterations = 3)
+      val labels = graft.operators.Graph.louvainMove(e, iterations = 3,
+        symmetric = true)
       graft.operators.Graph.modularityTotal(e, labels)
     },
 

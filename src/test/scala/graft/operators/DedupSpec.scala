@@ -53,6 +53,56 @@ class DedupSpec extends SparkSpecBase {
     Caches.releaseAll()
   }
 
+  test("nearDupAuto memoizes the engine-choice sample per corpus plan") {
+    Dedup.clearDupSampleCache()
+    assert(Dedup.dupSampleCacheSize == 0)
+    val d = docs.select("doc_id", "text")
+    val p1 = Dedup.nearDupAuto(d)
+    assert(Dedup.dupSampleCacheSize == 1)
+    // an identical plan shares the entry (semantic-hash key, not object
+    // identity) and returns the identical decision
+    val p2 = Dedup.nearDupAuto(docs.select("doc_id", "text"))
+    assert(Dedup.dupSampleCacheSize == 1)
+    assert(p2.engine == p1.engine && p2.dupFraction == p1.dupFraction &&
+      p2.sampledDocs == p1.sampledDocs)
+    // a different corpus plan gets its own entry
+    Dedup.nearDupAuto(d.filter(col("doc_id") < 25))
+    assert(Dedup.dupSampleCacheSize == 2)
+    // job census: with the memo warm, constructing the plan launches
+    // exactly ONE job fewer than cold (the hash-ordered sampling
+    // TakeOrdered+agg) — the job the bench artifacts' dedup_auto reps
+    // were paying every timed rep. Listener events are async; poll until
+    // the count settles.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def settled(): Int = {
+      var prev = -1
+      var cur = jobs.get()
+      var waited = 0
+      while (cur != prev && waited < 5000) {
+        prev = cur; Thread.sleep(250); waited += 250; cur = jobs.get()
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      jobs.set(0)
+      Dedup.nearDupAuto(d) // warm: memo hit
+      val warm = settled()
+      Dedup.clearDupSampleCache()
+      jobs.set(0)
+      Dedup.nearDupAuto(d) // cold: pays the sampling job
+      val cold = settled()
+      assert(cold == warm + 1, s"cold=$cold warm=$warm")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    Caches.releaseAll()
+  }
+
   test("exact and fingerprint dedup agree (and find no dups in distinct corpus)") {
     val e = Dedup.exact(docs).orderBy("keep_id").collect().toSeq
     val f = Dedup.exactByFingerprint(docs).orderBy("keep_id").collect().toSeq

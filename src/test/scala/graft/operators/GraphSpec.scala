@@ -187,6 +187,23 @@ class GraphSpec extends SparkSpecBase {
     assert(seeds.forall(s => got(s) > uni(s)))
   }
 
+  test("personalizedPageRank rejects seeds absent from the graph's src nodes") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    // absent node id → teleport mass would silently vanish; fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, seeds = Seq(1L, 99L), iterations = 2)
+    }
+    assert(ex.getMessage.contains("not src nodes"))
+    Caches.releaseAll()
+    // duplicated seeds are a caller bug, not a smaller seed set
+    val ex2 = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, seeds = Seq(1L, 1L), iterations = 2)
+    }
+    assert(ex2.getMessage.contains("distinct"))
+    Caches.releaseAll()
+  }
+
   /** [[prReference]] with weighted contributions (pr·w)/sw — the same
     * two-level fold, the element computed in the operator's op order. */
   private def prwReference(edges: Seq[(Long, Long, Long)], k: Int,
@@ -645,6 +662,62 @@ class GraphSpec extends SparkSpecBase {
     assert(at20.values.max == 15L) // the measured degeneracy at sf0.001
   }
 
+  test("louvain round count: measured ΔQ trajectory on the sf0.001 graph (no fixpoint)") {
+    // The wired k = 3 is a COST-QUALITY OPERATING POINT, not a fixpoint —
+    // unlike coreNumbers, synchronous Louvain has none to pin: measured
+    // trajectory on the sf0.001 co-purchase graph (2026-08, r12)
+    //   k :  1        2        3        4        5        6
+    //   Q : -0.0019   0.0047   0.0067   0.0136   0.0104   0.0174
+    // (sf0.01: 0.0131 / 0.0203 / 0.0291 / 0.0317 / 0.0352 / 0.0366) —
+    // gains continue but diminish, and the k=5 DIP below k=4 here is the
+    // documented synchronous-oscillation trade in action. The cheap way
+    // to keep ascending is the LEVEL-2 pass on the coarsened graph
+    // (≤C nodes), not more |E|-cost rounds: louvain2(3,2) reaches
+    // Q = 0.00918 at sf0.001 vs louvain(3)'s 0.00674 (sf0.01: 0.03059
+    // vs 0.02907). This test pins the load-bearing facts of that
+    // argument on the real graph.
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.select(col("ok"), col("pk").as("src"))
+      .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    e.cache()
+    def qAt(k: Int): Double = {
+      val lab = Graph.louvainMove(e, iterations = k, symmetric = true)
+      val q = Graph.modularityTotal(e, lab).collect()(0).getDouble(3)
+      Caches.releaseAll()
+      q
+    }
+    val q = (1 to 5).map(qAt)
+    // ascent through the wired k = 3...
+    assert(q(0) < q(1) && q(1) < q(2), s"trajectory $q")
+    // ...but NOT monotone beyond it: round 5 dips below round 4 — the
+    // synchronous-oscillation trade that makes fixed-k the contract
+    assert(q(4) < q(3), s"expected the k=5 oscillation dip, got $q")
+    // and the hierarchy step ascends past the wired flat point at a
+    // fraction of the cost — its extra rounds run on the ≤C-node coarse
+    // graph, not |E|. (A flat k=4 can out-score louvain2(3,2) — 0.0136
+    // vs 0.0092 on this tiny graph — but every flat round costs a full
+    // |E| pass where a level-2 round costs ≤C²; the scale argument is
+    // cost per ΔQ. The certified claim is the monotone one: the
+    // two-level partition never scores below its own level 1.)
+    val l1 = Caches.persistTracked(
+      Graph.louvainMove(e, iterations = 3, symmetric = true))
+    val g2 = Graph.coarsen(e, l1)
+    val l2 = Graph.louvainMoveWeighted(g2, iterations = 2,
+      weight = "weight", symmetric = true)
+    val lab2 = l1.join(l2.select(col("node").as("label"),
+        col("label").as("label2")), "label")
+      .select(col("node"), col("label2").as("label"))
+    val q2 = Graph.modularityTotal(e, lab2).collect()(0).getDouble(3)
+    Caches.releaseAll()
+    assert(q2 > q(2), s"louvain2(3,2) Q=$q2 should beat louvain(3) Q=${q(2)}")
+    e.unpersist()
+  }
+
   /** Plain-Scala replay of [[Graph.louvainMove]]'s exact semantics:
     * per-round community totals, per-(node, candidate) edge masses
     * (own community always a candidate), the directed Dugué–Perez gain
@@ -762,6 +835,43 @@ class GraphSpec extends SparkSpecBase {
     assert(got == louvainWeightedReference(edges, 2))
     assert(got(1L) != got(2L),
       "self-loop mass should dominate the light bridge — no merge")
+  }
+
+  test("louvain symmetric fast path ≡ general loop on symmetrized and self-looped graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    for (trial <- 1 to 2) {
+      // unweighted: random directed pairs, symmetrized
+      val raw = Seq.fill(200)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2)
+      val symE = (raw ++ raw.map(_.swap)).distinct
+      val fast = Graph.louvainMove(symE.toDF("src", "dst"), iterations = 3,
+          symmetric = true)
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      val gen = Graph.louvainMove(symE.toDF("src", "dst"), iterations = 3)
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      assert(fast == gen, s"unweighted trial $trial")
+      // weighted WITH self-loops — the coarsened-community-graph shape
+      // (a self-loop is its own reverse; off-diagonal weights mirrored)
+      val offDiag = symE.filter { case (a, b) => a < b }
+        .map { case (a, b) => (a, b, (a * 7 + b) % 5 + 1) }
+      val wtd = offDiag ++ offDiag.map { case (a, b, w) => (b, a, w) } ++
+        symE.map(_._1).distinct.filter(_ % 3 == 0).map(v => (v, v, v % 4 + 1))
+      val fastW = Graph.louvainMoveWeighted(wtd.toDF("src", "dst", "w"),
+          iterations = 3, symmetric = true)
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      val genW = Graph.louvainMoveWeighted(wtd.toDF("src", "dst", "w"),
+          iterations = 3)
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      assert(fastW == genW, s"weighted trial $trial")
+      // and the fast path still equals the plain-Scala directed-gain
+      // reference — not just the other Spark plan
+      assert(fastW == louvainWeightedReference(wtd, 3), s"ref trial $trial")
+    }
   }
 
   test("louvainMove: two cliques with one bridge settle to per-clique communities") {

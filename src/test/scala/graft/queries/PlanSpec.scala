@@ -227,16 +227,18 @@ class PlanSpec extends SparkSpecBase {
     //    totals × top-K coverage — the graph_triangles class).
     //  - corpus_temperature: the 1-row total and 1-row normalizer against
     //    the ≤|strata|-row stratum frame (the lm_surprisal class).
-    //  - graph_modularity / graph_modularity_q / graph_louvain_q: the
-    //    1-ROW edge-count m broadcast against the ≤|communities|-row
-    //    (resp. 1-row) frame (the corpus_temperature class).
+    //  - graph_modularity / graph_modularity_q / graph_louvain_q /
+    //    graph_louvain2_q: the 1-ROW edge-count m broadcast against the
+    //    ≤|communities|-row (resp. 1-row) frame (the corpus_temperature
+    //    class).
     val allowedProduct =
       Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search",
         "term_search_bm25", "lm_surprisal", "graph_triangles", "knn_classify",
         "tfidf_topk", "contrastive_pairs", "lm_bigram", "ann_topk_pq",
         "ann_topk_pq_exact", "pareto_frontier", "collocations_lift",
         "events_ffill", "vocab_coverage", "corpus_temperature",
-        "graph_modularity", "graph_modularity_q", "graph_louvain_q")
+        "graph_modularity", "graph_modularity_q", "graph_louvain_q",
+        "graph_louvain2_q")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
