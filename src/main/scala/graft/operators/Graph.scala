@@ -682,6 +682,76 @@ object Graph {
       .select(col("doc_id").as("node"), col("cluster").as("component"))
 
   /**
+   * INCREMENTAL connected-component maintenance under an edge Δ-batch —
+   * the graph toolkit's IVM face, [[Ivm.mergeAdditive]]'s sibling for a
+   * view (connectivity) that is NOT an additive aggregate: given the
+   * stored component view of a base graph and a batch of new edges,
+   * produce the component view of base ∪ Δ WITHOUT rescanning any base
+   * edge. (Edge DELETION is deliberately out of scope — decremental
+   * connectivity has no contraction shortcut; the production answer is
+   * periodic recompute, which [[connectedComponents]] is.)
+   *
+   * The algebra: connectivity quotients compose — contract every base
+   * component to its representative (= its min-label, which IS a node
+   * id by the [[connectedComponents]] invariant), map each Δ endpoint
+   * to its representative (itself when the node is new), and union-find
+   * ONLY the contracted Δ edges. A merged group's new label is the min
+   * of its member representatives; since every representative is
+   * already the min of its own base component and new nodes represent
+   * themselves, that min is the global min node id — exactly the
+   * from-scratch min-label fixpoint (the `graph_components_ivm` oracle
+   * recomputes the whole graph and the hashes agree; GraphSpec pins the
+   * theorem on random splits).
+   *
+   * Cost: |Δ| + |touched components| — one broadcast-able join of the Δ
+   * endpoints against the |V|-row component view, a union-find over the
+   * ≤|Δ| contracted edges (Δ edges whose endpoints already share a
+   * component contract to self-loops and are dropped before the loop),
+   * and one join to map touched base nodes to their new label. At
+   * 100 TB the base edge set — the thing that actually grew — is never
+   * read; the component view is |V|-sized and the Δ work is
+   * batch-sized. Returned frame follows the [[connectedComponents]]
+   * release contract (`Caches.releaseAll()` after materializing).
+   *
+   * `baseComponents`: (node, component) as [[connectedComponents]]
+   * emits — component = min member id. `deltaEdges` may touch nodes
+   * absent from the base view (they enter as their own representative).
+   */
+  def componentsIncremental(baseComponents: DataFrame, deltaEdges: DataFrame,
+      src: String = "src", dst: String = "dst",
+      loopParts: Int = 0): DataFrame = {
+    val comp = Caches.persistTracked(
+      baseComponents.select(col("node"), col("component")))
+    // Δ endpoints → representatives (new nodes represent themselves)
+    val repped = deltaEdges
+      .join(comp.select(col("node").as(src), col("component").as("rs")),
+        Seq(src), "left")
+      .join(comp.select(col("node").as(dst), col("component").as("rd")),
+        Seq(dst), "left")
+      .select(coalesce(col("rs"), col(src)).as("ra"),
+        coalesce(col("rd"), col(dst)).as("rb"))
+      // an edge inside one existing component contracts to a self-loop:
+      // nothing to merge, drop it before the union-find shuffle
+      .filter(col("ra") =!= col("rb"))
+    val repComp = Dedup.duplicateClusters(
+      repped.select(col("ra").as("doc_a"), col("rb").as("doc_b")),
+      loopParts = loopParts)
+    // base nodes: re-label the touched components, keep the rest
+    val updatedBase = comp
+      .join(repComp.select(col("doc_id").as("component"),
+        col("cluster")), Seq("component"), "left")
+      .select(col("node"),
+        coalesce(col("cluster"), col("component")).as("component"))
+    // Δ-only nodes: representatives that are not base nodes (every base
+    // representative IS a base node — the min-label invariant)
+    val deltaOnly = repComp
+      .join(comp.select(col("node")),
+        repComp("doc_id") === comp("node"), "left_anti")
+      .select(col("doc_id").as("node"), col("cluster").as("component"))
+    updatedBase.unionAll(deltaOnly)
+  }
+
+  /**
    * PARALLEL LOUVAIN MOVE PHASE (the local-move step of Blondel et al.
    * 2008, with the DIRECTED-modularity gain of Dugué & Perez 2015 —
    * the same Q [[modularity]] scores, so the two operators compose):

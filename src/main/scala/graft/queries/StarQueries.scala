@@ -2430,6 +2430,30 @@ object StarQueries {
         .orderBy("node")
     },
 
+    // INCREMENTAL GRAPH MAINTENANCE certified as an oracle row (the
+    // agg_incremental theorem pattern, on a view that is NOT an
+    // additive aggregate): the engine maintains the component view
+    // under an edge Δ-batch — base components contracted to their
+    // min-label representatives, union-find over the ≤|Δ| contracted
+    // edges only, touched components re-labeled — while the oracle
+    // recomputes min-reachable-id over the WHOLE graph from scratch.
+    // The hash match IS the quotient-composition theorem: base edges
+    // never rescanned, labels identical. Split is deterministic
+    // ((s + d) mod 7) so both engines see the same base/Δ partition of
+    // the same co-purchase pair set.
+    QueryDef.of("graph_components_ivm", componentsOracle) { (s, dir) =>
+      val pr = strongCoPurchasePairs(s, dir)
+      val base = pr.filter(pmod(col("s") + col("d"), lit(7)) =!= 0)
+      val delta = pr.filter(pmod(col("s") + col("d"), lit(7)) === 0)
+      // loopParts pinned: a few-thousand-pair graph at every driver SF
+      // (the graph_components convention, both loops)
+      val baseComp = graft.operators.Graph.connectedComponents(base,
+        src = "s", dst = "d", loopParts = 1)
+      graft.operators.Graph.componentsIncremental(baseComp, delta,
+          src = "s", dst = "d", loopParts = 1)
+        .orderBy("node")
+    },
+
     // CORE-NUMBER DECOMPOSITION (every node's maximal k-core) on the
     // same sparse co-purchase graph — the per-k completion of
     // graph_kcore, via the Lü-et-al h-index iteration (h₀ = degree,

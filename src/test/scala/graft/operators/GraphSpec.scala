@@ -586,6 +586,48 @@ class GraphSpec extends SparkSpecBase {
     core
   }
 
+  test("componentsIncremental(base view, Δ) == from-scratch components on base ∪ Δ") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 3) {
+      val all = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(p => p._1 != p._2).distinct
+      // deterministic split: ~1/5 of edges arrive as the Δ batch
+      val (delta, base) = all.partition { case (a, b) => (a + b) % 5 == 0 }
+      val baseComp = Graph.connectedComponents(base.toDF("src", "dst"))
+      val got = Graph.componentsIncremental(baseComp,
+          delta.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      val want = Graph.connectedComponents(all.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      assert(got == want, s"trial $trial")
+    }
+    // hand cases: Δ bridges two base components (labels re-min), Δ
+    // introduces brand-new nodes (chain hanging off a base component
+    // AND a disconnected new pair), Δ inside one component (no-op)
+    val base = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+    val delta = Seq(
+      (2L, 10L),   // bridge: {1,2} ∪ {10,11} → label 1
+      (11L, 50L),  // new node hangs off the merged component
+      (60L, 61L),  // disconnected brand-new pair → label 60
+      (1L, 2L))    // intra-component edge → contracts to a self-loop
+    val baseComp = Graph.connectedComponents(base.toDF("src", "dst"))
+    val got = Graph.componentsIncremental(baseComp, delta.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 50L -> 1L,
+      60L -> 60L, 61L -> 60L))
+    // empty Δ after self-loop contraction: the view passes through
+    val noop = Graph.componentsIncremental(
+      Graph.connectedComponents(base.toDF("src", "dst")),
+      Seq((1L, 2L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(noop == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("coreNumbers: triangle with a pendant chain — hand-computed cores") {
     // triangle {1,2,3} core 2; chain 3–4–5 core 1
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
