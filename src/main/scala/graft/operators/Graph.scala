@@ -252,6 +252,44 @@ object Graph {
     * personalized one); `contribC` is the per-edge contribution
     * expression over the base's columns plus the joined `pr`
     * (pr/deg for the uniform walk, pr·w/sw for the weighted one). */
+  /** The hub-safe deterministic per-key contribution sum shared by the
+    * rank loops and [[hits]]: `contribs` carries (`key`, `by`, c);
+    * exact mode folds in two sorted levels — elements salted into
+    * `foldBuckets` buckets by `by` % B, sorted-folded within each
+    * (key, bucket), the ≤B bucket sums sorted-folded by bucket id.
+    * ONE exchange for BOTH fold levels: HashPartitioning(key) satisfies
+    * ClusteredDistribution(key, bkt) (a superset of the partitioning
+    * keys) and survives the first aggregate, so the (key, bkt) fold and
+    * the per-key bucket fold both run shuffle-free on it — same
+    * per-step shuffle volume as a flat fold, while a hub's buffered
+    * state is still B independent sort-fallback-spillable groups of
+    * ~in-degree/B instead of one unbounded array (the two-shuffle
+    * per-(key,bkt) exchange variant buys cross-task hub parallelism at
+    * the price of a second ~|E|-sized exchange per step — the
+    * production answer for that graph is `exact = false`, not a pricier
+    * fold). Output: (node, s). */
+  private def foldedContribSum(contribs: DataFrame, key: String,
+      by: String, exact: Boolean, foldBuckets: Int): DataFrame =
+    if (exact) contribs
+      .select(col(key), (col(by) % lit(foldBuckets.toLong)).as("bkt"),
+        struct(col(by), col("c")).as("sc"))
+      .repartition(col(key))
+      .groupBy(col(key), col("bkt"))
+      .agg(sort_array(collect_list(col("sc"))).as("cs"))
+      .select(col(key), col("bkt"),
+        aggregate(col("cs"), lit(0.0d),
+          (a, x) => a + x.getField("c")).as("bs"))
+      .select(col(key), struct(col("bkt"), col("bs")).as("bc"))
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(col("bc"))).as("bcs"))
+      .select(col(key).as("node"),
+        aggregate(col("bcs"), lit(0.0d),
+          (a, x) => a + x.getField("bs")).as("s"))
+    else contribs
+      .groupBy(col(key))
+      .agg(sum(col("c")).as("s"))
+      .select(col(key).as("node"), col("s"))
+
   private def prLoop(base: DataFrame, nodes: DataFrame, r0: DataFrame,
       jumpCol: Column, contribC: Column, iterations: Int, damping: Double,
       exact: Boolean, foldBuckets: Int, src: String, dst: String)
@@ -262,42 +300,88 @@ object Graph {
       val contribs = base
         .join(r.select(col("node").as(src), col("pr")), src)
         .select(col(dst), col(src), contribC.as("c"))
-      val sums =
-        if (exact) contribs
-          .select(col(dst), (col(src) % lit(foldBuckets.toLong)).as("bkt"),
-            struct(col(src), col("c")).as("sc"))
-          // ONE exchange for BOTH fold levels: HashPartitioning(dst)
-          // satisfies ClusteredDistribution(dst, bkt) (a superset of the
-          // partitioning keys) and survives the first aggregate, so the
-          // (dst, bkt) fold and the per-dst bucket fold both run
-          // shuffle-free on it — same per-step shuffle volume as a flat
-          // fold, while a hub's buffered state is still B independent
-          // sort-fallback-spillable groups of ~in-degree/B instead of one
-          // unbounded array (the two-shuffle per-(dst,bkt) exchange
-          // variant buys cross-task hub parallelism at the price of a
-          // second ~|E|-sized exchange per step — the production answer
-          // for that graph is `exact = false`, not a pricier fold).
-          .repartition(col(dst))
-          .groupBy(col(dst), col("bkt"))
-          .agg(sort_array(collect_list(col("sc"))).as("cs"))
-          .select(col(dst), col("bkt"),
-            aggregate(col("cs"), lit(0.0d),
-              (a, x) => a + x.getField("c")).as("bs"))
-          .select(col(dst), struct(col("bkt"), col("bs")).as("bc"))
-          .groupBy(col(dst))
-          .agg(sort_array(collect_list(col("bc"))).as("bcs"))
-          .select(col(dst).as("node"),
-            aggregate(col("bcs"), lit(0.0d),
-              (a, x) => a + x.getField("bs")).as("s"))
-        else contribs
-          .groupBy(col(dst))
-          .agg(sum(col("c")).as("s"))
-          .select(col(dst).as("node"), col("s"))
+      val sums = foldedContribSum(contribs, dst, src, exact, foldBuckets)
       cap(nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (jumpCol + lit(damping) * coalesce(col("s"), lit(0.0d)))
             .as("pr")))
     }
+  }
+
+  /**
+   * HITS — hubs and authorities (Kleinberg 1999) over a DIRECTED
+   * distinct edge list, k synchronous mutual-reinforcement rounds:
+   *
+   *   auth(v) ← Σ_{u→v} hub(u),   hub(v) ← Σ_{v→w} auth(w)
+   *
+   * each vector rescaled by its MAXIMUM after every half-step.
+   * Max-normalization — not the textbook L2 — is deliberate and
+   * semantics-preserving: the HITS iteration is power iteration on AᵀA
+   * (authorities) / AAᵀ (hubs), which is invariant under any per-step
+   * positive rescaling, so the converged DIRECTION (and every ranking)
+   * is Kleinberg's; but an L2 norm is a GLOBAL double sum — partition-
+   * order dependent and un-replayable — where max over doubles is
+   * order-independent, which is what lets a DuckDB oracle replay every
+   * round bit-for-bit (the same reason [[modularityTotal]] sums
+   * integers, never doubles). Per-step max also keeps every value in
+   * [0, 1] — no overflow at any round count.
+   *
+   * Determinism: contribution sums go through the SAME hub-safe
+   * two-level fold as [[pageRank]] (`exact = true`; `exact = false` is
+   * the production partial-agg `sum()`), the max is one
+   * order-independent aggregate collected to the driver as a plan
+   * literal (two bounded 1-row collects per round — the [[pageRank]] N
+   * pattern), and the division is one fixed-shape double op.
+   *
+   * Scale shape: the edge base is checkpointed TWICE, pre-partitioned/
+   * pre-sorted by src for the hub→auth join and by dst for the
+   * auth→hub join (two sorted copies — the bucketed-both-sides trick —
+   * so neither direction re-shuffles |E| per round); each half-step
+   * shuffles only the fold's contributions and checkpoints a |V|-row
+   * raw-score frame (fresh-stats — the loop-cap contract), off which
+   * the normalized vector is a cheap projection consumed by both the
+   * next half-step and the final output. Nothing data-sized reaches
+   * the driver.
+   *
+   * Caller contract: `edges` non-empty; distinct pairs (internal
+   * `distinct()` like [[pageRank]]). Nodes appearing only as src have
+   * authority 0; only as dst, hub 0 (the bipartite shape). Output:
+   * (node, hub, auth) for every node on either side of an edge.
+   */
+  def hits(edges: DataFrame, iterations: Int, src: String = "src",
+      dst: String = "dst", exact: Boolean = true,
+      foldBuckets: Int = 16): DataFrame = {
+    val eSrc = checkpointEdges(edges, src, dst)
+    val eDst = Caches.checkpointTracked(eSrc
+      .repartition(col(dst)).sortWithinPartitions(dst))
+    val nodes = Caches.checkpointTracked(
+      eSrc.select(col(src).as("node"))
+        .unionAll(eSrc.select(col(dst).as("node"))).distinct())
+    var hub = nodes.select(col("node"), lit(1.0d).as("hub"))
+    var auth = nodes.select(col("node"), lit(1.0d).as("auth"))
+    for (_ <- 1 to iterations) {
+      val araw = Caches.checkpointTrackedFreshStats(
+        nodes.join(foldedContribSum(
+            eSrc.join(hub.select(col("node").as(src), col("hub")), src)
+              .select(col(dst), col(src), col("hub").as("c")),
+            dst, src, exact, foldBuckets),
+          Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0.0d)).as("raw")))
+      val amax = araw.agg(max(col("raw"))).collect()(0).getDouble(0)
+      require(amax > 0.0, "hits: zero authority mass — no edges reached")
+      auth = araw.select(col("node"), (col("raw") / lit(amax)).as("auth"))
+      val hraw = Caches.checkpointTrackedFreshStats(
+        nodes.join(foldedContribSum(
+            eDst.join(auth.select(col("node").as(dst), col("auth")), dst)
+              .select(col(src), col(dst), col("auth").as("c")),
+            src, dst, exact, foldBuckets),
+          Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0.0d)).as("raw")))
+      val hmax = hraw.agg(max(col("raw"))).collect()(0).getDouble(0)
+      require(hmax > 0.0, "hits: zero hub mass — no edges reached")
+      hub = hraw.select(col("node"), (col("raw") / lit(hmax)).as("hub"))
+    }
+    hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
   }
 
   /**

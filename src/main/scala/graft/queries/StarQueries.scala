@@ -74,6 +74,61 @@ object StarQueries {
        |SELECT node, pr FROM r$k ORDER BY node""".stripMargin
   }
 
+  /** Oracle for `graph_hits`: k levels, each two half-steps — the
+    * authority fold (hub mass over in-edges, keyed by dst, bucketed by
+    * src % b) and the hub fold (authority mass over out-edges, keyed by
+    * src, bucketed by dst % b) — each COALESCE'd over the node universe,
+    * max-rescaled via a scalar CTE, divided in the engine's op order.
+    * The nested list_sort + list_reduce fold levels are
+    * [[pageRankOracle]]'s verbatim; max over doubles is
+    * order-independent, which is the whole reason [[Graph.hits]]
+    * normalizes by max instead of an (un-replayable) L2 sum. */
+  private def hitsOracle(k: Int, b: Int = 16): String = {
+    def fold(keyOut: String, key: String, by: String, elem: String,
+        from: String): String =
+      s"""SELECT t.$key AS $keyOut, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(list_sort(list(struct_pack(bkt := t.bkt,
+         |    bs := t.bs))), x -> x.bs)), (a, x) -> a + x) AS s
+         |FROM (
+         |  SELECT e.$key, e.$by % $b AS bkt,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_sort(list(struct_pack(by := e.$by,
+         |        c := $elem))), x -> x.c)), (a, x) -> a + x) AS bs
+         |  FROM e JOIN $from v ON e.$by = v.node
+         |  GROUP BY e.$key, e.$by % $b
+         |) t GROUP BY t.$key""".stripMargin
+    def level(i: Int): String =
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT nd.node, COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS raw
+         |  FROM nodes nd LEFT JOIN (
+         |${fold("dst", "dst", "src", "v.hub", s"h${i - 1}")}
+         |  ) s ON nd.node = s.dst
+         |), am$i AS (SELECT max(raw) AS mx FROM ar$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT node, raw / mx AS auth FROM ar$i CROSS JOIN am$i
+         |), hr$i AS MATERIALIZED (
+         |  SELECT nd.node, COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS raw
+         |  FROM nodes nd LEFT JOIN (
+         |${fold("src", "src", "dst", "v.auth", s"a$i")}
+         |  ) s ON nd.node = s.src
+         |), hm$i AS (SELECT max(raw) AS mx FROM hr$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, raw / mx AS hub FROM hr$i CROSS JOIN hm$i
+         |)""".stripMargin
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS src,
+       |    l.l_partkey + 1000000000 AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |), nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e
+       |),
+       |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+       |${(1 to k).map(level).mkString(",\n")}
+       |SELECT h.node AS node, h.hub AS hub, a.auth AS auth
+       |FROM h$k h JOIN a$k a ON h.node = a.node
+       |ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `graph_pagerank_weighted`: [[pageRankOracle]]'s
     * two-level-fold CTE chain with WEIGHTED contributions — the edge CTE
     * carries w = shared-order count, sw = Σ out-weights replaces deg,
@@ -2430,6 +2485,48 @@ object StarQueries {
         .orderBy("node")
     },
 
+    // HITS hubs & authorities (Kleinberg) on the BIPARTITE
+    // customer→part purchase graph (part ids offset by 1e9 into their
+    // own range — the two sides must not collide): hubs = customers
+    // whose baskets concentrate on authoritative parts, authorities =
+    // parts bought by hub customers — the mutual-reinforcement ranking
+    // next to pageRank's random-walk one. 4 synchronous rounds,
+    // max-rescaled per half-step (order-independent, unlike an L2 sum —
+    // the choice that makes the round-by-round replay possible);
+    // contribution sums through the shared hub-safe two-level fold.
+    QueryDef.of("graph_hits", hitsOracle(4)) { (s, dir) =>
+      val e = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("src"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"),
+            (col("l_partkey") + lit(1000000000L)).as("dst")), "ok")
+        .select("src", "dst")
+      graft.operators.Graph.hits(e, iterations = 4)
+        .orderBy("node")
+    },
+
+    // DEGREE-VIEW MAINTENANCE under the same edge Δ-batch — the
+    // additive half of the graph-IVM pair (components above are the
+    // non-additive half): per-node degree is a distributive count, so
+    // deg(base ∪ Δ) = deg(base) ⊕ deg(Δ) through the SAME
+    // Ivm.mergeAdditive merge the warehouse row certifies
+    // (agg_incremental); the oracle counts the whole symmetrized edge
+    // set from scratch. Same deterministic (src + dst) mod 7 split as
+    // graph_components_ivm, so one Δ-batch story covers both views.
+    QueryDef.of("graph_degrees_ivm",
+      s"""$strongCoPurchaseCte
+        |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM e GROUP BY src ORDER BY node""".stripMargin) { (s, dir) =>
+      val e = strongCoPurchaseEdges(s, dir)
+      def degOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val base = e.filter(pmod(col("src") + col("dst"), lit(7)) =!= 0)
+      val delta = e.filter(pmod(col("src") + col("dst"), lit(7)) === 0)
+      graft.operators.Ivm.mergeAdditive(degOf(base), degOf(delta),
+          "node", Seq("deg"))
+        .orderBy("node")
+    },
+
     // INCREMENTAL GRAPH MAINTENANCE certified as an oracle row (the
     // agg_incremental theorem pattern, on a view that is NOT an
     // additive aggregate): the engine maintains the component view
@@ -2537,10 +2634,12 @@ object StarQueries {
       // both levels run the symmetric fast path: e is symmetrized by
       // the ok-self-join, and coarsen of a symmetric graph is symmetric
       // (w(c1→c2) = w(c2→c1); self-loops are their own reverse)
+      // e is scanned twice (move + coarsen) — persist the self-join
+      val ep = graft.operators.Caches.persistTracked(e)
       val l1 = graft.operators.Caches.persistTracked(
-        graft.operators.Graph.louvainMove(e, iterations = 3,
+        graft.operators.Graph.louvainMove(ep, iterations = 3,
           symmetric = true))
-      val g2 = graft.operators.Graph.coarsen(e, l1)
+      val g2 = graft.operators.Graph.coarsen(ep, l1)
       val l2 = graft.operators.Graph.louvainMoveWeighted(g2,
         iterations = 2, weight = "weight", symmetric = true)
       l1.join(l2.select(col("node").as("label"),
@@ -2568,10 +2667,14 @@ object StarQueries {
       // the graph_louvain2 composition verbatim (symmetric fast path at
       // both levels), then the level-2 node partition through the same
       // integer-sum total as graph_louvain_q
+      // e is scanned THREE times here (move, coarsen, mixing) — the
+      // self-join is the one intermediate worth persisting in the
+      // whole composition
+      val ep = graft.operators.Caches.persistTracked(e)
       val l1 = graft.operators.Caches.persistTracked(
-        graft.operators.Graph.louvainMove(e, iterations = 3,
+        graft.operators.Graph.louvainMove(ep, iterations = 3,
           symmetric = true))
-      val g2 = graft.operators.Graph.coarsen(e, l1)
+      val g2 = graft.operators.Graph.coarsen(ep, l1)
       val l2 = graft.operators.Graph.louvainMoveWeighted(g2,
         iterations = 2, weight = "weight", symmetric = true)
       val labels = l1.join(l2.select(col("node").as("label"),
@@ -2593,6 +2696,12 @@ object StarQueries {
         .join(li.select(col("ok"), col("pk").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct()
+      // e is scanned twice (move + coarsen); persisting the self-join
+      // measured a WASH here (13.6 s persisted vs 14.1 unpersisted in
+      // adjacent windows — the cache materialization costs what the
+      // recompute saves, and it breaks whole-stage fusion into the move
+      // loop's checkpoint base), so keep the simpler unpersisted plan;
+      // the 3-scan composition (graph_louvain2_q) is where it pays
       val labels = graft.operators.Graph.louvainMove(e, iterations = 3,
         symmetric = true)
       graft.operators.Graph.coarsen(e, labels)
@@ -2612,9 +2721,12 @@ object StarQueries {
         .join(li.select(col("ok"), col("pk").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct() // modularity's simple-graph m
-      val labels = graft.operators.Graph.louvainMove(e, iterations = 3,
+      // e is scanned TWICE (the move loop's checkpoint base and the
+      // mixing matrix) — persist the self-join instead of recomputing it
+      val ep = graft.operators.Caches.persistTracked(e)
+      val labels = graft.operators.Graph.louvainMove(ep, iterations = 3,
         symmetric = true)
-      graft.operators.Graph.modularityTotal(e, labels)
+      graft.operators.Graph.modularityTotal(ep, labels)
     },
 
     // MODULARITY of the LPA(4) partition on the co-purchase graph

@@ -304,6 +304,86 @@ class GraphSpec extends SparkSpecBase {
     lab
   }
 
+  /** Plain-Scala replay of [[Graph.hits]]'s exact semantics: per
+    * half-step the two-level (bucket-by-`by`, sorted) fold in the
+    * operator's op order, max-rescale, fixed division. */
+  private def hitsFold(items: Seq[(Long, Double)], b: Int): Double =
+    items.groupBy(_._1 % b).toSeq.sortBy(_._1)
+      .map { case (_, xs) =>
+        xs.sortBy(identity).foldLeft(0.0)((a, x) => a + x._2)
+      }
+      .foldLeft(0.0)(_ + _)
+
+  private def hitsReference(edges: Seq[(Long, Long)], k: Int,
+      b: Int = 16): Map[Long, (Double, Double)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to k) {
+      val aIn = e.groupBy(_._2).map { case (v, es) =>
+        v -> hitsFold(es.map(p => (p._1, hub(p._1))), b)
+      }
+      val araw = nodes.map(v => v -> aIn.getOrElse(v, 0.0)).toMap
+      val amax = araw.values.max
+      auth = araw.view.mapValues(_ / amax).toMap
+      val hIn = e.groupBy(_._1).map { case (v, es) =>
+        v -> hitsFold(es.map(p => (p._2, auth(p._2))), b)
+      }
+      val hraw = nodes.map(v => v -> hIn.getOrElse(v, 0.0)).toMap
+      val hmax = hraw.values.max
+      hub = hraw.view.mapValues(_ / hmax).toMap
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  test("hits is bit-equal to the two-level-fold max-normalized reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    // a general directed graph and a bipartite one (disjoint id ranges —
+    // the customer→part shape the wired query uses)
+    val general = Seq.fill(250)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val bipart = Seq.fill(250)(
+      (rnd.nextInt(40).toLong, 1000L + rnd.nextInt(50).toLong))
+    for ((edges, tag) <- Seq((general, "general"), (bipart, "bipartite"))) {
+      val got = Graph.hits(edges.toDF("src", "dst"), iterations = 4)
+        .as[(Long, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      Caches.releaseAll()
+      assert(got == hitsReference(edges, 4), tag)
+    }
+  }
+
+  test("hits production sum() mode agrees with exact mode to fp tolerance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(89)
+    val edges = Seq.fill(300)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+      .filter(p => p._1 != p._2)
+    val ex = Graph.hits(edges.toDF("src", "dst"), iterations = 3)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    Caches.releaseAll()
+    val pr = Graph.hits(edges.toDF("src", "dst"), iterations = 3,
+        exact = false)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    Caches.releaseAll()
+    assert(ex.keySet == pr.keySet)
+    for ((v, (h, a)) <- ex) {
+      assert(math.abs(h - pr(v)._1) <= 1e-12 * math.max(1.0, math.abs(h)), s"hub $v")
+      assert(math.abs(a - pr(v)._2) <= 1e-12 * math.max(1.0, math.abs(a)), s"auth $v")
+    }
+  }
+
+  test("hits on a star: sources are pure hubs, the center a pure authority") {
+    import spark.implicits._
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L))
+    val got = Graph.hits(edges.toDF("src", "dst"), iterations = 3)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    Caches.releaseAll()
+    assert(got(9L) == (0.0, 1.0), "center: no out-edges, all authority")
+    for (u <- 1L to 4L) assert(got(u) == (1.0, 0.0), s"source $u is a pure hub")
+  }
+
   test("labelPropagation equals the reference on random symmetric graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
