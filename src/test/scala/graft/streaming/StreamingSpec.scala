@@ -37,6 +37,47 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("GraphStreaming.maintainComponents == from-scratch components after every batch") {
+    import graft.operators.{Caches, Graph}
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    // other suites in the shared JVM may legitimately hold index-registry
+    // entries — assert we return to THIS baseline, not to zero
+    val indexBaseline = graft.operators.Caches.trackedIndexCount
+    val (view, q) = GraphStreaming.maintainComponents(
+      in.toDF().toDF("src", "dst"))
+    // three micro-batches: grow two chains, bridge them, hang new nodes
+    val batches = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      Seq((3L, 10L), (20L, 21L)),          // bridge + a fresh component
+      Seq((21L, 22L), (1L, 2L)))           // new node + a replayed edge
+    try {
+      var seen = Seq.empty[(Long, Long)]
+      for (b <- batches) {
+        in.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        val got = view.view.as[(Long, Long)].collect().toMap
+        val want = Graph.connectedComponents(seen.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+        Caches.releaseAll()
+        assert(got == want, s"after batch $b")
+      }
+      // idempotent replay: re-folding an already-applied batch leaves the
+      // view unchanged (its edges contract to self-loops and drop)
+      val before = view.view.as[(Long, Long)].collect().toMap
+      in.addData(batches(1): _*)
+      q.processAllAvailable()
+      val after = view.view.as[(Long, Long)].collect().toMap
+      assert(after == before, "replayed batch must be a no-op")
+    } finally {
+      q.stop()
+      view.release()
+      assert(Caches.trackedIndexCount == indexBaseline,
+        "released view must not leak index-registry entries")
+    }
+  }
+
   test("hourlyByType batch/streaming parity: same transform on a static frame") {
     val batch = Seq(
       Ev(1, t(10, 5), "click", 1.0), Ev(2, t(10, 40), "click", 2.0),
