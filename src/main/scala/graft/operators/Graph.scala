@@ -630,6 +630,68 @@ object Graph {
   }
 
   /**
+   * INCREMENTAL TRIANGLE COUNT under an edge Δ-batch — the third
+   * graph-IVM face (components: quotient contraction; degrees: additive
+   * merge; triangles: Δ-ANCHORED WEDGE CLOSURE):
+   *
+   *   T(base ∪ Δ) = T(base) + |{triangles with ≥ 1 genuinely-new edge}|
+   *
+   * and every triangle in the second set contains a Δ edge, so it is
+   * found by probing the merged adjacency ONLY from Δ anchors — for
+   * each new edge (a, b), the common neighbors of a and b. Cost is
+   * Σ_δ (deg(a) + deg(b)) adjacency rows joined per batch, where a
+   * recount pays the full degree-orientation + Σ C(deg, 2) wedge
+   * census again; base edges are read (the probe needs the adjacency —
+   * inherent to triangle maintenance) but never re-censused.
+   * Double-count safety: Δ edges already present in the base are
+   * dropped first (an anti-join — a replayed edge closes no NEW
+   * triangle), and a new triangle with 2 or 3 Δ edges is found once
+   * per Δ anchor, so the found triples are canonicalized (sorted) and
+   * de-duplicated before counting. The `graph_triangles_ivm` oracle
+   * recomputes both counts from scratch — the hash match is the
+   * decomposition theorem.
+   *
+   * `baseCount`: the stored 1-row view, column `n_triangles` (as
+   * [[triangleStats]] emits). `baseEdges`/`deltaEdges`: undirected
+   * edge lists in any orientation (canonicalized and de-duplicated
+   * internally, self-loops dropped — triangleStats' contract). Output:
+   * one row (n_triangles, new_triangles).
+   */
+  def trianglesIncremental(baseCount: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame, src: String = "src",
+      dst: String = "dst"): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val bd = Caches.persistTracked(canon(baseEdges))
+    // genuinely-new edges only: a Δ edge already in the base closes no
+    // new triangle (and double-counting it would corrupt the view)
+    val dd = Caches.persistTracked(
+      canon(deltaEdges).join(bd, Seq("a", "b"), "left_anti"))
+    val adj = bd.unionAll(dd)
+      .select(col("a").as("s"), col("b").as("t"))
+      .unionAll(bd.unionAll(dd).select(col("b").as("s"), col("a").as("t")))
+    // wedges anchored at a Δ edge: common neighbors of its endpoints in
+    // the MERGED adjacency (w = a or b is impossible — no self-loops)
+    val triples = dd
+      .join(adj.select(col("s").as("a"), col("t").as("w")), "a")
+      .join(adj.select(col("s").as("b"), col("t").as("w")), Seq("b", "w"))
+      .select(least(col("a"), col("b"), col("w")).as("x"),
+        // median of three via min/max only — overflow-safe on any ids
+        greatest(least(col("a"), col("b")),
+          least(greatest(col("a"), col("b")), col("w"))).as("y"),
+        greatest(col("a"), col("b"), col("w")).as("z"))
+      .dropDuplicates("x", "y", "z")
+    val newCount = triples.agg(count(lit(1)).as("new_triangles"))
+    baseCount.select(col("n_triangles").as("base_triangles"))
+      .crossJoin(broadcast(newCount))
+      .select((col("base_triangles") + col("new_triangles"))
+        .as("n_triangles"), col("new_triangles"))
+  }
+
+  /**
    * k-CORE PEELING, `rounds` synchronous rounds (Seidman 1983; the
    * Batagelj–Zaveršnik cores by repeated low-degree removal) over a
    * SYMMETRIZED distinct edge list — the density-curation primitive of

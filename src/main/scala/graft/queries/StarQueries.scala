@@ -2505,6 +2505,46 @@ object StarQueries {
         .orderBy("node")
     },
 
+    // TRIANGLE-COUNT MAINTENANCE under an edge Δ-batch — the third
+    // graph-IVM face (components: quotient contraction; degrees:
+    // additive merge; triangles: Δ-ANCHORED WEDGE CLOSURE): the total
+    // for base ∪ Δ is the stored base census plus the triangles closed
+    // by genuinely-new edges, found ONLY by probing the merged
+    // adjacency from Δ anchors — Σ_δ deg work per batch, never the full
+    // wedge census. The oracle recomputes BOTH counts from scratch
+    // (full census and base census on the same deterministic (a+b)%7
+    // split), so the hash match is the decomposition theorem
+    // T(base ∪ Δ) = T(base) + T_new, exactly.
+    QueryDef.of("graph_triangles_ivm",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e AS (
+        |  SELECT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), eb AS (SELECT a, b FROM e WHERE (a + b) % 7 <> 0),
+        |tf AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS full_t
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), tb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS base_t
+        |  FROM eb e1 JOIN eb e2 ON e1.b = e2.a
+        |             JOIN eb e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT full_t AS n_triangles, full_t - base_t AS new_triangles
+        |FROM tf, tb""".stripMargin) { (s, dir) =>
+      val pairs = graft.operators.Basket.pairCounts(
+          Tables.lineitem(s, dir), basket = "l_orderkey", item = "l_partkey")
+        .filter(col("cnt") >= 2)
+        .select(col("item_a").as("src"), col("item_b").as("dst"))
+      val base = pairs.filter(pmod(col("src") + col("dst"), lit(7)) =!= 0)
+      val delta = pairs.filter(pmod(col("src") + col("dst"), lit(7)) === 0)
+      val baseCount = graft.operators.Graph.triangleStats(base)
+        .select("n_triangles")
+      graft.operators.Graph.trianglesIncremental(baseCount, base, delta)
+    },
+
     // DEGREE-VIEW MAINTENANCE under the same edge Δ-batch — the
     // additive half of the graph-IVM pair (components above are the
     // non-additive half): per-node degree is a distributive count, so

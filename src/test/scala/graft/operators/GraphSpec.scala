@@ -708,6 +708,45 @@ class GraphSpec extends SparkSpecBase {
     assert(noop == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("trianglesIncremental(base census, Δ) == from-scratch census on base ∪ Δ") {
+    import spark.implicits._
+    def census(edges: Seq[(Long, Long)]): Long = {
+      val got = Graph.triangleStats(edges.toDF("src", "dst"))
+        .select("n_triangles").as[Long].collect().head
+      Caches.releaseAll()
+      got
+    }
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 3) {
+      val all = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2)
+      val (delta, base) = all.partition { case (a, b) => (a + b) % 5 == 0 }
+      val baseT = census(base)
+      val got = Graph.trianglesIncremental(
+          Seq(baseT).toDF("n_triangles"),
+          base.toDF("src", "dst"), delta.toDF("src", "dst"))
+        .as[(Long, Long)].collect().head
+      Caches.releaseAll()
+      val fullT = census(all)
+      assert(got._1 == fullT, s"trial $trial: total")
+      assert(got._2 == fullT - baseT, s"trial $trial: delta attribution")
+    }
+    // hand cases: a Δ edge closing one wedge; a Δ edge REPLAYING a base
+    // edge (must add nothing); a triangle formed of 2 Δ edges + 1 base
+    // edge (found from two anchors — counted once)
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val delta = Seq(
+      (1L, 3L),    // closes the 1-2-3 wedge
+      (2L, 1L),    // replay of base (1,2), reversed orientation — no-op
+      (10L, 20L), (11L, 20L)) // two new edges + base (10,11) → one triangle
+    val got = Graph.trianglesIncremental(
+        Seq(0L).toDF("n_triangles"),
+        base.toDF("src", "dst"), delta.toDF("src", "dst"))
+      .as[(Long, Long)].collect().head
+    Caches.releaseAll()
+    assert(got == ((2L, 2L)), s"hand case: $got")
+  }
+
   test("coreNumbers: triangle with a pendant chain — hand-computed cores") {
     // triangle {1,2,3} core 2; chain 3–4–5 core 1
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))

@@ -204,8 +204,9 @@ class PlanSpec extends SparkSpecBase {
     //    frame (N, avgdl, per-term df) against the scored docs;
     //  - lm_surprisal: the broadcast of the 1-row corpus-total frame
     //    (N) against the per-doc term lists (same pattern);
-    //  - graph_triangles: the cross of its three 1-ROW stat aggregates
-    //    (node/wedge, edge, triangle counts) into the summary row;
+    //  - graph_triangles / graph_triangles_ivm: the cross of 1-ROW stat
+    //    aggregates (node/wedge, edge, triangle counts; the stored base
+    //    count × the Δ-closure count) into the summary row;
     //  - knn_classify: the ann_topk broadcast QUERY BATCH (it composes
     //    bruteForceTopK) under the vote aggregation.
     //  - tfidf_topk / contrastive_pairs: the broadcast of the 1-row
@@ -238,7 +239,7 @@ class PlanSpec extends SparkSpecBase {
         "ann_topk_pq_exact", "pareto_frontier", "collocations_lift",
         "events_ffill", "vocab_coverage", "corpus_temperature",
         "graph_modularity", "graph_modularity_q", "graph_louvain_q",
-        "graph_louvain2_q")
+        "graph_louvain2_q", "graph_triangles_ivm")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
