@@ -692,6 +692,79 @@ object Graph {
   }
 
   /**
+   * MAXIMAL INDEPENDENT SET — Luby's algorithm (1986), the
+   * deterministic synchronous variant: every node gets a FIXED
+   * pseudo-random priority p(v) = ((v mod P) · 48271) mod P with
+   * P = 2³¹ − 1 (the MINSTD multiplicative generator — one modular
+   * multiply, products < 2⁴⁷ so the arithmetic is exact BIGINT in any
+   * engine, which is what lets a DuckDB oracle replay it; ties broken
+   * by node id → a total order). Per round, every still-undecided node
+   * simultaneously joins the MIS iff its (p, id) key is strictly
+   * smaller than every still-undecided neighbor's; neighbors of new
+   * members become dominated; both leave the undecided set. Classic
+   * Luby terminates in O(log n) rounds w.h.p.; this runs FIXED
+   * `rounds` (the LPA/kcore contract — the trajectory is a pure
+   * function of the graph) and reports the residue honestly.
+   *
+   * The MIS is the graph-toolkit face of DIVERSITY SAMPLING: on a
+   * similarity/co-occurrence graph, a maximal set of mutually
+   * non-adjacent items — "pick a covering subset with no two near
+   * neighbors", the subset-selection primitive a curation pipeline
+   * runs after near-dup detection.
+   *
+   * Caller contract: symmetrized distinct edges, no self-loops (the
+   * [[kCore]] convention). Output: (node, status) for every node in
+   * the edge list — status 2 = in the MIS, 1 = dominated (has an MIS
+   * neighbor), 0 = still undecided after `rounds` (none at a
+   * fixpoint; by construction the status-2 set is independent and,
+   * once nothing is undecided, maximal — GraphSpec pins both laws and
+   * the wired fixpoint).
+   *
+   * Scale shape per round: one |E| equi-join of the undecided set onto
+   * the checkpointed pre-sorted edge base + a degree-bounded
+   * partial-agg `min(struct)` per node (never a window), one more |E|
+   * join to mark dominated neighbors, and |V|-row set subtractions;
+   * state is the |V|-row status frame, lineage-capped every 2nd round.
+   */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val P = 2147483647L
+    def prio(c: Column): Column = pmod(pmod(c, lit(P)) * lit(48271L), lit(P))
+    val e = checkpointEdges(edges, src, dst)
+    val nodes = Caches.checkpointTracked(
+      e.select(col(src).as("node")).distinct())
+    val s0 = nodes.select(col("node"), lit(0L).as("status"))
+    iterate(s0, rounds, capEvery = 2) { (st, _, cap) =>
+      val und = st.filter(col("status") === 0L).select("node")
+      // min (p, id) among each undecided node's undecided neighbors
+      val nbrMin = e
+        .join(und.select(col("node").as(src)), src)
+        .join(und.select(col("node").as(dst)), dst)
+        .groupBy(col(dst).as("node"))
+        .agg(min(struct(prio(col(src)).as("p"), col(src).as("u")))
+          .as("nm"))
+      val newMis = und
+        .join(nbrMin, Seq("node"), "left")
+        .filter(col("nm").isNull ||
+          (struct(prio(col("node")).as("p"), col("node").as("u"))
+            < col("nm")))
+        .select("node")
+      val dominated = e
+        .join(newMis.select(col("node").as(src)), src)
+        .select(col(dst).as("node")).distinct()
+        .join(und, Seq("node"), "left_semi")
+      cap(st
+        .join(newMis.withColumn("mis", lit(true)), Seq("node"), "left")
+        .join(dominated.withColumn("dom", lit(true)), Seq("node"), "left")
+        .select(col("node"),
+          when(col("status") =!= 0L, col("status"))
+            .when(col("mis"), lit(2L))
+            .when(col("dom"), lit(1L))
+            .otherwise(lit(0L)).as("status")))
+    }
+  }
+
+  /**
    * k-CORE PEELING, `rounds` synchronous rounds (Seidman 1983; the
    * Batagelj–Zaveršnik cores by repeated low-degree removal) over a
    * SYMMETRIZED distinct edge list — the density-curation primitive of

@@ -677,6 +677,61 @@ object StarQueries {
        |SELECT node, h AS core FROM h$rounds ORDER BY node""".stripMargin
   }
 
+  /** Oracle for `graph_mis`: k Luby rounds unrolled as a CTE chain over
+    * the symmetrized strong co-purchase edges. The MINSTD priority
+    * ((v % P) · 48271) % P with P = 2³¹−1 is exact BIGINT in both
+    * engines (products < 2⁴⁷); the per-node min-(p, id) undecided
+    * neighbor comes from a row_number window (the oracle's affordance —
+    * the engine does the same argmin as a partial-agg `min(struct)`,
+    * never a window); undecided/MIS/dominated sets thread level to
+    * level as EXCEPT/UNION chains, all MATERIALIZED (each level is
+    * referenced several times — the corenum inlining lesson). */
+  private def misOracle(k: Int): String = {
+    val P = "2147483647"
+    def pr(c: String) = s"(($c % $P) * 48271) % $P"
+    def level(i: Int): String =
+      s"""nbr$i AS MATERIALIZED (
+         |  SELECT t.dst AS node, t.p AS np, t.u AS nu FROM (
+         |    SELECT e.dst, ${pr("e.src")} AS p, e.src AS u,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY ${pr("e.src")}, e.src) AS rn
+         |    FROM e JOIN u${i - 1} a ON e.src = a.node
+         |           JOIN u${i - 1} b ON e.dst = b.node) t
+         |  WHERE rn = 1
+         |), nm$i AS MATERIALIZED (
+         |  SELECT u.node FROM u${i - 1} u LEFT JOIN nbr$i n ON u.node = n.node
+         |  WHERE n.node IS NULL
+         |     OR ${pr("u.node")} < n.np
+         |     OR (${pr("u.node")} = n.np AND u.node < n.nu)
+         |), dm$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM e JOIN nm$i m ON e.src = m.node
+         |         JOIN u${i - 1} x ON e.dst = x.node
+         |), u$i AS MATERIALIZED (
+         |  SELECT node FROM u${i - 1}
+         |  EXCEPT SELECT node FROM nm$i
+         |  EXCEPT SELECT node FROM dm$i
+         |), m$i AS MATERIALIZED (
+         |  SELECT node FROM m${i - 1} UNION ALL SELECT node FROM nm$i
+         |), d$i AS MATERIALIZED (
+         |  SELECT node FROM d${i - 1} UNION ALL SELECT node FROM dm$i
+         |)""".stripMargin
+    s"""$strongCoPurchaseCte,
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |u0 AS (SELECT node FROM nodes),
+       |m0 AS (SELECT node FROM nodes WHERE 1 = 0),
+       |d0 AS (SELECT node FROM nodes WHERE 1 = 0),
+       |${(1 to k).map(level).mkString(",\n")}
+       |SELECT n.node,
+       |  CAST(CASE WHEN m.node IS NOT NULL THEN 2
+       |            WHEN dd.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS status
+       |FROM nodes n
+       |LEFT JOIN m$k m ON n.node = m.node
+       |LEFT JOIN d$k dd ON n.node = dd.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   /** Oracle for `graph_components`: min-reachable-id per node via a
     * recursive CTE over the symmetrized edge set (the fuzzy_clusters
     * technique). In an undirected graph the reach set IS the component,
@@ -2502,6 +2557,23 @@ object StarQueries {
             (col("l_partkey") + lit(1000000000L)).as("dst")), "ok")
         .select("src", "dst")
       graft.operators.Graph.hits(e, iterations = 4)
+        .orderBy("node")
+    },
+
+    // MAXIMAL INDEPENDENT SET (deterministic Luby) on the sparse
+    // co-purchase graph — the DIVERSITY-SAMPLING primitive: a maximal
+    // set of parts no two of which are strongly co-purchased ("pick a
+    // covering subset with no two near neighbors", the subset selection
+    // a curation pipeline runs after near-dup detection). 5 synchronous
+    // rounds = a measured FIXPOINT + 1 idempotent margin (sf0.001 and
+    // sf0.01 decide every node by round 4, sf0.1 by round 3; GraphSpec
+    // pins round 5 as a no-op), so the output is the true MIS: 32/806/
+    // 3087 members at sf0.001/0.01/0.1. All-integer statuses, the
+    // MINSTD priority exact in both engines — the CTE chain replays
+    // every round bit-for-bit.
+    QueryDef.of("graph_mis", misOracle(5)) { (s, dir) =>
+      val e = strongCoPurchaseEdges(s, dir)
+      graft.operators.Graph.maximalIndependentSet(e, rounds = 5)
         .orderBy("node")
     },
 

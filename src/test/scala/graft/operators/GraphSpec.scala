@@ -708,6 +708,111 @@ class GraphSpec extends SparkSpecBase {
     assert(noop == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  /** Plain-Scala replay of [[Graph.maximalIndependentSet]]: the MINSTD
+    * priority, per-round strict-local-min joins, neighbor domination. */
+  private def misReference(edges: Seq[(Long, Long)], rounds: Int)
+      : Map[Long, Long] = {
+    val P = 2147483647L
+    def p(v: Long) = ((v % P) * 48271L) % P
+    def key(v: Long) = (p(v), v)
+    val sym = (edges ++ edges.map(_.swap)).distinct.filter(e => e._1 != e._2)
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    var status = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val und = nodes.filter(status(_) == 0L)
+      val newMis = und.filter { v =>
+        adj(v).filter(und).forall(u =>
+          Ordering[(Long, Long)].lt(key(v), key(u)))
+      }
+      val dom = newMis.flatMap(adj).filter(und) -- newMis
+      status = status.map { case (v, s) =>
+        v -> (if (s != 0L) s else if (newMis(v)) 2L
+              else if (dom(v)) 1L else 0L)
+      }
+    }
+    status
+  }
+
+  test("maximalIndependentSet equals the Luby reference on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    for (trial <- 1 to 3) {
+      val raw = Seq.fill(220)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+        .filter(p => p._1 != p._2)
+      val sym = (raw ++ raw.map(_.swap)).distinct
+      val got = Graph.maximalIndependentSet(sym.toDF("src", "dst"),
+          rounds = 8)
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      assert(got == misReference(sym, 8), s"trial $trial")
+      // the two MIS laws once everything is decided: independence (no
+      // edge inside the status-2 set) and maximality (every non-member
+      // has an MIS neighbor)
+      if (!got.values.exists(_ == 0L)) {
+        val mis = got.filter(_._2 == 2L).keySet
+        assert(!sym.exists(e => mis(e._1) && mis(e._2)), "independence")
+        val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        assert(got.filter(_._2 == 1L).keySet
+          .forall(v => adj(v).exists(mis)), "domination")
+      }
+    }
+  }
+
+  test("maximalIndependentSet: path graph hand case decides in one round where possible") {
+    import spark.implicits._
+    // path 1-2-3-4-5; priorities are MINSTD-scrambled so compute the
+    // reference rather than guessing — but a 2-round run must decide
+    // every node on a 5-path (diameter effects only)
+    val pr = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = pr ++ pr.map(_.swap)
+    val got = Graph.maximalIndependentSet(sym.toDF("src", "dst"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(got == misReference(sym, 3))
+    assert(!got.values.exists(_ == 0L), "a 5-path decides within 3 rounds")
+    val mis = got.filter(_._2 == 2L).keySet
+    assert(!sym.exists(e => mis(e._1) && mis(e._2)))
+  }
+
+  test("maximalIndependentSet: the wired 5 rounds are a fixpoint on the sf0.001 graph") {
+    // measured: sf0.001 and sf0.01 decide every node by round 4, sf0.1
+    // by round 3 — the wired 5 covers every tested SF with one
+    // idempotent margin round; this pins (a) nothing undecided at 5 and
+    // (b) round 5 ≡ round 4 (the no-op margin), so the query output is
+    // the TRUE MIS and the independence/domination laws are total
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pr = li.select(col("ok"), col("pk").as("s"))
+      .join(li.select(col("ok"), col("pk").as("d")), "ok")
+      .filter(col("s") < col("d"))
+      .groupBy("s", "d").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("s", "d")
+    val e = pr.select(col("s").as("src"), col("d").as("dst"))
+      .unionAll(pr.select(col("d").as("src"), col("s").as("dst")))
+    e.cache()
+    val at5 = Graph.maximalIndependentSet(e, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    val at4 = Graph.maximalIndependentSet(e, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(at5 == at4, "round 5 must be a no-op")
+    assert(!at5.values.exists(_ == 0L), "everything decided")
+    // total laws on the decided output
+    val mis = at5.filter(_._2 == 2L).keySet
+    val edges = e.as[(Long, Long)].collect()
+    e.unpersist()
+    assert(!edges.exists(p => mis(p._1) && mis(p._2)), "independence")
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(at5.filter(_._2 == 1L).keySet.forall(v => adj(v).exists(mis)),
+      "domination")
+  }
+
   test("trianglesIncremental(base census, Δ) == from-scratch census on base ∪ Δ") {
     import spark.implicits._
     def census(edges: Seq[(Long, Long)]): Long = {
