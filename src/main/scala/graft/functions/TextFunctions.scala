@@ -50,6 +50,22 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = tokenStatsStruct(text).getField("n_tokens")
 
+  /** Total characters across whitespace tokens (native TokenStats field). */
+  def sumTokenLength(text: Column): Column =
+    tokenStatsStruct(text).getField("sum_tok_len")
+
+  /** Stopword-token occurrences (native TokenStats field, plan-time list). */
+  def stopwordCount(text: Column): Column =
+    tokenStatsStruct(text).getField("n_stopwords").cast("long")
+
+  /** Natural log through java.lang.Math.log (bit-matches libm/DuckDB's
+    * `ln`), NOT Spark's StrictMath-backed `log()` — see
+    * [[graft.expressions.Ieee754Ln]]. */
+  def ieeeLn(x: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.Ieee754Ln(ColumnBridge.expression(x)))
+  }
+
   /**
    * BPE-ish subword count estimate: one unit per 6 characters of each token,
    * minimum one per token (long words split into multiple subword units under

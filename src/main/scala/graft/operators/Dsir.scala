@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/**
+ * DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+ * "Data Selection for Language Models via Importance Resampling"): given
+ * a large RAW corpus and a (usually much smaller) TARGET distribution —
+ * "select raw documents that look like the target" — fit two smoothed
+ * unigram models over HASHED n-gram features, weight every raw document
+ * by its log importance ratio
+ *
+ *   log w(x) = Σ_b k_b(x) · [ ln p̂_target(b) − ln p̂_raw(b) ]
+ *
+ * (k_b(x) = the document's count in hashed bucket b; Laplace-smoothed
+ * ML estimates p̂(b) = (c_b + 1)/(N + B)), and keep the top-n. This is
+ * the standard cheap distribution-matching selector for LLM pretraining
+ * data (match Wikipedia/books, filter CommonCrawl); the paper's
+ * Gumbel-noise resampling step is replaced by the deterministic top-n
+ * variant (its own ablation baseline) because this engine's contract is
+ * replayable results — a seeded Gumbel draw would certify nothing more
+ * and cost determinism across engines.
+ *
+ * Features: word unigrams AND bigrams (the paper's choice), hashed by
+ * the ENGINE-PORTABLE 62-bit shingle hash ([[graft.expressions.ShingleHashes]]
+ * `portable=true` — poly31 | poly37<<31 codepoint folds, the
+ * dedup_simhash_scale oracle family) into `buckets` buckets, so the
+ * DuckDB oracle replays the whole pipeline op-for-op with NO corpus
+ * assumption.
+ *
+ * Determinism: bucket counts and totals are exact integers; each
+ * bucket's log-ratio `w_b` is ONE fixed-shape double expression; a
+ * document's weight folds k_b·w_b in BUCKET ORDER (sort_array over the
+ * per-doc struct list — bounded by min(doc tokens, buckets) ≤ B
+ * entries, never corpus-sized); ties at the top-n boundary break by
+ * doc_id — a total order.
+ *
+ * Scale shape: ONE scan hashes features natively (no string shuffles —
+ * features leave the scan as (doc_id, bucket) longs); bucket stats are
+ * two B-row partial aggregates; the w_b frame is ≤ B rows and
+ * BROADCAST back onto the feature stream; the per-doc fold is a
+ * map-side-combinable group by doc_id; selection is one
+ * TakeOrderedAndProject. Nothing all-pairs, nothing driver-side, state
+ * per document ≤ B entries — 100 TB-safe by construction.
+ */
+object Dsir {
+
+  /** Hashed unigram+bigram bucket counts per document:
+    * (doc_id, tgt, bucket, k). `isTarget` is evaluated on the input row
+    * (e.g. `col("lang") === "en"`), carried through the explosion so the
+    * target aggregate needs no join back. */
+  def hashedFeatures(docs: DataFrame, isTarget: Column,
+      buckets: Int): DataFrame =
+    docs.select(col("doc_id"), isTarget.as("tgt"),
+        explode(concat(
+          TextFunctions.shingleHashes(col("text"), 1, portable = true),
+          TextFunctions.shingleHashes(col("text"), 2, portable = true)))
+          .as("h"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(col("h"), lit(buckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "tgt", "bucket")
+      .agg(count(lit(1)).as("k"))
+
+  /** Per-document log importance weight (doc_id, weight). */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int): DataFrame = {
+    val b = lit(buckets.toLong)
+    val feats = Caches.persistTracked(hashedFeatures(docs, isTarget, buckets))
+    val rf = feats.groupBy("bucket").agg(sum("k").as("cr"))
+    val tf = feats.filter(col("tgt")).groupBy("bucket").agg(sum("k").as("ct"))
+    val rt = rf.agg(sum("cr").as("rtot"))
+    val tt = tf.agg(coalesce(sum("ct"), lit(0L)).as("ttot"))
+    // ieeeLn, not Spark's log(): the oracle's ln is libm — see Ieee754Ln
+    val wb = rf.join(tf, Seq("bucket"), "left")
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(tt))
+      .select(col("bucket"),
+        (TextFunctions.ieeeLn((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+            (col("ttot") + b).cast("double"))
+          - TextFunctions.ieeeLn((col("cr") + 1L).cast("double") /
+            (col("rtot") + b).cast("double"))).as("w"))
+    feats.join(broadcast(wb), "bucket")
+      .groupBy("doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("bucket"), col("k"), col("w")))),
+        lit(0.0),
+        (acc, s) => acc + s.getField("k").cast("double") * s.getField("w"))
+        .as("weight"))
+  }
+
+  /** Top-n documents by (weight DESC, doc_id): (doc_id, weight). */
+  def select(docs: DataFrame, isTarget: Column, buckets: Int,
+      n: Int): DataFrame =
+    importanceWeights(docs, isTarget, buckets)
+      .orderBy(desc("weight"), col("doc_id"))
+      .limit(n)
+}

@@ -630,6 +630,62 @@ object Graph {
   }
 
   /**
+   * COMMON-NEIGHBOR LINK PREDICTION (Liben-Nowell & Kleinberg 2003) —
+   * the classic structural recommender: for every DISTANCE-2 NON-EDGE
+   * (a, b) (nodes that share ≥ 1 neighbor but are not themselves
+   * connected), score the missing edge by its common-neighbor count and
+   * the neighborhood Jaccard |Γa ∩ Γb| / |Γa ∪ Γb|, and return the
+   * top-k predictions. On a co-purchase graph this is "customers also
+   * bought these two together-adjacent parts — they will co-occur
+   * next"; on a document-similarity graph it is the candidate-pair
+   * generator for a second dedup pass.
+   *
+   * Determinism: cn and the degrees are exact integers; jaccard is ONE
+   * IEEE division of integers (bit-equal in any engine); ranking by
+   * (jaccard DESC, a, b) is a total order → TakeOrderedAndProject.
+   *
+   * Scale shape: wedges enumerate via the symmetrized adjacency
+   * self-joined on the MIDDLE node — cost Σ_m C(deg(m), 2), the same
+   * bound the triangle census pays, partial-aggregated per candidate
+   * pair before the anti-join (no pair list ever materializes
+   * unaggregated). The anti-join and the two degree joins run on the
+   * candidate set (≪ wedges). On a graph with super-hubs, cap the
+   * middle degree first (common neighbors through a hub carry ~zero
+   * signal — the reason Adamic–Adar down-weights them); the wired
+   * query's strong co-purchase graph is hub-free by construction, so
+   * no cap is applied there. Edges canonicalize/dedup internally
+   * (triangleStats' contract); `e` and `adj` checkpoint as shared
+   * leaves (each feeds 2–3 subtrees), released by the caller's
+   * Caches.releaseAll().
+   */
+  def linkPrediction(edges: DataFrame, topK: Int, src: String = "src",
+      dst: String = "dst"): DataFrame = {
+    val e = Caches.checkpointTracked(edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct())
+    val adj = Caches.checkpointTracked(
+      e.select(col("a").as("m"), col("b").as("x"))
+        .unionAll(e.select(col("b").as("m"), col("a").as("x"))))
+    val deg = adj.groupBy(col("m").as("n")).agg(count(lit(1)).as("deg"))
+    val cn = adj.as("l")
+      .join(adj.as("r"), col("l.m") === col("r.m") && col("l.x") < col("r.x"))
+      .groupBy(col("l.x").as("a"), col("r.x").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    cn.join(e, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a").as("item_a"), col("b").as("item_b"), col("cn"),
+        col("deg_a"), col("deg_b"),
+        (col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
+          .as("jaccard"))
+      .orderBy(desc("jaccard"), col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
+  /**
    * INCREMENTAL TRIANGLE COUNT under an edge Δ-batch — the third
    * graph-IVM face (components: quotient contraction; degrees: additive
    * merge; triangles: Δ-ANCHORED WEDGE CLOSURE):

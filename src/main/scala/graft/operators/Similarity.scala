@@ -266,6 +266,63 @@ object Similarity {
       element_at(nearestCells(col("embedding"), centroids, 1), 1).as("cell"))
 
   /**
+   * ONE exact Lloyd MEAN-UPDATE: assign every vector to its nearest
+   * centroid, return the per-cell coordinate means as the next centroid
+   * matrix (empty cells keep their previous centroid — the standard
+   * convention). This is the other half of distributed k-means next to
+   * [[assignCells]]: full-corpus training, not the bounded-sample fit
+   * `buildIvfIndex` uses.
+   *
+   * The mean's double sum is ORDER-SENSITIVE, so each (cell, dim) sum
+   * runs as the DETERMINISTIC TWO-LEVEL FOLD the pagerank tier
+   * certified: values salt into `foldBuckets` buckets by vec_id,
+   * sort-fold within (cell, dim, bucket) by vec_id, then the ≤B bucket
+   * sums sort-fold by bucket id — no aggregation key buffers more than
+   * |cell|/B values, and the result is a pure function of the data (any
+   * partitioning, any engine). Means come back to the driver as ONE
+   * bounded nCells×dim collect (512 doubles at the wired 8×64 — the
+   * IVF-centroid pattern) because the NEXT round's assignment needs
+   * them as plan-time constants in [[graft.expressions.NearestCells]].
+   *
+   * At 100 TB: the assignment is a narrow no-shuffle scan; the fold is
+   * one exchange hash-partitioned by (cell, dim); the collect is
+   * nCells×dim regardless of data size.
+   */
+  def lloydCentroids(corpus: DataFrame, centroids: Seq[Seq[Double]],
+      foldBuckets: Int = 16): Seq[Seq[Double]] = {
+    val assigned = corpus.select(col("vec_id"),
+      element_at(nearestCells(col("embedding"), centroids, 1), 1).as("cell"),
+      transform(col("embedding"), x => x.cast("double")).as("ev"))
+    val vals = assigned
+      .select(col("vec_id"), col("cell"), posexplode(col("ev")).as(Seq("dim", "v")))
+      .withColumn("bkt", pmod(col("vec_id"), lit(foldBuckets.toLong)))
+    val l1 = vals.groupBy("cell", "dim", "bkt")
+      .agg(aggregate(sort_array(collect_list(struct(col("vec_id"), col("v")))),
+        lit(0.0), (a, s) => a + s.getField("v")).as("s1"))
+    val l2 = l1.groupBy("cell", "dim")
+      .agg(aggregate(sort_array(collect_list(struct(col("bkt"), col("s1")))),
+        lit(0.0), (a, s) => a + s.getField("s1")).as("s2"))
+    val cnt = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val means = l2.join(cnt, "cell")
+      .select(col("cell"), col("dim"), (col("s2") / col("cnt").cast("double")).as("m"))
+      .collect() // bounded: nCells × dim rows
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    centroids.indices.map { c =>
+      if (means.contains((c, 0))) centroids(c).indices.map(d => means((c, d)))
+      else centroids(c)
+    }
+  }
+
+  /** `rounds` Lloyd mean-updates from `seeds`, then the final assignment:
+    * (vec_id, cell) under the round-`rounds` centroids. */
+  def lloydTrain(corpus: DataFrame, seeds: Seq[Seq[Double]],
+      rounds: Int, foldBuckets: Int = 16): DataFrame = {
+    var c = seeds
+    (1 to rounds).foreach(_ => c = lloydCentroids(corpus, c, foldBuckets))
+    assignCells(corpus, c)
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k over a prebuilt index: each query
    * probes its `nProbe` nearest cells and exact rescoring runs only over
    * those cells' members — cost per query ≈ nProbe/nCells of the corpus

@@ -345,4 +345,54 @@ object TextProfile {
     }
     (merges.toSeq, words, seg)
   }
+
+  /**
+   * GOPHER-STYLE QUALITY RULE FILTER (Rae et al. 2021, "Scaling Language
+   * Models: ... Gopher", Appendix A1.1 — the MassiveText rule set): the
+   * cheap deterministic document filter every web-scale curation pipeline
+   * runs before any model-based scoring. Five rules, each reported as its
+   * own 0/1 column plus the conjunction, so downstream can audit WHICH
+   * rule rejected a document (the funnel view), not just that one did:
+   *
+   *  - word count in [10, 90] (the paper's [50, 100k] rescaled to this
+   *    corpus's 8–100-word documents — an operating point, not a law);
+   *  - mean word length in [3, 10] characters;
+   *  - ≥ 80% of words contain at least one alphabetic character;
+   *  - symbol-to-word ratio ≤ 0.1 (hash runs / ellipses, the paper's
+   *    symbols);
+   *  - ≥ 2 stopword occurrences from the embedded 20-word list (the
+   *    paper requires 2 of a small stop set — occurrences, not distinct,
+   *    so the one-pass native counter below suffices).
+   *
+   * EVERY threshold compares integers by cross-multiplication (mean len
+   * in [3,10] ⇔ 3·n ≤ Σlen ≤ 10·n; alpha ≥ 0.8 ⇔ 5·n_alpha ≥ 4·n) — no
+   * doubles exist anywhere in this operator, so the DuckDB oracle is
+   * exact by construction on any corpus.
+   *
+   * Scale shape: ONE codegen'd scan; word/length/stopword counts ride the
+   * native [[graft.expressions.TokenStats]] single-pass struct (Catalyst
+   * CSE collapses the three accessors to one eval), the alpha-word count
+   * is the only per-token lambda (row-local, no shuffle), symbols are one
+   * regexp_count. No joins, no aggregation — embarrassingly parallel at
+   * any data size.
+   */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    val nw = tokenCount(text).cast("long")
+    val sl = sumTokenLength(text)
+    val nsw = stopwordCount(text)
+    val na = size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("long")
+    val nsym = regexp_count(text, lit("#+|\\.\\.\\.")).cast("long")
+    def flag(c: Column) = when(c, 1L).otherwise(0L)
+    val pWc = flag(nw >= 10L && nw <= 90L)
+    val pMwl = flag(lit(3L) * nw <= sl && sl <= lit(10L) * nw)
+    val pAlpha = flag(lit(5L) * na >= lit(4L) * nw)
+    val pSym = flag(lit(10L) * nsym <= nw)
+    val pSw = flag(nsw >= 2L)
+    docs.select(col("doc_id"), nw.as("n_words"),
+      pWc.as("pass_word_count"), pMwl.as("pass_mean_word_len"),
+      pAlpha.as("pass_alpha_words"), pSym.as("pass_symbol_ratio"),
+      pSw.as("pass_stopwords"),
+      (pWc * pMwl * pAlpha * pSym * pSw).as("pass"))
+  }
 }

@@ -1104,6 +1104,82 @@ object LlmQueries {
         .orderBy("cell")
     },
 
+    // K-MEANS LLOYD TRAINING (2 full mean-update rounds from the fixed
+    // 8-vector seed, then the final assignment) — the TRAINED face of
+    // kmeans_assign: centroids are no longer the raw seeds but exact
+    // per-cell coordinate means, each (cell, dim) sum a deterministic
+    // two-level vec_id%16 fold (the pagerank pattern), so the oracle
+    // replays every round bit-for-bit: assignment argmin → salted l1
+    // fold → bucket l2 fold → mean division → array rebuild in dim
+    // order → next assignment. Engine-side the round means return as
+    // one bounded 8×64 collect per round (NearestCells needs plan-time
+    // constants — the IVF pattern); data-sized work per round is one
+    // narrow scan + one (cell, dim) exchange. Every a/c level is
+    // multiply-referenced → AS MATERIALIZED (the corenum lesson).
+    QueryDef.of("kmeans_lloyd", {
+      def dist(cTab: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(generate_series(1, len($cTab.cv)),
+           |        i -> (q.ev[i] - $cTab.cv[i]) * (q.ev[i] - $cTab.cv[i]))),
+           |      (a, x) -> a + x)""".stripMargin
+      def round(r: Int, prev: String) =
+        s"""a$r AS MATERIALIZED (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT q.vec_id, c.cell, row_number() OVER (
+           |      PARTITION BY q.vec_id ORDER BY ${dist("c")}, c.cell) AS rn
+           |    FROM q CROSS JOIN $prev c)
+           |  WHERE rn = 1
+           |), v$r AS (
+           |  SELECT a.cell, a.vec_id % 16 AS bkt, a.vec_id,
+           |    unnest(generate_series(1, len(q.ev))) AS dim, unnest(q.ev) AS v
+           |  FROM a$r a JOIN q ON a.vec_id = q.vec_id
+           |), l$r AS (
+           |  SELECT cell, dim, bkt,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_sort(list(struct_pack(vec_id := vec_id, v := v))),
+           |        s -> s.v)), (a, x) -> a + x) AS s1
+           |  FROM v$r GROUP BY 1, 2, 3
+           |), m$r AS (
+           |  SELECT cell, dim,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_sort(list(struct_pack(bkt := bkt, s1 := s1))),
+           |        s -> s.s1)), (a, x) -> a + x) AS s2
+           |  FROM l$r GROUP BY 1, 2
+           |), n$r AS (
+           |  SELECT cell, CAST(count(*) AS BIGINT) AS cnt FROM a$r GROUP BY cell
+           |), c$r AS MATERIALIZED (
+           |  SELECT m.cell, list(m.s2 / CAST(n.cnt AS DOUBLE) ORDER BY m.dim) AS cv
+           |  FROM m$r m JOIN n$r n ON m.cell = n.cell GROUP BY m.cell
+           |  UNION ALL
+           |  SELECT p.cell, p.cv FROM $prev p
+           |  WHERE p.cell NOT IN (SELECT cell FROM n$r)
+           |)""".stripMargin
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+         |), c0 AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id < 8
+         |),
+         |${round(1, "c0")},
+         |${round(2, "c1")},
+         |af AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.vec_id ORDER BY ${dist("c")}, c.cell) AS rn
+         |    FROM q CROSS JOIN c2 c)
+         |  WHERE rn = 1
+         |)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM af
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.Caches
+      val emb = Caches.persistTracked(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      Similarity.lloydTrain(emb, fixedCentroids(emb), rounds = 2)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id")
+    },
+
     // CLUSTER LABELING — the topic-naming step after clustering (the
     // top2vec/BERTopic pattern's first approximation): each k-means
     // cell's dominant token over its member documents (embeddings join
@@ -1642,6 +1718,212 @@ object LlmQueries {
           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // GOPHER RULE FILTER (Rae et al. 2021 App. A1.1) — the deterministic
+    // rule-based document filter, one 0/1 column per rule plus the
+    // conjunction (the auditable-funnel shape). All thresholds are integer
+    // cross-multiplications — no doubles anywhere, so the oracle is exact
+    // on any corpus. See TextProfile.gopherRules for the rule list and the
+    // one-scan/no-shuffle scale argument. At sf0.01: 345/500 docs pass
+    // (word-count cuts 43, stopwords 112).
+    QueryDef.of("gopher_rules",
+      """WITH b AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0B\f\r]+') END AS ts
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0) AS BIGINT) AS sl,
+        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS na,
+        |    CAST(len(list_filter(ts, t -> list_contains(""".stripMargin +
+        stopwordsSqlList +
+        """, t))) AS BIGINT) AS nsw,
+          |    CAST(len(regexp_extract_all(text, '#+|\.\.\.')) AS BIGINT) AS nsym
+          |  FROM b
+          |), r AS (
+          |  SELECT doc_id, n_words,
+          |    CASE WHEN n_words >= 10 AND n_words <= 90 THEN 1 ELSE 0 END AS p1,
+          |    CASE WHEN 3 * n_words <= sl AND sl <= 10 * n_words THEN 1 ELSE 0 END AS p2,
+          |    CASE WHEN 5 * na >= 4 * n_words THEN 1 ELSE 0 END AS p3,
+          |    CASE WHEN 10 * nsym <= n_words THEN 1 ELSE 0 END AS p4,
+          |    CASE WHEN nsw >= 2 THEN 1 ELSE 0 END AS p5
+          |  FROM m
+          |)
+          |SELECT doc_id, n_words,
+          |  CAST(p1 AS BIGINT) AS pass_word_count,
+          |  CAST(p2 AS BIGINT) AS pass_mean_word_len,
+          |  CAST(p3 AS BIGINT) AS pass_alpha_words,
+          |  CAST(p4 AS BIGINT) AS pass_symbol_ratio,
+          |  CAST(p5 AS BIGINT) AS pass_stopwords,
+          |  CAST(p1 * p2 * p3 * p4 * p5 AS BIGINT) AS pass
+          |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextProfile.gopherRules(Tables.documents(s, dir))
+        .orderBy("doc_id")
+    },
+
+    // TRAINED QUALITY CLASSIFIER (multinomial naive Bayes) — the
+    // GPT-3/CCNet distillation pattern: derive a binary quality tier from
+    // the composite heuristic score on a TRAIN split (doc_id % 5 ≠ 0),
+    // fit per-class token statistics, predict the TEST split. The label
+    // is token-visible (stopword density drives the heuristic), so the
+    // classifier genuinely learns: 70% test accuracy vs the 57% majority
+    // baseline at sf0.01. The oracle replays the ENTIRE train+score
+    // pipeline (counts, Laplace smoothing, token-ordered ln folds, the
+    // (score DESC, label) argmax) op-for-op — exact on any corpus. The
+    // lang column is deliberately NOT the target: this corpus's language
+    // labels are drawn independently of its word salad (langid_confusion
+    // documents that), so lang prediction certifies nothing.
+    QueryDef.of("quality_classifier",
+      """WITH d0 AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN
+        |      least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS DOUBLE) / 50.0, 1.0) * 0.3
+        |      + least((CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
+        |               ELSE CAST(len(list_filter(ts, t -> list_contains(""".stripMargin +
+        stopwordsSqlList +
+        """, t))) AS DOUBLE)
+          |                    / CAST(len(ts) AS DOUBLE) END) * 5.0, 1.0) * 0.3
+          |      + (CASE WHEN (CASE WHEN length(trim(text)) = 0 OR len(ts) = 0 THEN 0.0
+          |                    ELSE CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+          |                         / CAST(len(ts) AS DOUBLE) END) BETWEEN 3.0 AND 10.0
+          |              THEN 1.0 ELSE 0.5 END) * 0.2
+          |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+          |          ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+          |               / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.2
+          |      >= CAST(0.75 AS DOUBLE) THEN 'hi' ELSE 'lo' END AS label,
+          |    doc_id % 5 <> 0 AS tr
+          |  FROM d0
+          |), toks AS (
+          |  SELECT doc_id, label, tr, t, CAST(count(*) AS BIGINT) AS k
+          |  FROM (SELECT doc_id, label, tr,
+          |          unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS t
+          |        FROM d WHERE length(trim(text)) > 0)
+          |  GROUP BY 1, 2, 3, 4
+          |), ndc AS (SELECT label, CAST(count(*) AS BIGINT) AS ndc FROM d WHERE tr GROUP BY label),
+          |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d WHERE tr),
+          |tc AS (SELECT label, t, CAST(sum(k) AS BIGINT) AS c FROM toks WHERE tr GROUP BY 1, 2),
+          |ncl AS (SELECT label, CAST(sum(c) AS BIGINT) AS ncl FROM tc GROUP BY label),
+          |vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM toks WHERE tr),
+          |cls AS (SELECT ndc.label, ndc.ndc, ncl.ncl, nt.n, vv.v
+          |        FROM ndc JOIN ncl ON ndc.label = ncl.label CROSS JOIN nt CROSS JOIN vv),
+          |vocab AS (SELECT DISTINCT t FROM tc),
+          |tt AS (SELECT toks.doc_id, toks.t, toks.k FROM toks
+          |       JOIN vocab ON toks.t = vocab.t WHERE NOT toks.tr),
+          |rws AS (
+          |  SELECT tt.doc_id, cls.label, tt.t, tt.k,
+          |    CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / CAST(cls.ncl + cls.v AS DOUBLE) AS p
+          |  FROM tt CROSS JOIN cls
+          |  LEFT JOIN tc ON tc.t = tt.t AND tc.label = cls.label
+          |), folds AS (
+          |  SELECT doc_id, label,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(list_sort(list(struct_pack(t := t, k := k, p := p))),
+          |        s -> CAST(s.k AS DOUBLE) * ln(s.p))), (a, x) -> a + x) AS ll
+          |  FROM rws GROUP BY doc_id, label
+          |), scored AS (
+          |  SELECT td.doc_id, cls.label,
+          |    ln(CAST(cls.ndc AS DOUBLE) / CAST(cls.n AS DOUBLE))
+          |      + coalesce(f.ll, CAST(0.0 AS DOUBLE)) AS score
+          |  FROM (SELECT doc_id FROM d WHERE NOT tr) td CROSS JOIN cls
+          |  LEFT JOIN folds f ON f.doc_id = td.doc_id AND f.label = cls.label
+          |), pick AS (
+          |  SELECT doc_id, label AS pred, score,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+          |  FROM scored
+          |)
+          |SELECT p.doc_id, d.label, p.pred, p.score,
+          |  CAST(CASE WHEN d.label = p.pred THEN 1 ELSE 0 END AS BIGINT) AS correct
+          |FROM pick p JOIN d ON p.doc_id = d.doc_id
+          |WHERE p.rn = 1
+          |ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+      val labeled = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          when(TextFunctions.qualityScore(col("text")) >= lit(0.75d), "hi")
+            .otherwise("lo").as("label"))
+      graft.operators.Classify.multinomialNb(labeled, "label",
+          isTrain = col("doc_id") % 5 =!= 0)
+        .join(labeled.select("doc_id", "label"), "doc_id")
+        .select(col("doc_id"), col("label"), col("pred"), col("score"),
+          when(col("label") === col("pred"), 1L).otherwise(0L).as("correct"))
+        .orderBy("doc_id")
+    },
+
+    // DSIR IMPORTANCE RESAMPLING (Xie et al. 2023): select the 100 raw
+    // documents whose hashed-ngram profile best matches the TARGET
+    // distribution (here: the English subcorpus) under the smoothed
+    // unigram log importance ratio. The oracle replays the ENTIRE
+    // pipeline — portable shingle hashes (the dedup_simhash_scale folds),
+    // 1024-way bucketing, Laplace-smoothed per-bucket log ratios, the
+    // bucket-ordered per-doc fold, the (weight DESC, doc_id) top-100 —
+    // op-for-op, so the row is exact on any corpus at any SF (no
+    // separation assumption). See operators/Dsir.scala for the B-row
+    // broadcast / one-scan scale shape.
+    QueryDef.of("dsir_select", {
+      def fold(mult: Int) =
+        s"""list_reduce(list_prepend(CAST(17 AS BIGINT),
+           |      list_transform(generate_series(1, length(t)),
+           |                     i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+           |      (h, c) -> (h * $mult + c) % 2147483647)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ts
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id, lang,
+         |    list_concat(
+         |      CASE WHEN len(ts) <= 1 THEN [array_to_string(ts, ' ')]
+         |           ELSE list_transform(generate_series(1, len(ts)), i -> ts[i]) END,
+         |      CASE WHEN len(ts) <= 2 THEN [array_to_string(ts, ' ')]
+         |           ELSE list_transform(generate_series(1, len(ts) - 1),
+         |                               i -> array_to_string(ts[i:i+1], ' ')) END) AS ss
+         |  FROM toks
+         |), fx AS (
+         |  SELECT doc_id, lang,
+         |    (${fold(31)}
+         |     | (${fold(37)} << 31)) % 1024 AS bucket
+         |  FROM (SELECT doc_id, lang, unnest(ss) AS t FROM sh)
+         |), feats AS (
+         |  SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS k
+         |  FROM fx GROUP BY 1, 2, 3
+         |), rf AS (SELECT bucket, CAST(sum(k) AS BIGINT) AS cr FROM feats GROUP BY bucket),
+         |tf AS (SELECT bucket, CAST(sum(k) AS BIGINT) AS ct
+         |       FROM feats WHERE lang = 'en' GROUP BY bucket),
+         |rt AS (SELECT CAST(sum(cr) AS BIGINT) AS rtot FROM rf),
+         |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS ttot FROM tf),
+         |wb AS (
+         |  SELECT rf.bucket,
+         |    ln(CAST(coalesce(tf.ct, 0) + 1 AS DOUBLE) / CAST(ttot + 1024 AS DOUBLE))
+         |    - ln(CAST(rf.cr + 1 AS DOUBLE) / CAST(rtot + 1024 AS DOUBLE)) AS w
+         |  FROM rf LEFT JOIN tf ON rf.bucket = tf.bucket CROSS JOIN rt CROSS JOIN tt
+         |), dw AS (
+         |  SELECT f.doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(
+         |        list_sort(list(struct_pack(bucket := f.bucket, k := f.k, w := wb.w))),
+         |        s -> CAST(s.k AS DOUBLE) * s.w)),
+         |      (a, x) -> a + x) AS weight
+         |  FROM feats f JOIN wb ON f.bucket = wb.bucket
+         |  GROUP BY f.doc_id
+         |), sel AS (
+         |  SELECT doc_id, weight FROM dw ORDER BY weight DESC, doc_id LIMIT 100
+         |)
+         |SELECT d.doc_id, d.lang, s.weight
+         |FROM sel s JOIN documents d ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dsir.select(docs.select("doc_id", "text", "lang"),
+          isTarget = col("lang") === "en", buckets = 1024, n = 100)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "weight")
         .orderBy("doc_id")
     },
 

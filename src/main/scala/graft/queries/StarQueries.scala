@@ -2540,6 +2540,34 @@ object StarQueries {
         .orderBy("node")
     },
 
+    // COMMON-NEIGHBOR LINK PREDICTION on the strong co-purchase graph:
+    // top-50 distance-2 non-edges ranked by neighborhood Jaccard (cn and
+    // degrees exact integers; jaccard ONE IEEE division — the
+    // item_similarity determinism argument; (jaccard DESC, a, b) a total
+    // order). Wedge cost Σ C(deg,2) partial-aggregated per pair — the
+    // triangle census's bound; see Graph.linkPrediction for the hub-cap
+    // guidance this hub-free graph doesn't need.
+    QueryDef.of("graph_linkpred",
+      strongCoPurchaseCte +
+        """, deg AS (
+          |  SELECT src AS n, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+          |), cn AS (
+          |  SELECT l.dst AS a, r.dst AS b, CAST(count(*) AS BIGINT) AS cn
+          |  FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst
+          |  GROUP BY 1, 2
+          |), cand AS (
+          |  SELECT cn.a, cn.b, cn.cn FROM cn
+          |  WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.s = cn.a AND pr.d = cn.b)
+          |)
+          |SELECT c.a AS item_a, c.b AS item_b, c.cn,
+          |  da.deg AS deg_a, db.deg AS deg_b,
+          |  CAST(c.cn AS DOUBLE) / CAST(da.deg + db.deg - c.cn AS DOUBLE) AS jaccard
+          |FROM cand c JOIN deg da ON c.a = da.n JOIN deg db ON c.b = db.n
+          |ORDER BY jaccard DESC, item_a, item_b LIMIT 50""".stripMargin) { (s, dir) =>
+      graft.operators.Graph.linkPrediction(
+        strongCoPurchasePairs(s, dir), topK = 50, src = "s", dst = "d")
+    },
+
     // HITS hubs & authorities (Kleinberg) on the BIPARTITE
     // customer→part purchase graph (part ids offset by 1e9 into their
     // own range — the two sides must not collide): hubs = customers

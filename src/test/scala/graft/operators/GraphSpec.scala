@@ -1257,4 +1257,38 @@ class GraphSpec extends SparkSpecBase {
       assert(math.abs(ref.values.map(_._5).sum - got._4) < 1e-12)
     }
   }
+
+  test("linkPrediction: hand-computed scores on square + pendant") {
+    // square 1-2-3-4-1 plus pendant 5-1; edges deliberately mixed
+    // orientation with one duplicate (canonicalization contract)
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (4L, 1L), (5L, 1L),
+      (2L, 1L)).toDF("src", "dst")
+    val got = Graph.linkPrediction(edges, topK = 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    Caches.releaseAll()
+    // candidates: (2,4) cn=2 via {1,3} jacc 2/(2+2-2)=1;
+    // (1,3) cn=2 via {2,4} jacc 2/(3+2-2)=2/3;
+    // (2,5) and (4,5) cn=1 via {1} jacc 1/(2+1-1)=1/2
+    assert(got == Seq(
+      (2L, 4L, 2L, 2L, 2L, 1.0),
+      (1L, 3L, 2L, 3L, 2L, 2.0 / 3.0),
+      (2L, 5L, 1L, 2L, 1L, 0.5),
+      (4L, 5L, 1L, 2L, 1L, 0.5)))
+  }
+
+  test("linkPrediction: predictions are never existing edges; topK caps") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(e => e._1 != e._2)
+    val eSet = edges.map(e => (e._1 min e._2, e._1 max e._2)).toSet
+    val got = Graph.linkPrediction(edges.toDF("src", "dst"), topK = 5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    Caches.releaseAll()
+    assert(got.size <= 5)
+    got.foreach { r =>
+      assert(r._1 < r._2)
+      assert(!eSet.contains((r._1, r._2)), s"predicted an existing edge: $r")
+      assert(r._3 >= 1L && r._6 > 0.0)
+    }
+  }
 }

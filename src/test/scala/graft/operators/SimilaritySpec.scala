@@ -477,4 +477,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(dropped.intersect(kept).isEmpty)
     assert(got.toSeq.map(_._1).distinct.size == got.size)
   }
+
+  test("lloydTrain: hand-computed 2-round trajectory, exact fold means") {
+    val corpus = Seq(
+      (0L, Array(0.0f)), (1L, Array(10.0f)), (2L, Array(1.0f)),
+      (3L, Array(2.0f)), (4L, Array(9.0f)), (5L, Array(8.0f)),
+      (6L, Array(4.9f))
+    ).toDF("vec_id", "embedding")
+    val seeds = Seq(Seq(0.0), Seq(10.0))
+    // round 1: cell0 = {0,2,3,6}, cell1 = {1,4,5}; two-level fold means
+    // (singleton buckets, bucket-ordered): 4.9f widens to its double value
+    val v49 = Array(4.9f)(0).toDouble
+    val m0 = (((0.0 + 0.0) + 1.0) + 2.0 + v49) / 4.0
+    val m1 = ((0.0 + 10.0) + 9.0 + 8.0) / 3.0
+    val c1 = Similarity.lloydCentroids(corpus, seeds)
+    assert(c1 == Seq(Seq(m0), Seq(m1)))
+    // round 2: assignment unchanged (4.9 still nearer m0) → same means
+    assert(Similarity.lloydCentroids(corpus, c1) == Seq(Seq(m0), Seq(m1)))
+    val got = Similarity.lloydTrain(corpus, seeds, rounds = 2)
+      .as[(Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0L, 0), (1L, 1), (2L, 0), (3L, 0), (4L, 1),
+      (5L, 1), (6L, 0)))
+  }
+
+  test("lloydCentroids: an empty cell keeps its previous centroid") {
+    val corpus = Seq((10L, Array(0.0f)), (11L, Array(1.0f)))
+      .toDF("vec_id", "embedding")
+    val c1 = Similarity.lloydCentroids(corpus, Seq(Seq(0.5), Seq(100.0)))
+    assert(c1 == Seq(Seq(0.5), Seq(100.0)))
+  }
 }

@@ -158,4 +158,43 @@ class TextProfileSpec extends SparkSpecBase {
     // merging can only shrink: n_tokens <= n_bpe <= total chars
     got.foreach(r => assert(r._2 <= r._3))
   }
+
+  test("gopherRules: each rule fires on its own planted violator") {
+    val docs = Seq(
+      // passes all five rules
+      (1L, "the quick brown foxes jumped over the fence and ran away today"),
+      // 5 words (< 10) and zero stopwords
+      (2L, "alpha beta gamma delta epsilon"),
+      // digits only: mean word length 2 (< 3), zero alpha words
+      (3L, "11 22 33 44 55 66 77 88 99 00 11 22"),
+      // two ellipsis runs over 12 words -> symbol ratio > 0.1; alpha 10/12
+      (4L, "the little brown dog ... jumped over that green fence ... today"),
+      // empty text: 0 words -> word count + stopwords fail, ratios vacuous
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = TextProfile.gopherRules(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 12L, 1L, 1L, 1L, 1L, 1L, 1L),
+      (2L, 5L, 0L, 1L, 1L, 1L, 0L, 0L),
+      (3L, 12L, 1L, 0L, 0L, 1L, 0L, 0L),
+      (4L, 12L, 1L, 1L, 1L, 0L, 1L, 0L),
+      (5L, 0L, 0L, 1L, 1L, 1L, 0L, 0L)))
+  }
+
+  test("gopherRules: sf0.001 corpus pass counts pinned") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val agg = TextProfile.gopherRules(docs)
+      .agg(org.apache.spark.sql.functions.sum("pass_word_count"),
+        org.apache.spark.sql.functions.sum("pass_mean_word_len"),
+        org.apache.spark.sql.functions.sum("pass_alpha_words"),
+        org.apache.spark.sql.functions.sum("pass_symbol_ratio"),
+        org.apache.spark.sql.functions.sum("pass_stopwords"),
+        org.apache.spark.sql.functions.sum("pass"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // independently computed in DuckDB on the committed testdata
+    assert(agg == ((453L, 500L, 500L, 500L, 391L, 344L, 500L)))
+  }
 }

@@ -232,6 +232,11 @@ class PlanSpec extends SparkSpecBase {
     //    graph_louvain2_q: the 1-ROW edge-count m broadcast against the
     //    ≤|communities|-row (resp. 1-row) frame (the corpus_temperature
     //    class).
+    //  - dsir_select: the two 1-ROW feature-total frames (rtot, ttot)
+    //    against the ≤B-row bucket stats (the lm_surprisal pattern).
+    //  - quality_classifier: the C-row class frame (C = 2 quality tiers,
+    //    with its two 1-row constants) against the test token stream —
+    //    the per-class score fan-out (the corpus_temperature class).
     val allowedProduct =
       Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search",
         "term_search_bm25", "lm_surprisal", "graph_triangles", "knn_classify",
@@ -239,7 +244,8 @@ class PlanSpec extends SparkSpecBase {
         "ann_topk_pq_exact", "pareto_frontier", "collocations_lift",
         "events_ffill", "vocab_coverage", "corpus_temperature",
         "graph_modularity", "graph_modularity_q", "graph_louvain_q",
-        "graph_louvain2_q", "graph_triangles_ivm")
+        "graph_louvain2_q", "graph_triangles_ivm", "dsir_select",
+        "quality_classifier")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
