@@ -686,6 +686,51 @@ object Graph {
   }
 
   /**
+   * ADAMIC–ADAR LINK PREDICTION (Adamic & Adar 2003) — [[linkPrediction]]
+   * with the hub-discounted score: each common neighbor m contributes
+   * 1/ln(deg(m)) instead of 1, so predictions through promiscuous hubs
+   * are down-weighted exactly as the measure prescribes (the analytic
+   * answer to the hub-cap note on the Jaccard face). A wedge middle
+   * always has deg ≥ 2, so ln(deg) ≥ ln 2 > 0 — the division is total.
+   *
+   * Determinism: deg is an exact integer; each contribution is ONE fixed
+   * expression 1.0/ieee_ln(deg) ([[graft.expressions.Ieee754Ln]] — the
+   * libm-matching ln, so the DuckDB replay is bit-exact); the per-pair
+   * sum folds contributions in MIDDLE-NODE ORDER (sort_array over the
+   * pair's middle list — bounded by min(deg a, deg b)); ranking
+   * (aa DESC, a, b) is a total order. Same wedge bound and candidate
+   * anti-join as the Jaccard face.
+   */
+  def linkPredictionAdamicAdar(edges: DataFrame, topK: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = Caches.checkpointTracked(edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct())
+    val adj = Caches.checkpointTracked(
+      e.select(col("a").as("m"), col("b").as("x"))
+        .unionAll(e.select(col("b").as("m"), col("a").as("x"))))
+    val deg = adj.groupBy(col("m").as("n")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.as("l")
+      .join(adj.as("r"), col("l.m") === col("r.m") && col("l.x") < col("r.x"))
+      .select(col("l.x").as("a"), col("r.x").as("b"), col("l.m").as("m"))
+      .join(deg.select(col("n").as("m"), col("deg").as("dm")), "m")
+    val aa = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        aggregate(sort_array(collect_list(struct(col("m"), col("dm")))),
+          lit(0.0),
+          (acc, s) => acc + lit(1.0) /
+            graft.functions.TextFunctions.ieeeLn(s.getField("dm").cast("double")))
+          .as("aa"))
+    aa.join(e, Seq("a", "b"), "left_anti")
+      .select(col("a").as("item_a"), col("b").as("item_b"), col("cn"),
+        col("aa"))
+      .orderBy(desc("aa"), col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
+  /**
    * INCREMENTAL TRIANGLE COUNT under an edge Δ-batch — the third
    * graph-IVM face (components: quotient contraction; degrees: additive
    * merge; triangles: Δ-ANCHORED WEDGE CLOSURE):

@@ -313,13 +313,51 @@ object Similarity {
     }
   }
 
+  /** `rounds` Lloyd mean-updates from `seeds`: the trained centroids. */
+  def lloydCentroidsTrained(corpus: DataFrame, seeds: Seq[Seq[Double]],
+      rounds: Int, foldBuckets: Int = 16): Seq[Seq[Double]] = {
+    var c = seeds
+    (1 to rounds).foreach(_ => c = lloydCentroids(corpus, c, foldBuckets))
+    c
+  }
+
   /** `rounds` Lloyd mean-updates from `seeds`, then the final assignment:
     * (vec_id, cell) under the round-`rounds` centroids. */
   def lloydTrain(corpus: DataFrame, seeds: Seq[Seq[Double]],
-      rounds: Int, foldBuckets: Int = 16): DataFrame = {
-    var c = seeds
-    (1 to rounds).foreach(_ => c = lloydCentroids(corpus, c, foldBuckets))
-    assignCells(corpus, c)
+      rounds: Int, foldBuckets: Int = 16): DataFrame =
+    assignCells(corpus, lloydCentroidsTrained(corpus, seeds, rounds, foldBuckets))
+
+  /**
+   * GLOBAL SSE (the k-means objective) of a corpus under a centroid set:
+   * Σ_v min_c ‖v − c‖² as ONE deterministic double — per-vector min
+   * distance (the assignment fold's arithmetic, mirrored per cell over a
+   * broadcast nCells-row frame), then the two-level vec_id-bucket sorted
+   * fold for the order-sensitive global sum. 1-row output; the number
+   * [[lloydCentroids]] provably does not increase round over round —
+   * `kmeans_lloyd_sse` certifies exactly that on real data.
+   */
+  def sseUnder(corpus: DataFrame, centroids: Seq[Seq[Double]],
+      foldBuckets: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv) }.toDF("cell", "cv")
+    val q = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("ev"))
+    val distExpr = aggregate(
+      transform(sequence(lit(1), size(col("cv"))),
+        i => (element_at(col("ev"), i) - element_at(col("cv"), i)) *
+          (element_at(col("ev"), i) - element_at(col("cv"), i))),
+      lit(0.0), (a, x) => a + x)
+    val d = q.crossJoin(broadcast(cdf))
+      .select(col("vec_id"), distExpr.as("dist"))
+      .groupBy("vec_id").agg(min("dist").as("d"))
+    val l1 = d
+      .groupBy(pmod(col("vec_id"), lit(foldBuckets.toLong)).as("bkt"))
+      .agg(aggregate(sort_array(collect_list(struct(col("vec_id"), col("d")))),
+        lit(0.0), (a, s) => a + s.getField("d")).as("s1"))
+    l1.agg(aggregate(sort_array(collect_list(struct(col("bkt"), col("s1")))),
+      lit(0.0), (a, s) => a + s.getField("s1")).as("sse"))
   }
 
   /**

@@ -395,4 +395,48 @@ object TextProfile {
       pSw.as("pass_stopwords"),
       (pWc * pMwl * pAlpha * pSym * pSw).as("pass"))
   }
+
+  /**
+   * PER-SOURCE KL DIVERGENCE from the corpus unigram distribution —
+   * KL(p_source ∥ p_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t)) — the domain
+   * profiling number behind mixture reweighting (the DoReMi/DSIR view of
+   * "how far is this domain from the blend"): sources with high KL are
+   * the distinctive ones a mixture weight moves most. No smoothing is
+   * needed: the sum ranges over the source's OWN tokens (p_s(t) > 0),
+   * and every source token occurs in the corpus (p(t) > 0) — KL is
+   * finite and ≥ 0 by construction.
+   *
+   * Determinism: counts exact integers; each token's contribution is one
+   * fixed expression over [[graft.expressions.Ieee754Ln]] (libm-matching
+   * ln); the per-source sum folds in TOKEN ORDER. Per-source fold state
+   * is bounded by the source's vocabulary, not its token stream — for a
+   * web-scale vocabulary, hash tokens into a fixed bucket space first
+   * (the [[Dsir]] move; KL over the hashed feature distribution is the
+   * quantity DSIR's importance weights estimate anyway).
+   *
+   * Scale shape: one tokenizing scan; (source, token) and (token) counts
+   * are partial aggregates; the corpus total is a 1-row broadcast; output
+   * is |sources| rows.
+   */
+  def sourceDivergence(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val toks = Caches.persistTracked(docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col(groupCol).as("g"), explode(tokens(col("text"))).as("t")))
+    val st = toks.groupBy("g", "t").agg(count(lit(1)).as("cst"))
+    val ns = st.groupBy("g").agg(sum("cst").as("ns"), count(lit(1)).as("nd"))
+    val ctot = toks.groupBy("t").agg(count(lit(1)).as("ct"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val ps = col("cst").cast("double") / col("ns").cast("double")
+    val terms = st.join(ctot, "t").join(ns.select("g", "ns"), "g")
+      .crossJoin(broadcast(n))
+      .select(col("g"), col("t"),
+        (ps * ieeeLn(ps / (col("ct").cast("double") / col("n").cast("double"))))
+          .as("term"))
+    val kl = terms.groupBy("g")
+      .agg(aggregate(sort_array(collect_list(struct(col("t"), col("term")))),
+        lit(0.0), (a, s) => a + s.getField("term")).as("kl"))
+    ns.join(kl, "g")
+      .select(col("g").as("source"), col("ns").as("n_tokens"),
+        col("nd").as("n_distinct"), col("kl"))
+  }
 }

@@ -2568,6 +2568,33 @@ object StarQueries {
         strongCoPurchasePairs(s, dir), topK = 50, src = "s", dst = "d")
     },
 
+    // ADAMIC-ADAR LINK PREDICTION — graph_linkpred's hub-discounted face:
+    // each common neighbor m votes 1/ln(deg m) (ieee_ln, so the oracle's
+    // libm ln sees the same bits), folded in middle-node order per
+    // candidate pair. A wedge middle always has deg >= 2 -> ln > 0.
+    QueryDef.of("graph_linkpred_aa",
+      strongCoPurchaseCte +
+        """, deg AS (
+          |  SELECT src AS n, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+          |), w AS (
+          |  SELECT l.dst AS a, r.dst AS b, l.src AS m, deg.deg AS dm
+          |  FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst
+          |  JOIN deg ON l.src = deg.n
+          |), s AS (
+          |  SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(list_sort(list(struct_pack(m := m, dm := dm))),
+          |        x -> CAST(1.0 AS DOUBLE) / ln(CAST(x.dm AS DOUBLE)))),
+          |      (acc, v) -> acc + v) AS aa
+          |  FROM w GROUP BY a, b
+          |)
+          |SELECT a AS item_a, b AS item_b, cn, aa FROM s
+          |WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.s = s.a AND pr.d = s.b)
+          |ORDER BY aa DESC, item_a, item_b LIMIT 50""".stripMargin) { (s, dir) =>
+      graft.operators.Graph.linkPredictionAdamicAdar(
+        strongCoPurchasePairs(s, dir), topK = 50, src = "s", dst = "d")
+    },
+
     // HITS hubs & authorities (Kleinberg) on the BIPARTITE
     // customer→part purchase graph (part ids offset by 1e9 into their
     // own range — the two sides must not collide): hubs = customers

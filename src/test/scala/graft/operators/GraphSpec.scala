@@ -1276,6 +1276,24 @@ class GraphSpec extends SparkSpecBase {
       (4L, 5L, 1L, 2L, 1L, 0.5)))
   }
 
+  test("linkPredictionAdamicAdar: hand-computed hub-discounted scores") {
+    // same square 1-2-3-4-1 plus pendant 5-1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.linkPredictionAdamicAdar(edges, topK = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    Caches.releaseAll()
+    // middle-ordered folds: (1,3) via {2,4} both deg 2; (2,4) via {1,3}
+    // deg 3 and 2; (2,5)/(4,5) via {1} deg 3
+    val aa13 = (0.0 + 1.0 / math.log(2.0)) + 1.0 / math.log(2.0)
+    val aa24 = (0.0 + 1.0 / math.log(3.0)) + 1.0 / math.log(2.0)
+    val aa5 = 0.0 + 1.0 / math.log(3.0)
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 3L, 2L), (2L, 4L, 2L), (2L, 5L, 1L), (4L, 5L, 1L)))
+    assert(got.map(r => java.lang.Double.doubleToLongBits(r._4)) ==
+      Seq(aa13, aa24, aa5, aa5).map(java.lang.Double.doubleToLongBits))
+  }
+
   test("linkPrediction: predictions are never existing edges; topK caps") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))

@@ -500,6 +500,29 @@ class SimilaritySpec extends SparkSpecBase {
       (5L, 1), (6L, 0)))
   }
 
+  test("sseUnder: hand fold; Lloyd rounds never increase the objective") {
+    val corpus = Seq(
+      (0L, Array(0.0f)), (1L, Array(10.0f)), (2L, Array(1.0f)),
+      (3L, Array(2.0f)), (4L, Array(9.0f)), (5L, Array(8.0f)),
+      (6L, Array(4.9f))
+    ).toDF("vec_id", "embedding")
+    val seeds = Seq(Seq(0.0), Seq(10.0))
+    def sse(c: Seq[Seq[Double]]): Double =
+      Similarity.sseUnder(corpus, c).as[Double].collect().head
+    // hand fold under the seeds (singleton buckets → bucket-ordered sum
+    // of per-vector min squared distances, 4.9f widened)
+    val v49 = Array(4.9f)(0).toDouble
+    val mins = Seq(0.0, 0.0, 1.0, 4.0, 1.0, 4.0,
+      math.min(v49 * v49, (v49 - 10.0) * (v49 - 10.0)))
+    var want = 0.0
+    mins.foreach(d => want = want + d)
+    assert(java.lang.Double.doubleToLongBits(sse(seeds)) ==
+      java.lang.Double.doubleToLongBits(want))
+    val c1 = Similarity.lloydCentroids(corpus, seeds)
+    val c2 = Similarity.lloydCentroids(corpus, c1)
+    assert(sse(c1) <= sse(seeds) && sse(c2) <= sse(c1))
+  }
+
   test("lloydCentroids: an empty cell keeps its previous centroid") {
     val corpus = Seq((10L, Array(0.0f)), (11L, Array(1.0f)))
       .toDF("vec_id", "embedding")

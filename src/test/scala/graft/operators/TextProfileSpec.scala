@@ -182,6 +182,45 @@ class TextProfileSpec extends SparkSpecBase {
       (5L, 0L, 0L, 1L, 1L, 1L, 0L, 0L)))
   }
 
+  test("sourceDivergence: hand case bit-equal to a token-ordered replay") {
+    val docs = Seq(
+      (1L, "srcA", "x x x y"),
+      (2L, "srcA", "x y y z"),
+      (3L, "srcB", "z z z z w")
+    ).toDF("doc_id", "source", "text")
+    val got = Caches.scoped {
+      TextProfile.sourceDivergence(docs).orderBy("source")
+        .as[(String, Long, Long, Double)].collect().toSeq
+    }
+    // corpus: x4 y3 z5 w1, n=13; srcA: x4 y3 z1 (ns=8); srcB: z4 w1 (ns=5)
+    def term(cst: Long, ns: Long, ct: Long, n: Long): Double = {
+      val p = cst.toDouble / ns.toDouble
+      p * math.log(p / (ct.toDouble / n.toDouble))
+    }
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq(("srcA", 8L, 3L), ("srcB", 5L, 2L)))
+    // folds run in token order: srcA over x < y < z, srcB over w < z
+    val wantA = ((0.0 + term(4, 8, 4, 13)) + term(3, 8, 3, 13)) + term(1, 8, 5, 13)
+    val wantB = (0.0 + term(1, 5, 1, 13)) + term(4, 5, 5, 13)
+    assert(java.lang.Double.doubleToLongBits(got(0)._4) ==
+      java.lang.Double.doubleToLongBits(wantA))
+    assert(java.lang.Double.doubleToLongBits(got(1)._4) ==
+      java.lang.Double.doubleToLongBits(wantB))
+    assert(got.forall(_._4 >= 0.0))
+  }
+
+  test("sourceDivergence: identically-distributed sources have KL = 0") {
+    val docs = Seq(
+      (1L, "a", "p q r"), (2L, "b", "p q r")
+    ).toDF("doc_id", "source", "text")
+    val got = Caches.scoped {
+      TextProfile.sourceDivergence(docs)
+        .as[(String, Long, Long, Double)].collect().toSeq
+    }
+    // p_s(t) = 1/3 = p(t) for every token → each term ln(1) = 0 exactly
+    assert(got.forall(_._4 == 0.0))
+  }
+
   test("gopherRules: sf0.001 corpus pass counts pinned") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val agg = TextProfile.gopherRules(docs)

@@ -237,6 +237,12 @@ class PlanSpec extends SparkSpecBase {
     //  - quality_classifier: the C-row class frame (C = 2 quality tiers,
     //    with its two 1-row constants) against the test token stream —
     //    the per-class score fan-out (the corpus_temperature class).
+    //  - corpus_divergence: the 1-ROW corpus-token-total frame against
+    //    the (source, token) counts (the lm_surprisal pattern).
+    //  - kmeans_lloyd / kmeans_lloyd_sse: the broadcast 8-row centroid
+    //    frame against the corpus (the ann_topk class), and the sse
+    //    row's cross of its two 1-ROW SSE aggregates (the
+    //    graph_triangles class).
     val allowedProduct =
       Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search",
         "term_search_bm25", "lm_surprisal", "graph_triangles", "knn_classify",
@@ -245,7 +251,8 @@ class PlanSpec extends SparkSpecBase {
         "events_ffill", "vocab_coverage", "corpus_temperature",
         "graph_modularity", "graph_modularity_q", "graph_louvain_q",
         "graph_louvain2_q", "graph_triangles_ivm", "dsir_select",
-        "quality_classifier")
+        "quality_classifier", "corpus_divergence", "kmeans_lloyd",
+        "kmeans_lloyd_sse")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
