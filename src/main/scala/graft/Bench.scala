@@ -714,6 +714,18 @@ object Bench {
         for (np <- Seq(1, 2, 4, 8, 16))
           curvePt("ivf", s""""nProbe":$np""",
             () => Similarity.ivfTopK(qHard, idx16, k = 5, nProbe = np))
+        // FULL-CORPUS LLOYD TRAINING (2 exact distributed mean-update
+        // rounds from the sample-fit centroids — kmeans_lloyd's
+        // machinery): does training the coarse quantizer on EVERYTHING
+        // buy recall over the bounded-sample fit at matched nProbe? The
+        // two curves share the corpus, queries and truth set.
+        val trained = Similarity.lloydCentroidsTrained(embHard,
+          idx16.centroids, rounds = 2)
+        val idxT = Similarity.buildIvfIndexWith(embHard, trained)
+        for (np <- Seq(1, 2, 4, 8, 16))
+          curvePt("ivf_lloyd", s""""nProbe":$np""",
+            () => Similarity.ivfTopK(qHard, idxT, k = 5, nProbe = np))
+        idxT.release()
         idx16.release()
         r16
       } ++ {

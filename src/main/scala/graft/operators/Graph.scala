@@ -731,6 +731,73 @@ object Graph {
   }
 
   /**
+   * K-TRUSS PEELING TRAJECTORY (Cohen 2008) — the triangle-cohesion
+   * strengthening of k-core: iteratively delete every edge supported by
+   * fewer than k−2 triangles in the CURRENT subgraph, until stable. An
+   * edge survives only inside densely interlocked neighborhoods, which
+   * makes the truss the community-core extractor where k-core still
+   * admits stars. Output is the whole PEELING TRAJECTORY — one row
+   * (round, n_edges) per synchronous round — so the oracle certifies
+   * every round's edge census, not just the fixpoint (and the row stays
+   * meaningful on graphs whose truss empties).
+   *
+   * Per round: one degree-oriented triangle enumeration over the
+   * surviving subgraph (the [[triangleStats]] O(m^1.5) wedge shape —
+   * never the naive Σ deg² expansion), each triangle attributing
+   * support to its THREE canonical edges, a partial-agg count per edge,
+   * and an inner join keeping edges at support ≥ k−2 (k ≥ 3, so the
+   * threshold is ≥ 1 and unsupported edges drop by the join itself).
+   * State is lineage-capped per round with FRESH stats
+   * ([[Caches.checkpointTrackedFreshStats]] — the round-11 estimate-
+   * compounding lesson). `rounds` is the caller's measured fixpoint
+   * (+1 idempotent margin — the corenum/MIS contract).
+   */
+  def kTrussTrajectory(edges: DataFrame, k: Int, rounds: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var cur = Caches.checkpointTracked(edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct())
+    val counts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to rounds).foreach { r =>
+      val deg = cur.select(col("a").as("n")).unionAll(cur.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val lt = (col("da") < col("db")) ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val or = Caches.checkpointTracked(cur
+        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(lt, col("a")).otherwise(col("b")).as("u"),
+          when(lt, col("b")).otherwise(col("a")).as("v"),
+          when(lt, col("db")).otherwise(col("da")).as("dv")))
+      val x = or.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+      val y = or.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+      val tri = x.join(y, Seq("u"))
+        .filter((col("d1") < col("d2")) ||
+          (col("d1") === col("d2") && col("v1") < col("v2")))
+        .join(or.select(col("u").as("v1"), col("v").as("v2")),
+          Seq("v1", "v2"), "left_semi")
+        .select(col("u"), col("v1"), col("v2"))
+      val roles = tri.select(least(col("u"), col("v1")).as("a"),
+          greatest(col("u"), col("v1")).as("b"))
+        .unionAll(tri.select(least(col("u"), col("v2")).as("a"),
+          greatest(col("u"), col("v2")).as("b")))
+        .unionAll(tri.select(least(col("v1"), col("v2")).as("a"),
+          greatest(col("v1"), col("v2")).as("b")))
+      val sup = roles.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= (k - 2).toLong)
+      cur = Caches.checkpointTrackedFreshStats(
+        cur.join(sup.select("a", "b"), Seq("a", "b"), "left_semi"))
+      counts += cur.agg(count(lit(1)).as("n_edges"))
+        .select(lit(r.toLong).as("round"), col("n_edges"))
+    }
+    counts.reduce(_ unionAll _)
+  }
+
+  /**
    * INCREMENTAL TRIANGLE COUNT under an edge Δ-batch — the third
    * graph-IVM face (components: quotient contraction; degrees: additive
    * merge; triangles: Δ-ANCHORED WEDGE CLOSURE):

@@ -242,6 +242,17 @@ object Similarity {
     IvfIndex(cSeq, assigned)
   }
 
+  /** IVF index over CALLER-SUPPLIED centroids — e.g. full-corpus
+    * [[lloydCentroidsTrained]] output instead of `buildIvfIndex`'s
+    * bounded-sample fit; same assignment scan, same release contract. */
+  def buildIvfIndexWith(corpus: DataFrame,
+      centroids: Seq[Seq[Double]]): IvfIndex = {
+    val assigned = Caches.persistIndex(corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        element_at(nearestCells(col("embedding"), centroids, 1), 1).as("cell")))
+    IvfIndex(centroids, assigned)
+  }
+
   private def nearestCells(vec: Column, centroids: Seq[Seq[Double]],
       nProbe: Int): Column =
     ColumnBridge.column(

@@ -66,6 +66,28 @@ object LlmQueries {
         "GROUP BY lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
       else "GROUP BY text")
 
+  /** [[curationCteBase]] with the scalar-quality gate swapped for the
+    * gopher_rules conjunction (same stage surgery as [[curationCte]]'s
+    * dedup-key swap; the unused `scored` CTE inlines away). The empty-text
+    * edge differs in representation (engine n_words = 0, oracle
+    * len(['']) = 1) but both fail the word-count rule, so the FILTER
+    * composes identically on any corpus. */
+  private def curationCteGopher: String =
+    curationCteBase.replace(
+      "SELECT doc_id, source, lang, text FROM scored WHERE quality >= 0.5",
+      """SELECT doc_id, source, lang, text FROM (
+        |    SELECT doc_id, source, lang, text,
+        |      CAST(len(ts) AS BIGINT) AS nw,
+        |      CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0) AS BIGINT) AS sl,
+        |      CAST(len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS na,
+        |      CAST(len(list_filter(ts, t -> list_contains(""".stripMargin +
+        stopwordsSqlList +
+        """, t))) AS BIGINT) AS nsw,
+          |      CAST(len(regexp_extract_all(text, '#+|\.\.\.')) AS BIGINT) AS nsym
+          |    FROM base)
+          |  WHERE nw >= 10 AND nw <= 90 AND 3 * nw <= sl AND sl <= 10 * nw
+          |    AND 5 * na >= 4 * nw AND 10 * nsym <= nw AND nsw >= 2""".stripMargin)
+
   private val curationCteBase: String =
     """WITH base AS (
         |  SELECT doc_id, source, lang, text,
@@ -146,13 +168,20 @@ object LlmQueries {
     * (stage counts). */
   private def curationStages(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      normDedup: Boolean = false): CurationStages = {
+      normDedup: Boolean = false, gopherPre: Boolean = false): CurationStages = {
     import graft.operators.CorpusMix
     val docs = Tables.documents(s, dir)
-    val q = docs
-      .withColumn("quality", TextFunctions.qualityScore(col("text")))
-      .filter(col("quality") >= 0.5)
-      .drop("quality")
+    // gopherPre swaps the scalar quality gate for the gopher_rules
+    // conjunction — same shared-builder discipline as normDedup
+    val q =
+      if (gopherPre)
+        docs.join(graft.operators.TextProfile.gopherRules(docs)
+            .filter(col("pass") === 1L).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      else docs
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .drop("quality")
     // normDedup swaps the survivor key for Dedup.exactNormalized's
     // normalized text (lowercase + whitespace-collapse — the C4-style
     // soft-exact tier), one boolean through the shared builder so the
@@ -2314,6 +2343,20 @@ object LlmQueries {
       curationCte(true) + """
         |SELECT doc_id, source, lang FROM mix ORDER BY doc_id""".stripMargin) { (s, dir) =>
       curationStages(s, dir, normDedup = true).mixed
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    },
+
+    // The certified pipeline with the GOPHER RULE GATE in place of the
+    // scalar quality threshold — rule-based filtering composed with
+    // dedup, decontamination and the weighted mix through the one shared
+    // stage builder (the curation_pipeline_norm discipline), so the
+    // integration can never drift from the individually-certified
+    // gopher_rules row.
+    QueryDef.of("curation_pipeline_gopher",
+      curationCteGopher + """
+        |SELECT doc_id, source, lang FROM mix ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      curationStages(s, dir, gopherPre = true).mixed
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
     },

@@ -1294,6 +1294,52 @@ class GraphSpec extends SparkSpecBase {
       Seq(aa13, aa24, aa5, aa5).map(java.lang.Double.doubleToLongBits))
   }
 
+  private def trussReference(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Seq[(Long, Long)] = {
+    var cur = edges.map(e => (e._1 min e._2, e._1 max e._2))
+      .filter(e => e._1 != e._2).distinct
+    (1 to rounds).foreach { _ =>
+      val es = cur.toSet
+      val nodes = cur.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val tris = for {
+        a <- nodes; b <- nodes if a < b && es.contains((a, b))
+        c <- nodes if b < c && es.contains((b, c)) && es.contains((a, c))
+      } yield (a, b, c)
+      val sup = tris.flatMap { case (a, b, c) => Seq((a, b), (a, c), (b, c)) }
+        .groupBy(identity).map { case (e, v) => e -> v.size }
+      cur = cur.filter(e => sup.getOrElse(e, 0) >= k - 2)
+    }
+    cur
+  }
+
+  test("kTrussTrajectory: K4 survives, pendant triangle and bridge peel") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.kTrussTrajectory(edges, k = 4, rounds = 3)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    Caches.releaseAll()
+    // round 1 peels the 3 triangle edges (support 1) and the bridge
+    // (support 0); the K4's 6 edges (support 2 each) are stable
+    assert(got == Seq((1L, 6L), (2L, 6L), (3L, 6L)))
+  }
+
+  test("kTrussTrajectory ≡ plain-Scala peel on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(50)(
+        (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+        .filter(e => e._1 != e._2)
+      val rounds = 4
+      val got = Graph.kTrussTrajectory(edges.toDF("src", "dst"), k = 4,
+          rounds = rounds)
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      Caches.releaseAll()
+      val want = (1 to rounds).map(r =>
+        (r.toLong, trussReference(edges, 4, r).size.toLong))
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("linkPrediction: predictions are never existing edges; topK caps") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
