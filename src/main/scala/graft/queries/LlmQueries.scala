@@ -1091,6 +1091,26 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF with a FULL-CORPUS LLOYD-TRAINED coarse quantizer (2 exact
+    // distributed mean-update rounds from the sample-fit centroids —
+    // kmeans_lloyd's machinery feeding a production index), certified at
+    // the exhaustive point: nProbe = nCells ≡ brute force whatever the
+    // centroids, so the same ann_topk oracle pins the trained-quantizer
+    // index end-to-end (buildIvfIndexWith assignment, probe, rescore).
+    // The recall payoff of training at narrow nProbe is measured in the
+    // stress block's ivf_lloyd-vs-ivf curve, not asserted here.
+    QueryDef.of("ann_topk_ivf_lloyd_exact", annTopkOracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val seed = Similarity.buildIvfIndex(emb, nCells = 16)
+      val trained = Similarity.lloydCentroidsTrained(emb, seed.centroids,
+        rounds = 2)
+      seed.release()
+      val idx = Similarity.buildIvfIndexWith(emb, trained)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), idx, k = 5,
+          nProbe = trained.size)
+        .orderBy("query_id", "rank")
+    },
+
     // PRODUCT QUANTIZATION ANN (Jégou et al. 2011) — the third point of
     // the quantization triad (LSH / IVF / PQ): 8 subspace codebooks of 16
     // centroids each (codes = 8 small ints ≈ 32× thinner than the dim-64

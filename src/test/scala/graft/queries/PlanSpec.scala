@@ -244,7 +244,8 @@ class PlanSpec extends SparkSpecBase {
     //    row's cross of its two 1-ROW SSE aggregates (the
     //    graph_triangles class).
     val allowedProduct =
-      Set("ann_topk", "ann_topk_ivf_exact", "events_resample", "hybrid_search",
+      Set("ann_topk", "ann_topk_ivf_exact", "ann_topk_ivf_lloyd_exact",
+        "events_resample", "hybrid_search",
         "term_search_bm25", "lm_surprisal", "graph_triangles", "knn_classify",
         "tfidf_topk", "contrastive_pairs", "lm_bigram", "ann_topk_pq",
         "ann_topk_pq_exact", "pareto_frontier", "collocations_lift",
