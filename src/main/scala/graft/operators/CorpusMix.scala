@@ -50,6 +50,39 @@ object CorpusMix {
   }
 
   /**
+   * WEIGHTED SAMPLING WITHOUT REPLACEMENT — Efraimidis & Spirakis 2006
+   * (the A-ES scheme): each row draws a uniform u from its OWN id and
+   * ranks by the exponential key ln(u)/w; the top-n under that key are a
+   * weighted sample without replacement with inclusion probabilities
+   * proportional to the weights. The scheme's whole point here is that
+   * it needs NO coordination: one narrow map computes every key, one
+   * TakeOrderedAndProject takes the sample — at 100 TB this is the only
+   * shape weighted subsampling can take (a sequential weighted reservoir
+   * is a single-machine algorithm).
+   *
+   * Determinism (the engine's contract — a seeded `rand()` certifies
+   * nothing across engines): u = (minstd(id) + 1)/(P + 1) ∈ (0, 1] with
+   * minstd(id) = (id mod P)·48271 mod P, P = 2³¹−1 — the MIS priority
+   * arithmetic, exact in 64-bit integers in any engine; the key is ONE
+   * [[graft.functions.TextFunctions.ieeeLn]] and ONE division by the
+   * positive integer weight; ranking (key DESC, id) is a total order.
+   * Keys are ≤ 0, heavier weights pull them toward 0 — a doc with twice
+   * the weight needs half the log-luck to be kept. Scaling ALL weights
+   * by a positive constant divides every key by it and preserves the
+   * ranking (the scale-invariance law CorpusMixSpec pins).
+   */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    val P = 2147483647L
+    val h = pmod(pmod(col(idCol), lit(P)) * lit(48271L), lit(P))
+    val u = (h + lit(1L)).cast("double") / lit((P + 1L).toDouble)
+    val key = TextFunctions.ieeeLn(u) / col(weightCol).cast("double")
+    docs.select(col(idCol), col(weightCol), key.as("es_key"))
+      .orderBy(desc("es_key"), col(idCol))
+      .limit(n)
+  }
+
+  /**
    * Deterministic train/val/test SPLIT assignment — the held-out-set step
    * every training pipeline runs after curation. Same content-derived cut
    * as [[sampleByStratum]] (`fingerprint(text) mod granularity` against

@@ -95,4 +95,57 @@ object Dsir {
     importanceWeights(docs, isTarget, buckets)
       .orderBy(desc("weight"), col("doc_id"))
       .limit(n)
+
+  /**
+   * DID THE SELECTION WORK? — one row certifying DSIR's effect on the
+   * feature distribution: KL(raw ∥ target) vs KL(selected ∥ target)
+   * over the hashed-feature buckets, plus the improved flag. Selection
+   * that matches the target must move the selected distribution TOWARD
+   * the target (smaller KL) — the kmeans_lloyd_sse ascent pattern
+   * applied to importance resampling.
+   *
+   * Distributions are Laplace-smoothed over the RAW bucket domain
+   * (selected ⊆ raw and target ⊆ raw, so every p is positive and the
+   * KLs are finite — the domain choice the oracle mirrors):
+   * p_S(b) = (c_S(b) + 1)/(N_S + buckets). Each KL folds its terms in
+   * BUCKET ORDER through [[graft.functions.TextFunctions.ieeeLn]] —
+   * bit-replayable. Cost: the same one feature scan, three B-row count
+   * aggregates, two ≤B-element folds.
+   */
+  def distributionShift(docs: DataFrame, isTarget: Column, buckets: Int,
+      n: Int): DataFrame = {
+    val b = lit(buckets.toLong)
+    val feats = Caches.persistTracked(hashedFeatures(docs, isTarget, buckets))
+    val selIds = select(docs, isTarget, buckets, n).select("doc_id")
+    val rf = feats.groupBy("bucket").agg(sum("k").as("cr"))
+    val tf = feats.filter(col("tgt")).groupBy("bucket").agg(sum("k").as("ct"))
+    val sf = feats.join(selIds, Seq("doc_id"), "left_semi")
+      .groupBy("bucket").agg(sum("k").as("cs"))
+    val joined = rf
+      .join(tf, Seq("bucket"), "left")
+      .join(sf, Seq("bucket"), "left")
+      .select(col("bucket"), col("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+    val tot = joined.agg(sum("cr").as("nr"), sum("ct").as("nt"),
+      sum("cs").as("ns"))
+    def p(c: Column, ntot: Column) =
+      (c + 1L).cast("double") / (ntot + b).cast("double")
+    val terms = joined.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (p(col("cr"), col("nr")) *
+          TextFunctions.ieeeLn(p(col("cr"), col("nr")) / p(col("ct"), col("nt"))))
+          .as("t_raw"),
+        (p(col("cs"), col("ns")) *
+          TextFunctions.ieeeLn(p(col("cs"), col("ns")) / p(col("ct"), col("nt"))))
+          .as("t_sel"))
+    terms.agg(
+        aggregate(sort_array(collect_list(struct(col("bucket"), col("t_raw")))),
+          lit(0.0), (a, s) => a + s.getField("t_raw")).as("kl_raw"),
+        aggregate(sort_array(collect_list(struct(col("bucket"), col("t_sel")))),
+          lit(0.0), (a, s) => a + s.getField("t_sel")).as("kl_selected"))
+      .select(col("kl_raw"), col("kl_selected"),
+        when(col("kl_selected") <= col("kl_raw"), 1L).otherwise(0L)
+          .as("improved"))
+  }
 }

@@ -438,6 +438,62 @@ object LlmQueries {
       |  SELECT vec_id, cell FROM a WHERE rn = 1
       |)""".stripMargin
 
+  /** Shared oracle prefix for the DSIR rows: portable-hash unigram+bigram
+    * features into 1024 buckets (`feats`), bucket stats (`rf`/`tf`) with
+    * totals, smoothed log-ratio weights (`wb`), bucket-ordered per-doc
+    * weight folds (`dw`), and the deterministic top-100 (`sel`).
+    * `feats`/`dw` are multiply-referenced → AS MATERIALIZED. */
+  private val dsirChain: String = {
+    def fold(mult: Int) =
+      s"""list_reduce(list_prepend(CAST(17 AS BIGINT),
+         |      list_transform(generate_series(1, length(t)),
+         |                     i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+         |      (h, c) -> (h * $mult + c) % 2147483647)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ts
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, lang,
+       |    list_concat(
+       |      CASE WHEN len(ts) <= 1 THEN [array_to_string(ts, ' ')]
+       |           ELSE list_transform(generate_series(1, len(ts)), i -> ts[i]) END,
+       |      CASE WHEN len(ts) <= 2 THEN [array_to_string(ts, ' ')]
+       |           ELSE list_transform(generate_series(1, len(ts) - 1),
+       |                               i -> array_to_string(ts[i:i+1], ' ')) END) AS ss
+       |  FROM toks
+       |), fx AS (
+       |  SELECT doc_id, lang,
+       |    (${fold(31)}
+       |     | (${fold(37)} << 31)) % 1024 AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(ss) AS t FROM sh)
+       |), feats AS MATERIALIZED (
+       |  SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS k
+       |  FROM fx GROUP BY 1, 2, 3
+       |), rf AS (SELECT bucket, CAST(sum(k) AS BIGINT) AS cr FROM feats GROUP BY bucket),
+       |tf AS (SELECT bucket, CAST(sum(k) AS BIGINT) AS ct
+       |       FROM feats WHERE lang = 'en' GROUP BY bucket),
+       |rt AS (SELECT CAST(sum(cr) AS BIGINT) AS rtot FROM rf),
+       |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS ttot FROM tf),
+       |wb AS (
+       |  SELECT rf.bucket,
+       |    ln(CAST(coalesce(tf.ct, 0) + 1 AS DOUBLE) / CAST(ttot + 1024 AS DOUBLE))
+       |    - ln(CAST(rf.cr + 1 AS DOUBLE) / CAST(rtot + 1024 AS DOUBLE)) AS w
+       |  FROM rf LEFT JOIN tf ON rf.bucket = tf.bucket CROSS JOIN rt CROSS JOIN tt
+       |), dw AS MATERIALIZED (
+       |  SELECT f.doc_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(
+       |        list_sort(list(struct_pack(bucket := f.bucket, k := f.k, w := wb.w))),
+       |        s -> CAST(s.k AS DOUBLE) * s.w)),
+       |      (a, x) -> a + x) AS weight
+       |  FROM feats f JOIN wb ON f.bucket = wb.bucket
+       |  GROUP BY f.doc_id
+       |), sel AS (
+       |  SELECT doc_id, weight FROM dw ORDER BY weight DESC, doc_id LIMIT 100
+       |)""".stripMargin
+  }
+
   /** The Lloyd-assignment distance fold, parametrized by the centroid
     * CTE alias — NearestCells' left-to-right Σ(x−c)² in index order. */
   private def lloydDist(cTab: String): String =
@@ -1974,65 +2030,66 @@ object LlmQueries {
     // op-for-op, so the row is exact on any corpus at any SF (no
     // separation assumption). See operators/Dsir.scala for the B-row
     // broadcast / one-scan scale shape.
-    QueryDef.of("dsir_select", {
-      def fold(mult: Int) =
-        s"""list_reduce(list_prepend(CAST(17 AS BIGINT),
-           |      list_transform(generate_series(1, length(t)),
-           |                     i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
-           |      (h, c) -> (h * $mult + c) % 2147483647)""".stripMargin
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang,
-         |    string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ts
-         |  FROM documents
-         |), sh AS (
-         |  SELECT doc_id, lang,
-         |    list_concat(
-         |      CASE WHEN len(ts) <= 1 THEN [array_to_string(ts, ' ')]
-         |           ELSE list_transform(generate_series(1, len(ts)), i -> ts[i]) END,
-         |      CASE WHEN len(ts) <= 2 THEN [array_to_string(ts, ' ')]
-         |           ELSE list_transform(generate_series(1, len(ts) - 1),
-         |                               i -> array_to_string(ts[i:i+1], ' ')) END) AS ss
-         |  FROM toks
-         |), fx AS (
-         |  SELECT doc_id, lang,
-         |    (${fold(31)}
-         |     | (${fold(37)} << 31)) % 1024 AS bucket
-         |  FROM (SELECT doc_id, lang, unnest(ss) AS t FROM sh)
-         |), feats AS (
-         |  SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS k
-         |  FROM fx GROUP BY 1, 2, 3
-         |), rf AS (SELECT bucket, CAST(sum(k) AS BIGINT) AS cr FROM feats GROUP BY bucket),
-         |tf AS (SELECT bucket, CAST(sum(k) AS BIGINT) AS ct
-         |       FROM feats WHERE lang = 'en' GROUP BY bucket),
-         |rt AS (SELECT CAST(sum(cr) AS BIGINT) AS rtot FROM rf),
-         |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS ttot FROM tf),
-         |wb AS (
-         |  SELECT rf.bucket,
-         |    ln(CAST(coalesce(tf.ct, 0) + 1 AS DOUBLE) / CAST(ttot + 1024 AS DOUBLE))
-         |    - ln(CAST(rf.cr + 1 AS DOUBLE) / CAST(rtot + 1024 AS DOUBLE)) AS w
-         |  FROM rf LEFT JOIN tf ON rf.bucket = tf.bucket CROSS JOIN rt CROSS JOIN tt
-         |), dw AS (
-         |  SELECT f.doc_id,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(
-         |        list_sort(list(struct_pack(bucket := f.bucket, k := f.k, w := wb.w))),
-         |        s -> CAST(s.k AS DOUBLE) * s.w)),
-         |      (a, x) -> a + x) AS weight
-         |  FROM feats f JOIN wb ON f.bucket = wb.bucket
-         |  GROUP BY f.doc_id
-         |), sel AS (
-         |  SELECT doc_id, weight FROM dw ORDER BY weight DESC, doc_id LIMIT 100
-         |)
-         |SELECT d.doc_id, d.lang, s.weight
-         |FROM sel s JOIN documents d ON s.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    }) { (s, dir) =>
+    QueryDef.of("dsir_select",
+      dsirChain + """
+        |SELECT d.doc_id, d.lang, s.weight
+        |FROM sel s JOIN documents d ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       graft.operators.Dsir.select(docs.select("doc_id", "text", "lang"),
           isTarget = col("lang") === "en", buckets = 1024, n = 100)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "weight")
         .orderBy("doc_id")
+    },
+
+    // DID DSIR WORK? — the selection's effect certified as one row (the
+    // kmeans_lloyd_sse ascent pattern): KL(raw || target) vs
+    // KL(selected || target) over the hashed-feature buckets, Laplace-
+    // smoothed on the raw bucket domain (selected and target are subsets
+    // of raw -> every p positive, both KLs finite), terms folded in
+    // bucket order through ieee_ln. Selection moves the distribution
+    // toward the target: KL 0.0166 -> 0.0035 at sf0.01, 0.0204 -> 0.0012
+    // at sf0.001 (see SURVEY §8).
+    QueryDef.of("dsir_shift",
+      dsirChain + """,
+        |sf2 AS (
+        |  SELECT f.bucket, CAST(sum(f.k) AS BIGINT) AS cs
+        |  FROM feats f JOIN sel ON f.doc_id = sel.doc_id GROUP BY f.bucket
+        |), j AS (
+        |  SELECT rf.bucket, rf.cr,
+        |    coalesce(tf.ct, 0) AS ct, coalesce(sf2.cs, 0) AS cs
+        |  FROM rf LEFT JOIN tf ON rf.bucket = tf.bucket
+        |          LEFT JOIN sf2 ON rf.bucket = sf2.bucket
+        |), tot2 AS (
+        |  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt,
+        |    CAST(sum(cs) AS BIGINT) AS ns FROM j
+        |), terms AS (
+        |  SELECT j.bucket,
+        |    (CAST(j.cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE))
+        |      * ln((CAST(j.cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE))
+        |            / (CAST(j.ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))) AS t_raw,
+        |    (CAST(j.cs + 1 AS DOUBLE) / CAST(ns + 1024 AS DOUBLE))
+        |      * ln((CAST(j.cs + 1 AS DOUBLE) / CAST(ns + 1024 AS DOUBLE))
+        |            / (CAST(j.ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))) AS t_sel
+        |  FROM j CROSS JOIN tot2
+        |), kls AS (
+        |  SELECT
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list_sort(list(struct_pack(bucket := bucket, t := t_raw))),
+        |        s -> s.t)), (a, x) -> a + x) AS kl_raw,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list_sort(list(struct_pack(bucket := bucket, t := t_sel))),
+        |        s -> s.t)), (a, x) -> a + x) AS kl_selected
+        |  FROM terms
+        |)
+        |SELECT kl_raw, kl_selected,
+        |  CAST(CASE WHEN kl_selected <= kl_raw THEN 1 ELSE 0 END AS BIGINT)
+        |    AS improved
+        |FROM kls""".stripMargin) { (s, dir) =>
+      graft.operators.Dsir.distributionShift(
+        Tables.documents(s, dir).select("doc_id", "text", "lang"),
+        isTarget = col("lang") === "en", buckets = 1024, n = 100)
     },
 
     // PER-SOURCE KL DIVERGENCE from the corpus unigram blend — the
@@ -2150,6 +2207,30 @@ object LlmQueries {
     // quality is the bit-mirrored weighted sum (see text_quality) and
     // lang the bit-mirrored marker argmax (see lang_id_dist), so ranking
     // by (quality DESC, doc_id) is deterministic and identical in DuckDB.
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis-Spirakis A-ES):
+    // top-100 by the exponential key ln(u)/w — u a MINSTD uniform drawn
+    // from the doc's own id (exact integer arithmetic), w = n_chars, the
+    // ln through ieee_ln — so the oracle replays the draw bit-for-bit.
+    // Inclusion probability ∝ weight, no coordination, one narrow map +
+    // one TakeOrderedAndProject (see CorpusMix.weightedSample).
+    QueryDef.of("corpus_sample_weighted",
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    ln(CAST(((doc_id % 2147483647) * 48271) % 2147483647 + 1 AS DOUBLE)
+        |       / CAST(2147483648 AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS es_key
+        |  FROM documents
+        |), sel AS (
+        |  SELECT doc_id, n_chars, es_key FROM k
+        |  ORDER BY es_key DESC, doc_id LIMIT 100
+        |)
+        |SELECT doc_id, n_chars, es_key FROM sel ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      graft.operators.CorpusMix.weightedSample(
+          Tables.documents(s, dir), idCol = "doc_id", weightCol = "n_chars",
+          n = 100)
+        .orderBy("doc_id")
+    },
+
     QueryDef.of("corpus_sample",
       """WITH base AS (
         |  SELECT doc_id, text,

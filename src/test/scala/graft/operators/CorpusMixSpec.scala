@@ -107,4 +107,45 @@ class CorpusMixSpec extends SparkSpecBase {
     // q is a distribution (within an ulp of 1 — assembled in map order)
     assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-12)
   }
+
+  test("weightedSample: bit-equal to the A-ES replay; scale-invariant") {
+    import spark.implicits._
+    val P = 2147483647L
+    val rows = (1L to 40L).map(i => (i, 10L + (i * 7L) % 90L))
+    def key(id: Long, w: Long): Double =
+      math.log(((id % P) * 48271L % P + 1L).toDouble / (P + 1L).toDouble) / w.toDouble
+    val want = rows.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(10)
+    val got = CorpusMix.weightedSample(rows.toDF("doc_id", "w"),
+        "doc_id", "w", n = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == want.map(r => (r._1, r._2)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(java.lang.Double.doubleToLongBits(g._3) ==
+        java.lang.Double.doubleToLongBits(w._3))
+    }
+    // scaling every weight by a positive constant preserves the selection
+    val scaled = CorpusMix.weightedSample(
+        rows.map { case (id, w) => (id, w * 13L) }.toDF("doc_id", "w"),
+        "doc_id", "w", n = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(scaled.map(_._1) == got.map(_._1))
+  }
+
+  test("weightedSample: heavier weight can only improve a doc's rank") {
+    import spark.implicits._
+    val rows = (1L to 30L).map(i => (i, 50L))
+    val base = CorpusMix.weightedSample(rows.toDF("doc_id", "w"),
+      "doc_id", "w", n = 30).as[(Long, Long, Double)].collect().toSeq
+    val rankOf = base.map(_._1).zipWithIndex.toMap
+    // quadruple doc 17's weight: its key divides by 4 (toward 0) while
+    // every other key is unchanged → its rank never worsens
+    val boosted = CorpusMix.weightedSample(
+      rows.map { case (id, w) => (id, if (id == 17L) w * 4 else w) }
+        .toDF("doc_id", "w"),
+      "doc_id", "w", n = 30).as[(Long, Long, Double)].collect().toSeq
+    val rankB = boosted.map(_._1).zipWithIndex.toMap
+    assert(rankB(17L) <= rankOf(17L))
+    Caches.releaseAll()
+  }
 }

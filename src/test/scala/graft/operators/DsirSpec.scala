@@ -91,6 +91,39 @@ class DsirSpec extends SparkSpecBase {
     assert(picked.map(_._2).min >= rejected.values.max)
   }
 
+  test("distributionShift: bit-equal replay; selection moves toward target") {
+    val docs = corpus.toDF("doc_id", "text", "en")
+    val got = Caches.scoped {
+      Dsir.distributionShift(docs, col("en"), buckets = B, n = 3)
+        .as[(Double, Double, Long)].collect().head
+    }
+    // plain-Scala replay over the raw bucket domain
+    val feats: Seq[(Long, Boolean, Long)] = corpus.flatMap { case (id, text, tgt) =>
+      (shingles(text, 1) ++ shingles(text, 2)).map(s => (id, tgt, hash62(s) % B))
+    }
+    val selIds = refWeights(corpus).toSeq
+      .sortBy { case (id, w) => (-w, id) }.take(3).map(_._1).toSet
+    val cr = feats.groupBy(_._3).map { case (b, v) => b -> v.size.toLong }
+    val ct = feats.filter(_._2).groupBy(_._3).map { case (b, v) => b -> v.size.toLong }
+    val cs = feats.filter(f => selIds.contains(f._1)).groupBy(_._3)
+      .map { case (b, v) => b -> v.size.toLong }
+    val (nr, nt, ns) = (cr.values.sum, ct.values.sum, cs.values.sum)
+    def p(c: Long, n: Long) = (c + 1L).toDouble / (n + B).toDouble
+    var klRaw = 0.0; var klSel = 0.0
+    cr.keys.toSeq.sorted.foreach { b =>
+      klRaw = klRaw + p(cr(b), nr) *
+        math.log(p(cr(b), nr) / p(ct.getOrElse(b, 0L), nt))
+      klSel = klSel + p(cs.getOrElse(b, 0L), ns) *
+        math.log(p(cs.getOrElse(b, 0L), ns) / p(ct.getOrElse(b, 0L), nt))
+    }
+    assert(java.lang.Double.doubleToLongBits(got._1) ==
+      java.lang.Double.doubleToLongBits(klRaw))
+    assert(java.lang.Double.doubleToLongBits(got._2) ==
+      java.lang.Double.doubleToLongBits(klSel))
+    // the effect: selecting target-like docs moves the distribution in
+    assert(got._3 == 1L && got._2 <= got._1)
+  }
+
   test("hashedFeatures: counts are multiplicities, buckets in range") {
     val docs = Seq((9L, "a b a", true)).toDF("doc_id", "text", "en")
     // unigrams: a, b, a; bigrams: "a b", "b a" → features: a×2, b×1, ab×1, ba×1

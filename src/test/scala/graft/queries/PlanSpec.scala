@@ -253,7 +253,7 @@ class PlanSpec extends SparkSpecBase {
         "graph_modularity", "graph_modularity_q", "graph_louvain_q",
         "graph_louvain2_q", "graph_triangles_ivm", "dsir_select",
         "quality_classifier", "corpus_divergence", "kmeans_lloyd",
-        "kmeans_lloyd_sse")
+        "kmeans_lloyd_sse", "dsir_shift")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
