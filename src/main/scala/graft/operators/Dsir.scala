@@ -65,9 +65,16 @@ object Dsir {
 
   /** Per-document log importance weight (doc_id, weight). */
   def importanceWeights(docs: DataFrame, isTarget: Column,
-      buckets: Int): DataFrame = {
+      buckets: Int): DataFrame =
+    weightsFrom(Caches.persistTracked(hashedFeatures(docs, isTarget, buckets)),
+      buckets)
+
+  /** (doc_id, weight) from an already-persisted feature frame — the
+    * shared core of [[importanceWeights]] and [[distributionShift]] (the
+    * latter reuses ONE feature scan for both the selection and the KL
+    * counts). */
+  private def weightsFrom(feats: DataFrame, buckets: Int): DataFrame = {
     val b = lit(buckets.toLong)
-    val feats = Caches.persistTracked(hashedFeatures(docs, isTarget, buckets))
     val rf = feats.groupBy("bucket").agg(sum("k").as("cr"))
     val tf = feats.filter(col("tgt")).groupBy("bucket").agg(sum("k").as("ct"))
     val rt = rf.agg(sum("cr").as("rtot"))
@@ -116,7 +123,11 @@ object Dsir {
       n: Int): DataFrame = {
     val b = lit(buckets.toLong)
     val feats = Caches.persistTracked(hashedFeatures(docs, isTarget, buckets))
-    val selIds = select(docs, isTarget, buckets, n).select("doc_id")
+    // selection from the SAME persisted feature frame — one scan total
+    val selIds = weightsFrom(feats, buckets)
+      .orderBy(desc("weight"), col("doc_id"))
+      .limit(n)
+      .select("doc_id")
     val rf = feats.groupBy("bucket").agg(sum("k").as("cr"))
     val tf = feats.filter(col("tgt")).groupBy("bucket").agg(sum("k").as("ct"))
     val sf = feats.join(selIds, Seq("doc_id"), "left_semi")
