@@ -2020,6 +2020,70 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // THE GOPHER FUNNEL — gopher_rules' dashboard view (the
+    // curation_funnel idiom): survivors after each rule applied
+    // CUMULATIVELY in declaration order, all integer, ONE scan + one
+    // 1-row aggregate stacked into (ord, stage, n_pass) rows.
+    QueryDef.of("gopher_funnel",
+      """WITH b AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0B\f\r]+') END AS ts
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS nw,
+        |    CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0) AS BIGINT) AS sl,
+        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS na,
+        |    CAST(len(list_filter(ts, t -> list_contains(""".stripMargin +
+        stopwordsSqlList +
+        """, t))) AS BIGINT) AS nsw,
+          |    CAST(len(regexp_extract_all(text, '#+|\.\.\.')) AS BIGINT) AS nsym
+          |  FROM b
+          |), r AS (
+          |  SELECT doc_id,
+          |    CASE WHEN nw >= 10 AND nw <= 90 THEN 1 ELSE 0 END AS p1,
+          |    CASE WHEN 3 * nw <= sl AND sl <= 10 * nw THEN 1 ELSE 0 END AS p2,
+          |    CASE WHEN 5 * na >= 4 * nw THEN 1 ELSE 0 END AS p3,
+          |    CASE WHEN 10 * nsym <= nw THEN 1 ELSE 0 END AS p4,
+          |    CASE WHEN nsw >= 2 THEN 1 ELSE 0 END AS p5
+          |  FROM m
+          |), agg AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n0,
+          |    CAST(sum(p1) AS BIGINT) AS n1,
+          |    CAST(sum(p1 * p2) AS BIGINT) AS n2,
+          |    CAST(sum(p1 * p2 * p3) AS BIGINT) AS n3,
+          |    CAST(sum(p1 * p2 * p3 * p4) AS BIGINT) AS n4,
+          |    CAST(sum(p1 * p2 * p3 * p4 * p5) AS BIGINT) AS n5
+          |  FROM r
+          |)
+          |SELECT * FROM (
+          |  SELECT CAST(0 AS BIGINT) AS ord, 'total' AS stage, n0 AS n_pass FROM agg
+          |  UNION ALL SELECT 1, 'word_count', n1 FROM agg
+          |  UNION ALL SELECT 2, 'mean_word_len', n2 FROM agg
+          |  UNION ALL SELECT 3, 'alpha_words', n3 FROM agg
+          |  UNION ALL SELECT 4, 'symbol_ratio', n4 FROM agg
+          |  UNION ALL SELECT 5, 'stopwords', n5 FROM agg
+          |) ORDER BY ord""".stripMargin) { (s, dir) =>
+      val g = graft.operators.TextProfile.gopherRules(Tables.documents(s, dir))
+      g.agg(count(lit(1)).as("n0"),
+          sum("pass_word_count").as("n1"),
+          sum(col("pass_word_count") * col("pass_mean_word_len")).as("n2"),
+          sum(col("pass_word_count") * col("pass_mean_word_len") *
+            col("pass_alpha_words")).as("n3"),
+          sum(col("pass_word_count") * col("pass_mean_word_len") *
+            col("pass_alpha_words") * col("pass_symbol_ratio")).as("n4"),
+          sum(col("pass")).as("n5"))
+        .selectExpr("""stack(6,
+          |  CAST(0 AS BIGINT), 'total', n0,
+          |  CAST(1 AS BIGINT), 'word_count', n1,
+          |  CAST(2 AS BIGINT), 'mean_word_len', n2,
+          |  CAST(3 AS BIGINT), 'alpha_words', n3,
+          |  CAST(4 AS BIGINT), 'symbol_ratio', n4,
+          |  CAST(5 AS BIGINT), 'stopwords', n5) AS (ord, stage, n_pass)""".stripMargin)
+        .orderBy("ord")
+    },
+
     // DSIR IMPORTANCE RESAMPLING (Xie et al. 2023): select the 100 raw
     // documents whose hashed-ngram profile best matches the TARGET
     // distribution (here: the English subcorpus) under the smoothed
