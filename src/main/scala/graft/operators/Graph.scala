@@ -1139,6 +1139,99 @@ object Graph {
   }
 
   /**
+   * MINIMUM SPANNING FOREST via synchronous Borůvka (Borůvka 1926) —
+   * THE parallel/distributed MST algorithm: GHS and every
+   * MST-in-MapReduce formulation reduce to its component-contraction
+   * rounds, because unlike Kruskal (a global sequential edge sort) and
+   * Prim (one growing frontier), every component acts INDEPENDENTLY per
+   * round — exactly the shape a 1000-executor cluster wants.
+   *
+   * Per round, every current component simultaneously selects its
+   * minimum-weight incident cross-component edge under the TOTAL order
+   * (w, a, b) — the canonical pair (a, b) is unique, so no two edges
+   * compare equal and the whole trajectory is a pure function of the
+   * graph (the cut property holds under any consistent tie-break, so
+   * the result is a true minimum spanning forest; with distinct weights
+   * it is THE unique MSF). Selected edges join the forest; the
+   * components they connect merge by FULL contraction (the
+   * pointer-jumping union-find over the ≤C selected edges — selection
+   * chains collapse in one round, not pairwise), so the component count
+   * at least halves per round and `rounds` = O(log |largest component|)
+   * suffices; wire the measured fixpoint + 1 idempotent margin (the
+   * corenum/MIS contract — an extra round selects nothing and changes
+   * nothing).
+   *
+   * Determinism: weights and ids are integers, the per-component argmin
+   * is a partial-aggregated `min(struct(w, a, b, …))` — never a window
+   * (a per-component row_number is the ORACLE's affordance) — and the
+   * contraction is the min-label union-find fixpoint
+   * ([[connectedComponents]]'s invariant). No doubles exist anywhere,
+   * so an oracle replays every round bit-for-bit on any graph.
+   *
+   * Scale shape per round: two |E| equi-joins of the |V|-row label
+   * frame onto the checkpointed pre-partitioned edge base (only the
+   * label side re-shuffles), one partial-agg argmin keyed by component
+   * (state: one struct per key), a union-find over ≤C contracted
+   * selections (components-sized, shrinking geometrically), and one
+   * |V| relabel join against the ≤C merge map (broadcast-able). The
+   * forest accumulates ≤|V|−1 edges total. Label and selection frames
+   * are lineage-capped with fresh stats every round (the corenum
+   * planner-scale lesson: this loop joins its state twice per round).
+   *
+   * Input: canonical weighted pairs — `a` < `b`, integer weight `w`
+   * (a multigraph collapses via the internal distinct; parallel edges
+   * of differing weight are distinct rows and the cheapest wins the
+   * argmin). Output: (round, a, b, w) — the forest edge set, each edge
+   * tagged with the round that selected it (the per-round census is
+   * the auditable trajectory, the kTruss idiom); an edge is selected
+   * at most once, so (a, b) is unique across rounds.
+   *
+   * Tracked caches (base, per-round selections, merge maps) release via
+   * `Caches.releaseAll()` after the caller materializes — the
+   * [[connectedComponents]] contract.
+   */
+  def boruvkaMst(pairs: DataFrame, rounds: Int, a: String = "a",
+      b: String = "b", w: String = "w", loopParts: Int = 0): DataFrame = {
+    val e = Caches.checkpointTracked(pairs
+      .select(col(a).as("a"), col(b).as("b"), col(w).as("w"))
+      .distinct().repartition(col("a")).sortWithinPartitions("a"))
+    val lab0 = Caches.checkpointTrackedFreshStats(
+      e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .distinct().select(col("node"), col("node").as("l")))
+    val picked = Seq.newBuilder[DataFrame]
+    var lab = lab0
+    for (r <- 1 to rounds) {
+      val ec = e
+        .join(lab.select(col("node").as("a"), col("l").as("ca")), "a")
+        .join(lab.select(col("node").as("b"), col("l").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+      def side(comp: Column) = ec.select(comp.as("comp"),
+        struct(col("w"), col("a"), col("b"), col("ca"), col("cb")).as("cand"))
+      // per-component argmin, then dedup both-sided picks on the unique
+      // (a, b) key (rows are identical, so which survives is immaterial);
+      // materialized fresh-stats: the frame feeds BOTH the contraction
+      // and the final output union, and caps the round's lineage
+      val chosen = Caches.checkpointTrackedFreshStats(
+        side(col("ca")).unionAll(side(col("cb")))
+          .groupBy("comp").agg(min(col("cand")).as("ce"))
+          .select(col("ce.w").as("w"), col("ce.a").as("a"),
+            col("ce.b").as("b"), col("ce.ca").as("ca"), col("ce.cb").as("cb"))
+          .dropDuplicates("a", "b"))
+      val merge = Dedup.duplicateClusters(
+        chosen.select(col("ca").as("doc_a"), col("cb").as("doc_b")),
+        loopParts = loopParts)
+      lab = Caches.checkpointTrackedFreshStats(
+        lab.join(merge.select(col("doc_id").as("l"), col("cluster")),
+            Seq("l"), "left")
+          .select(col("node"), coalesce(col("cluster"), col("l")).as("l")))
+      picked += chosen.select(lit(r.toLong).as("round"),
+        col("a"), col("b"), col("w"))
+    }
+    picked.result().reduce(_ unionAll _)
+  }
+
+  /**
    * PARALLEL LOUVAIN MOVE PHASE (the local-move step of Blondel et al.
    * 2008, with the DIRECTED-modularity gain of Dugué & Perez 2015 —
    * the same Q [[modularity]] scores, so the two operators compose):

@@ -732,6 +732,66 @@ object StarQueries {
        |ORDER BY n.node""".stripMargin
   }
 
+  /** Oracle for `graph_mst`: k synchronous Borůvka rounds unrolled as a
+    * CTE chain over the WEIGHTED strong co-purchase pairs (w = 11 −
+    * least(shared orders, 10) — the graph_sssp weights on the
+    * graph_components edge set). Per level: label both endpoints from the
+    * previous round, drop intra-component edges, take each component's
+    * min incident edge under the total order (w, a, b) via row_number
+    * (the oracle's affordance — the engine's argmin is a partial-agg
+    * `min(struct)`, never a window), DISTINCT the both-sided picks, then
+    * contract the ≤C selected edges with a nested recursive
+    * min-reachable CTE (the componentsOracle technique — the same
+    * min-label fixpoint the engine's pointer-jumping union-find
+    * computes) and relabel. All BIGINT — the chain replays every round
+    * bit-for-bit on any corpus; every multiply-referenced level is
+    * AS MATERIALIZED (the corenum inlining lesson). */
+  private def mstOracle(k: Int): String = {
+    def level(i: Int): String =
+      s"""ec$i AS MATERIALIZED (
+         |  SELECT e.a, e.b, e.w, la.l AS ca, lb.l AS cb
+         |  FROM e JOIN lab${i - 1} la ON e.a = la.node
+         |         JOIN lab${i - 1} lb ON e.b = lb.node
+         |  WHERE la.l <> lb.l
+         |), ch$i AS MATERIALIZED (
+         |  SELECT DISTINCT w, a, b, ca, cb FROM (
+         |    SELECT t.w, t.a, t.b, t.ca, t.cb,
+         |      row_number() OVER (PARTITION BY t.comp ORDER BY t.w, t.a, t.b) AS rn
+         |    FROM (SELECT ca AS comp, w, a, b, ca, cb FROM ec$i
+         |          UNION ALL SELECT cb, w, a, b, ca, cb FROM ec$i) t)
+         |  WHERE rn = 1
+         |), mg$i AS MATERIALIZED (
+         |  WITH RECURSIVE rr(c0, c) AS (
+         |    SELECT DISTINCT s, s FROM (SELECT ca AS s FROM ch$i
+         |                               UNION ALL SELECT cb FROM ch$i)
+         |    UNION
+         |    SELECT rr.c0, x.d FROM rr JOIN (SELECT ca AS s, cb AS d FROM ch$i
+         |                                    UNION ALL SELECT cb, ca FROM ch$i) x
+         |      ON rr.c = x.s
+         |  ) SELECT c0 AS comp, CAST(min(c) AS BIGINT) AS nl FROM rr GROUP BY c0
+         |), lab$i AS MATERIALIZED (
+         |  SELECT l.node, coalesce(m.nl, l.l) AS l
+         |  FROM lab${i - 1} l LEFT JOIN mg$i m ON l.l = m.comp
+         |)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), e AS MATERIALIZED (
+       |  SELECT x.pk AS a, y.pk AS b,
+       |    CAST(11 - least(count(*), 10) AS BIGINT) AS w
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY x.pk, y.pk HAVING count(*) >= 2
+       |), lab0 AS MATERIALIZED (
+       |  SELECT node, node AS l
+       |  FROM (SELECT a AS node FROM e UNION SELECT b FROM e)
+       |),
+       |${(1 to k).map(level).mkString(",\n")}
+       |SELECT round, a, b, w FROM (
+       |  ${(1 to k).map(i =>
+            s"SELECT CAST($i AS BIGINT) AS round, a, b, w FROM ch$i")
+            .mkString("\n  UNION ALL ")}
+       |) ORDER BY a, b""".stripMargin
+  }
+
   /** Oracle for `graph_components`: min-reachable-id per node via a
     * recursive CTE over the symmetrized edge set (the fuzzy_clusters
     * technique). In an undirected graph the reach set IS the component,
@@ -797,6 +857,23 @@ object StarQueries {
       .groupBy("s", "d").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select("s", "d")
+  }
+
+  /** [[strongCoPurchasePairs]] with the graph_sssp weight attached:
+    * (a, b, w) canonical pairs, w = 11 − least(shared orders, 10) ∈
+    * [1, 9] — strongly co-purchased parts are cheap to span. */
+  private def strongCoPurchaseWeightedPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("a"), col("b"),
+        (lit(11L) - least(col("cnt"), lit(10L))).as("w"))
   }
 
   /** [[strongCoPurchasePairs]] symmetrized to (src, dst) both ways —
@@ -2678,6 +2755,25 @@ object StarQueries {
       val e = strongCoPurchaseEdges(s, dir)
       graft.operators.Graph.maximalIndependentSet(e, rounds = 5)
         .orderBy("node")
+    },
+
+    // MINIMUM SPANNING FOREST (synchronous Borůvka) over the WEIGHTED
+    // strong co-purchase graph (the graph_sssp weights on the
+    // graph_components edge set): per round every component selects its
+    // cheapest outgoing edge under the total order (w, a, b) and the
+    // selections contract via the pointer-jumping union-find — THE
+    // distributed MST shape (GHS / MST-in-MapReduce). rounds = 6 is the
+    // MEASURED fixpoint + margin (sf0.001 finishes in 3 rounds, sf0.01
+    // in 5, sf0.1 in 2 — forest sizes 199/1871/3572 = |V| − #components
+    // at each SF, the spanning certificate). All-integer — the oracle
+    // unrolls the rounds with nested recursive contraction CTEs and
+    // replays the trajectory bit-for-bit; output is (round, a, b, w),
+    // the round tag making the per-round census auditable (the kTruss
+    // idiom).
+    QueryDef.of("graph_mst", mstOracle(6)) { (s, dir) =>
+      graft.operators.Graph.boruvkaMst(
+          strongCoPurchaseWeightedPairs(s, dir), rounds = 6, loopParts = 1)
+        .orderBy("a", "b")
     },
 
     // TRIANGLE-COUNT MAINTENANCE under an edge Δ-batch — the third

@@ -620,6 +620,138 @@ class GraphSpec extends SparkSpecBase {
     assert(got == lab)
   }
 
+  /** Plain-Scala synchronous Borůvka — the engine's exact recurrence:
+    * per round every component's min incident cross edge under (w, a, b),
+    * full min-label contraction of the selections. Returns the
+    * (round, a, b, w) forest. */
+  private def boruvkaReference(pairs: Seq[(Long, Long, Long)],
+      rounds: Int): Set[(Long, Long, Long, Long)] = {
+    val edges = pairs.map { case (a, b, w) => (w, a, b) }.distinct
+    var lab = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => n -> n).toMap
+    val out = Set.newBuilder[(Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val cross = edges.map { case (w, a, b) => (w, a, b, lab(a), lab(b)) }
+        .filter(e => e._4 != e._5)
+      val chosen = (cross.map(e => e._4 -> e) ++ cross.map(e => e._5 -> e))
+        .groupBy(_._1).values
+        .map(_.map(_._2).minBy(e => (e._1, e._2, e._3))).toSet
+      out ++= chosen.map(e => (r.toLong, e._2, e._3, e._1))
+      val ce = chosen.toSeq.flatMap(e => Seq((e._4, e._5), (e._5, e._4)))
+      var m = ce.map(_._1).distinct.map(c => c -> c).toMap
+      var changed = true
+      while (changed) {
+        val nxt = m.map { case (c, l) =>
+          c -> (l +: ce.collect { case (x, y) if x == c => m(y) }).min }
+        changed = nxt != m; m = nxt
+      }
+      lab = lab.map { case (n, l) => n -> m.getOrElse(l, l) }
+    }
+    out.result()
+  }
+
+  /** Kruskal with path compression: the minimum-spanning-forest total
+    * weight (unique across ALL MSFs, whatever the tie-break). */
+  private def kruskalWeight(pairs: Seq[(Long, Long, Long)]): Long = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    var tot = 0L
+    for ((a, b, w) <- pairs.sortBy(p => (p._3, p._1, p._2))) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; tot += w }
+    }
+    tot
+  }
+
+  test("boruvkaMst is bit-equal to the synchronous Borůvka reference on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(70)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+          (rnd.nextInt(9) + 1).toLong))
+        .collect { case (a, b, w) if a != b =>
+          (math.min(a, b), math.max(a, b), w) }
+        .groupBy(p => (p._1, p._2)).map(_._2.head).toSeq
+      val got = Graph.boruvkaMst(pairs.toDF("a", "b", "w"), rounds = 7,
+          loopParts = 1)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      Caches.releaseAll()
+      assert(got == boruvkaReference(pairs, 7), s"trial $trial")
+      // MSF laws: total weight matches Kruskal (unique across all MSFs),
+      // the forest spans (same components as the input graph), and it is
+      // acyclic (|F| = |V| − #components)
+      assert(got.toSeq.map(_._4).sum == kruskalWeight(pairs), "MSF weight")
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      def comps(es: Seq[(Long, Long)]): Map[Long, Long] = {
+        var lab = nodes.map(n => n -> n).toMap
+        val sym = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        var changed = true
+        while (changed) {
+          val nxt = lab.map { case (n, l) =>
+            n -> (l +: sym.collect { case (x, y) if x == n => lab(y) }).min }
+          changed = nxt != lab; lab = nxt
+        }
+        lab
+      }
+      val graphComps = comps(pairs.map(p => (p._1, p._2)))
+      assert(comps(got.toSeq.map(e => (e._2, e._3))) == graphComps, "spanning")
+      assert(got.size == nodes.size - graphComps.values.toSet.size, "acyclic")
+    }
+  }
+
+  test("boruvkaMst hand case: square + diagonal keeps the three cheap edges") {
+    import spark.implicits._
+    // square 1-2(w1), 2-3(w2), 3-4(w1), 1-4(w3) with diagonal 1-3(w5):
+    // MST = {1-2, 3-4, 2-3}, weight 4. Round 1: every singleton's min is
+    // 1-2 or 3-4 (components {1,2} and {3,4} form); round 2 bridges them
+    // with 2-3 — the diagonal (w5) and 1-4 (w3) never enter the forest
+    val pairs = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L),
+      (1L, 4L, 3L), (1L, 3L, 5L))
+    val got = Graph.boruvkaMst(pairs.toDF("a", "b", "w"), rounds = 2,
+        loopParts = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    Caches.releaseAll()
+    assert(got == Set((1L, 1L, 2L, 1L), (1L, 3L, 4L, 1L), (2L, 2L, 3L, 2L)))
+  }
+
+  test("boruvkaMst: the wired 6 rounds are a fixpoint + margin on the sf0.001 graph") {
+    // measured: sf0.001 finishes in 3 rounds, sf0.01 in 5, sf0.1 in 2 —
+    // the wired 6 covers every tested SF with an idempotent margin; this
+    // pins rounds 6 ≡ rounds 3 at sf0.001 (extra rounds select nothing)
+    // and the spanning certificate |F| = |V| − #components
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("a"), col("b"),
+        (lit(11L) - least(col("cnt"), lit(10L))).as("w"))
+    pairs.cache()
+    val at6 = Graph.boruvkaMst(pairs, rounds = 6, loopParts = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    Caches.releaseAll()
+    val at3 = Graph.boruvkaMst(pairs, rounds = 3, loopParts = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    Caches.releaseAll()
+    assert(at6 == at3, "rounds past the fixpoint must select nothing")
+    val nNodes = pairs.select(col("a").as("n"))
+      .unionAll(pairs.select(col("b").as("n"))).distinct().count()
+    val nComps = Graph.connectedComponents(pairs, src = "a", dst = "b",
+        loopParts = 1)
+      .select("component").distinct().count()
+    Caches.releaseAll()
+    pairs.unpersist()
+    assert(at6.size == nNodes - nComps, "spanning certificate")
+  }
+
   private def runCoreNumbers(pairs: Seq[(Long, Long)], rounds: Int) = {
     val got = Graph.coreNumbers(sym(pairs).toDF("src", "dst"), rounds)
       .as[(Long, Long)].collect().toMap
