@@ -779,6 +779,18 @@ object Bench {
               nProbe = np, shortlist = sl))
         ivfpqr.release()
         r
+      } ++ {
+        // SCALAR QUANTIZATION (SQ8): the no-codebook 4×-thinner code
+        // scan — its one operating point is already oracle-certified
+        // (ann_topk_sq is exact by construction), so the only open
+        // question is measured here: how much graded recall does
+        // 8-bit-per-dim quantization itself cost on the hard corpus?
+        val sq = Similarity.buildSqIndex(embHard)
+        val r = recallOf("sq", () => Similarity.sqTopK(qHard, sq, k = 5)).toSeq
+        curvePt("sq", s""""bits":8""",
+          () => Similarity.sqTopK(qHard, sq, k = 5))
+        sq.release()
+        r
       }
       truth.unpersist(blocking = false)
       embHard.unpersist(blocking = false)

@@ -695,6 +695,101 @@ object Similarity {
     rescoreTopK(cand, k)
   }
 
+  /**
+   * A fitted SCALAR-QUANTIZATION index (SQ8, the FAISS
+   * ScalarQuantizer shape): per-dimension affine int8 codes
+   * c_i = ⌊(v_i − mn_i)·255/(mx_i − mn_i)⌋ over the corpus-wide
+   * per-dimension [mn, mx] range — the fourth point of the ANN
+   * quantization family next to LSH (hyperplanes), IVF (coarse cells)
+   * and PQ (sub-codebooks). What SQ buys: a 4× thinner scan (one small
+   * int per dim instead of a float) with NO trained codebook — the fit
+   * is two exact order-independent aggregates (min/max), so unlike every
+   * k-means-fitted family the ENTIRE operating point is deterministic
+   * and oracle-certifiable as-is: quantization is a fixed per-element
+   * expression over plan-constant ranges, and the squared code distance
+   * is all-integer (|c_q − c_v| ≤ 255 ⇒ the 64-dim sum < 2²³ — exact
+   * BIGINT in any engine). No exact sibling row is needed; the
+   * certification IS the operating point (recall vs true cosine is the
+   * measured trade, not a correctness property).
+   *
+   * Scale shape: the fit is one narrow full-corpus aggregate (2·dim
+   * floats to the driver, baked as plan constants); the encode is one
+   * codegen'd scan (unrolled per-dim arithmetic — no HOF, the PlanSpec
+   * bar); the code table persists in the index registry (build once,
+   * probe many). mins/maxs are EXACT selections (not sums) — any
+   * partition order yields the same floats, the determinism min/max buy
+   * that a trained quantizer can't.
+   */
+  final case class SqIndex(mins: Seq[Double], maxs: Seq[Double],
+      encoded: DataFrame) {
+    def release(blocking: Boolean = false): Unit =
+      Caches.releaseIndex(encoded, blocking)
+  }
+
+  /** Per-dim SQ8 code columns over `embedding`, unrolled (no HOF):
+    * least(floor((v − mn)·255/(mx − mn)), 255) as BIGINT; a constant
+    * dimension (mx = mn) codes to 0 — the branch is plan-time (mins and
+    * maxs are driver constants) but spelled as a runtime CASE in the
+    * oracle, which evaluates identically on the same exact aggregates.
+    * Inputs ≥ mn by construction (codes are only taken of corpus rows /
+    * corpus-drawn queries), so no lower clamp is needed. */
+  private def sqCodeCols(mins: Seq[Double], maxs: Seq[Double]): Seq[Column] =
+    mins.indices.map { i =>
+      val (mn, mx) = (mins(i), maxs(i))
+      if (mx > mn)
+        least(floor((element_at(col("embedding"), i + 1).cast("double")
+            - lit(mn)) * lit(255.0) / lit(mx - mn)), lit(255L))
+      else lit(0L)
+    }
+
+  def buildSqIndex(corpus: DataFrame, dim: Int = 64): SqIndex = {
+    val aggs = (0 until dim).flatMap { i =>
+      Seq(min(element_at(col("embedding"), i + 1).cast("double")).as(s"mn$i"),
+        max(element_at(col("embedding"), i + 1).cast("double")).as(s"mx$i"))
+    }
+    // one bounded driver collect: 2·dim doubles (the centroid pattern)
+    val row = corpus.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val mins = (0 until dim).map(i => row.getDouble(2 * i))
+    val maxs = (0 until dim).map(i => row.getDouble(2 * i + 1))
+    val encoded = Caches.persistIndex(corpus
+      .select(col("vec_id").as("neighbor_id"),
+        array(sqCodeCols(mins, maxs): _*).as("codes")))
+    SqIndex(mins, maxs, encoded)
+  }
+
+  /**
+   * SQ8 top-k: quantize the query batch with the index's plan-constant
+   * ranges, scan the CODE table (never the embeddings) scoring every
+   * candidate with the unrolled all-integer squared code distance, keep
+   * per-query top-k under the total order (distance ASC, neighbor ASC).
+   * Output: (query_id, rank, neighbor_id, qdist) — qdist the exact
+   * integer distance, which is why the row is fully oracle-checkable at
+   * its real operating point. Cost per query: one pass over the 4×
+   * thinner code table, candidates partial-aggregated into the bounded
+   * TopK — no shuffle carries anything data-sized.
+   */
+  def sqTopK(queries: DataFrame, index: SqIndex, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      array(sqCodeCols(index.mins, index.maxs): _*).as("qc"))
+    val dist = index.mins.indices.map { i =>
+      val d = element_at(col("qc"), i + 1) - element_at(col("codes"), i + 1)
+      d * d
+    }.reduce(_ + _)
+    index.encoded.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdist", dist)
+      .filter(col("qdist").isNotNull)
+      .groupBy("query_id")
+      // integer distances < 2²³ are exact doubles: the (−qdist, id) TopK
+      // order IS (qdist ASC, neighbor_id ASC)
+      .agg(TopK.topK(k)(col("neighbor_id"), (-col("qdist")).cast("double"))
+        .as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.neighbor_id").as("neighbor_id"),
+        (-col("s.cos")).cast("long").as("qdist"))
+  }
+
   /** Driver-side twin of the assignment loop inside [[lloyd]] (and of
     * [[graft.expressions.NearestCells]]' semantics at nProbe = 1):
     * left-to-right Σ(x−c)² fold, strict-< keeps the lowest index on ties.

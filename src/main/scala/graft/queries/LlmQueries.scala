@@ -587,6 +587,51 @@ object LlmQueries {
       |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Oracle for `ann_topk_sq`: replays the ENTIRE SQ8 pipeline —
+    * per-dimension exact min/max (order-independent selections, so both
+    * engines aggregate to the same floats), the affine quantization
+    * c_i = least(⌊(v_i − mn_i)·255/(mx_i − mn_i)⌋, 255) mirrored
+    * op-for-op per dimension (constant dims CASE to 0 — the engine's
+    * plan-time branch evaluated at runtime on the same values), and the
+    * all-integer squared code distance under the total (qdist,
+    * neighbor_id) order. Unlike the k-means-fitted ANN families there is
+    * NO separation or exactness knob here: the operating point itself is
+    * deterministic, so this oracle is exact on any corpus. */
+  private val annSqOracle: String = {
+    val dim = 64
+    val mmAggs = (0 until dim).map(i =>
+      s"min(CAST(embedding[${i + 1}] AS DOUBLE)) AS mn$i, " +
+        s"max(CAST(embedding[${i + 1}] AS DOUBLE)) AS mx$i")
+      .mkString(",\n    ")
+    val codeExprs = (0 until dim).map(i =>
+      s"CASE WHEN mm.mx$i > mm.mn$i THEN " +
+        s"CAST(least(floor((CAST(e.embedding[${i + 1}] AS DOUBLE) - mm.mn$i)" +
+        s" * 255.0 / (mm.mx$i - mm.mn$i)), 255.0) AS BIGINT) " +
+        s"ELSE CAST(0 AS BIGINT) END AS c$i")
+      .mkString(",\n    ")
+    val distTerms = (0 until dim).map(i =>
+      s"(q.c$i - c.c$i) * (q.c$i - c.c$i)").mkString(" +\n      ")
+    s"""WITH mm AS (
+       |  SELECT $mmAggs
+       |  FROM embeddings
+       |), codes AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    $codeExprs
+       |  FROM embeddings e CROSS JOIN mm
+       |), d AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST($distTerms AS BIGINT) AS qdist
+       |  FROM codes q JOIN codes c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, qdist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY qdist, neighbor_id) AS BIGINT) AS rank
+       |  FROM d
+       |)
+       |SELECT query_id, rank, neighbor_id, qdist
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Oracle for `bpe_merges`: replays TextProfile.bpeMerges' k-step loop
     * as a k-level CTE chain — seg{i} applies level i's argmax merge (the
     * scalar subqueries) to seg{i-1} with the SAME left-to-right `replace`
@@ -1199,6 +1244,21 @@ object LlmQueries {
       val idx = Similarity.buildPqIndex(emb, m = 8, ksub = 16)
       Similarity.pqTopK(emb.filter(col("vec_id") < 10), idx, emb, k = 5,
           shortlist = 100000)
+        .orderBy("query_id", "rank")
+    },
+
+    // SCALAR QUANTIZATION (SQ8) ANN — the quantization family's fourth
+    // point (LSH hyperplanes / IVF cells / PQ codebooks / per-dim affine
+    // int8): a 4× thinner code scan with NO trained codebook. The fit is
+    // two exact order-independent aggregates (per-dim min/max) and the
+    // distance is all-integer, so — uniquely in the approximate family —
+    // the OPERATING POINT ITSELF is oracle-certified on any corpus (no
+    // exact sibling needed; recall vs true cosine is the measured trade,
+    // reported in the stress block, not a correctness property).
+    QueryDef.of("ann_topk_sq", annSqOracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.buildSqIndex(emb)
+      Similarity.sqTopK(emb.filter(col("vec_id") < 10), idx, k = 5)
         .orderBy("query_id", "rank")
     },
 

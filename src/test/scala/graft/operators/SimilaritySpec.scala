@@ -44,6 +44,50 @@ class SimilaritySpec extends SparkSpecBase {
     for (q <- qids) assert(got(q) == ref(q), s"query $q")
   }
 
+  test("sqTopK ≡ plain-Scala SQ8 replay on sf0.001; codes bounded; planted dup at rank 1") {
+    val idx = Similarity.buildSqIndex(emb)
+    val got = Similarity.sqTopK(emb.filter(col("vec_id") < 3), idx, k = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    // plain-Scala replay: exact per-dim min/max, the same
+    // floor((v − mn)·255/(mx − mn)) expression, all-integer distance
+    val local = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val dim = local.head._2.length
+    val mins = (0 until dim).map(i => local.map(_._2(i).toDouble).min)
+    val maxs = (0 until dim).map(i => local.map(_._2(i).toDouble).max)
+    def codes(v: Array[Float]): Array[Long] =
+      Array.tabulate(dim) { i =>
+        if (maxs(i) > mins(i))
+          math.min(
+            math.floor((v(i).toDouble - mins(i)) * 255.0 / (maxs(i) - mins(i)))
+              .toLong, 255L)
+        else 0L
+      }
+    val coded = local.map { case (id, v) => id -> codes(v) }
+    // index mins/maxs match the replay exactly (order-independent
+    // selections) and every code is in [0, 255]
+    assert(idx.mins == mins && idx.maxs == maxs)
+    assert(coded.forall(_._2.forall(c => c >= 0L && c <= 255L)))
+    val ref = coded.filter(_._1 < 3).map { case (qid, qc) =>
+      qid -> coded.filter(_._1 != qid).map { case (cid, cc) =>
+        (cid, qc.zip(cc).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (cid, d) => (d, cid) }.take(4).toSeq
+    }.toMap
+    assert(got == ref)
+    idx.release()
+    // a planted exact copy of query 0 quantizes identically → qdist 0,
+    // and 0 beats every strictly-positive distance → rank 1
+    val v0 = local.find(_._1 == 0L).get._2
+    val planted = emb.unionAll(
+      Seq((900000L, v0)).toDF("vec_id", "embedding"))
+    val idx2 = Similarity.buildSqIndex(planted)
+    val top = Similarity.sqTopK(planted.filter(col("vec_id") === 0L), idx2, k = 3)
+      .as[(Long, Long, Long, Long)].collect().minBy(_._2)
+    idx2.release()
+    assert(top == (0L, 1L, 900000L, 0L))
+  }
+
   test("assignCells ≡ plain-Scala argmin-L2 with lowest-cell tie-break") {
     val local = emb.as[(Long, Array[Float])].collect()
     val cents: Seq[Seq[Double]] = local.filter(_._1 < 8).sortBy(_._1)

@@ -168,7 +168,7 @@ class PlanSpec extends SparkSpecBase {
         "decontaminate", "text_repetition", "corpus_mix", "curation_pipeline",
         "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_exact",
         "kmeans_assign", "ann_topk_ivfpq", "ann_topk_ivfpq_exact",
-        "ann_topk_ivfpq_res", "ann_topk_ivfpq_res_exact")) {
+        "ann_topk_ivfpq_res", "ann_topk_ivfpq_res_exact", "ann_topk_sq")) {
       val p = plan(name)
       assert(!p.contains("lambdafunction"),
         s"$name plan has an interpreted HOF:\n$p")
@@ -243,6 +243,9 @@ class PlanSpec extends SparkSpecBase {
     //    frame against the corpus (the ann_topk class), and the sse
     //    row's cross of its two 1-ROW SSE aggregates (the
     //    graph_triangles class).
+    //  - ann_topk_sq: the broadcast QUERY BATCH against the CODE table
+    //    (the ann_topk_pq class — the scanned side is the 4×-thinner
+    //    int8 code array, never the embedding).
     val allowedProduct =
       Set("ann_topk", "ann_topk_ivf_exact", "ann_topk_ivf_lloyd_exact",
         "events_resample", "hybrid_search",
@@ -253,7 +256,7 @@ class PlanSpec extends SparkSpecBase {
         "graph_modularity", "graph_modularity_q", "graph_louvain_q",
         "graph_louvain2_q", "graph_triangles_ivm", "dsir_select",
         "quality_classifier", "corpus_divergence", "kmeans_lloyd",
-        "kmeans_lloyd_sse", "dsir_shift")
+        "kmeans_lloyd_sse", "dsir_shift", "ann_topk_sq")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
