@@ -61,4 +61,55 @@ object Decontaminate {
       .withColumn("overlap_frac",
         col("n_overlap").cast("double") / col("n_sh").cast("double"))
   }
+
+  /**
+   * FUZZY train/eval decontamination — [[overlapStats]]' near-duplicate
+   * face (the second pass of a real decontamination recipe: exact
+   * n-gram overlap misses lightly-edited benchmark copies; a
+   * train-vs-eval near-dup detector catches them): every train document
+   * whose portable SimHash signature sits within `maxHamming` bits of
+   * ANY eval document's signature.
+   *
+   * Runs the dedup tier's SCALE operating point (bands = 4 → 16-bit
+   * band values, maxHamming = 3 < bands, so pigeonhole recall is
+   * STRUCTURAL — a qualifying pair agrees on ≥ one full band and the
+   * banded equi-join finds exactly the hamming ≤ 3 pair set; no corpus
+   * separation assumption) with the ENGINE-PORTABLE shingle hash, so an
+   * oracle recomputes the signatures themselves bit-for-bit (the
+   * dedup_simhash_scale contract — exact on any corpus).
+   *
+   * Scale shape: one native-expression signature scan per side (64 bits
+   * per doc); candidates come from the per-band equi-join of train
+   * bands against the BROADCAST eval bands (benchmarks are small by
+   * definition — the overlapStats argument; train × eval never forms);
+   * hamming verification runs BEFORE the pair-dedup shuffle (the
+   * simhashPairs ordering); the per-doc aggregate is partial-agg
+   * count + min. Output: (doc_id, n_eval_near, min_hamming) — one row
+   * per CONTAMINATED train doc, the flag list a pipeline anti-joins
+   * away ([[overlapStats]] is the complete-audit face; zero-hit docs
+   * are absent here by construction).
+   */
+  def fuzzyOverlap(train: DataFrame, evalDocs: DataFrame, bands: Int = 4,
+      maxHamming: Int = 3, k: Int = 3): DataFrame = {
+    val bits = 64 / bands
+    def sig(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      simhashSig(shingleHashes(col("text"), k, portable = true)).as("sh"))
+    // persisted: each signature frame feeds its band explode once, but
+    // the persist keeps re-materializations (bench reps) one-scan
+    val st = Caches.persistTracked(sig(train))
+    val se = Caches.persistTracked(sig(evalDocs))
+    val l = st.select(col("doc_id"), col("sh"),
+      graft.functions.VectorFunctions.lshBands(col("sh"), bands, bits)
+        .as(Seq("band", "band_val")))
+    val r = se.select(col("doc_id").as("eval_id"), col("sh").as("she"),
+      graft.functions.VectorFunctions.lshBands(col("sh"), bands, bits)
+        .as(Seq("band", "band_val")))
+    l.join(broadcast(r), Seq("band", "band_val"))
+      .withColumn("hamming", hammingDistance(col("sh"), col("she")))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_id", "eval_id")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_near"),
+        min(col("hamming").cast("long")).as("min_hamming"))
+  }
 }

@@ -217,7 +217,13 @@ object LlmQueries {
    * needed; and because hamming 3 < 4 bands, banding recall is structural
    * (pigeonhole), so the Spark side finds exactly this set.
    */
-  private val simhashScaleOracle: String = {
+  /** The portable-SimHash signature CTE prefix shared by
+    * [[simhashScaleOracle]] and the fuzzy-decontamination oracle: word
+    * 3-shingles (non-distinct — votes are multiplicity-weighted), the
+    * engine-portable 62-bit shingle hash (`poly31 | poly37 << 31`,
+    * mirroring ShingleHashes portable=true op-for-op), per-bit ±1
+    * votes, sign packing → `sig(doc_id, sh62)`. */
+  private val portableSimhashCte: String = {
     def fold(mult: Int) =
       s"""list_reduce(list_prepend(CAST(17 AS BIGINT),
          |      list_transform(generate_series(1, length(t)),
@@ -242,13 +248,17 @@ object LlmQueries {
        |  FROM shl
        |), sig AS (
        |  SELECT doc_id, ($bitTerms) AS sh62 FROM hs
-       |)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(bit_count(xor(a.sh62, b.sh62)) AS INTEGER) AS hamming
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sh62, b.sh62)) <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |)""".stripMargin
   }
+
+  private val simhashScaleOracle: String =
+    portableSimhashCte +
+      """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh62, b.sh62)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh62, b.sh62)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Oracle for `tfidf_topk`: recomputes the portable 62-bit shingle
     * hashes (same folds as [[simhashScaleOracle]]) so the posting-join
@@ -1105,6 +1115,31 @@ object LlmQueries {
       val evalDocs = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
       val train = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
       Decontaminate.overlapStats(train, evalDocs, k = 3).orderBy("doc_id")
+    },
+
+    // FUZZY decontamination — decontaminate's near-duplicate second pass
+    // (exact n-gram overlap misses lightly-edited benchmark copies):
+    // train docs within SimHash hamming ≤ 3 of any eval doc, at the
+    // PORTABLE scale operating point (bands=4: pigeonhole recall is
+    // structural, and the oracle recomputes the signatures themselves —
+    // the dedup_simhash_scale contract, zero separation assumptions;
+    // the sig CTE prefix is shared between the two oracles). Same mod-7
+    // train/eval split as decontaminate; 3/5 contaminated train docs at
+    // sf0.001/sf0.01 (planted near-dup pairs straddling the split).
+    QueryDef.of("decontaminate_fuzzy",
+      portableSimhashCte +
+        """,
+          |tr AS (SELECT doc_id, sh62 FROM sig WHERE doc_id % 7 <> 0),
+          |ev AS (SELECT doc_id AS eval_id, sh62 AS she FROM sig WHERE doc_id % 7 = 0)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_near,
+          |  CAST(min(bit_count(xor(tr.sh62, ev.she))) AS BIGINT) AS min_hamming
+          |FROM tr JOIN ev ON bit_count(xor(tr.sh62, ev.she)) <= 3
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val evalDocs = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      Decontaminate.fuzzyOverlap(train, evalDocs, bands = 4, maxHamming = 3)
+        .orderBy("doc_id")
     },
 
     // ----- similarity search --------------------------------------------

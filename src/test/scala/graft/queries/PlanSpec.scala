@@ -165,7 +165,8 @@ class PlanSpec extends SparkSpecBase {
         "dedup_exact_norm",
         "dedup_survivors", "dedup_survivors_composed", "dedup_containment",
         "dedup_incremental", "corpus_sample",
-        "decontaminate", "text_repetition", "corpus_mix", "curation_pipeline",
+        "decontaminate", "decontaminate_fuzzy",
+        "text_repetition", "corpus_mix", "curation_pipeline",
         "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_exact",
         "kmeans_assign", "ann_topk_ivfpq", "ann_topk_ivfpq_exact",
         "ann_topk_ivfpq_res", "ann_topk_ivfpq_res_exact", "ann_topk_sq")) {
