@@ -503,6 +503,59 @@ object Graph {
   }
 
   /**
+   * k-HOP HARMONIC CENTRALITY of a seed set (the harmonic variant of
+   * closeness — Boldi & Vigna's choice BECAUSE it is well-defined on
+   * disconnected graphs, where classic closeness degenerates):
+   * H_k(s) = Σ_{v : 0 < d(s,v) ≤ k} 1/d(s,v), d = BFS hop distance.
+   * The k-cap is the operator's semantic, not an approximation knob
+   * (the [[bfs]] depth contract): at web scale an uncapped sweep is a
+   * full APSP — capped harmonic is what production centrality jobs run.
+   *
+   * One MULTI-SOURCE loop, frontier keyed by (seed, node) — |S|
+   * independent BFS runs would re-join the edge base |S| times per
+   * round; keying by seed shares every round's one |E| join across all
+   * seeds (the scale shape: per round one equi-join of the
+   * |S|·|V|-bounded frontier onto the checkpointed pre-partitioned
+   * base, a distinct, and an anti-join against the visited set).
+   *
+   * Determinism: distances and per-(seed, dist) node counts are exact
+   * integers; the only doubles are the ≤ `maxDepth` per-seed fold terms
+   * cnt/dist, folded in dist order — fold STATE is maxDepth rows per
+   * seed, never |V| (the pageRank collect_list lesson applied to
+   * centrality: aggregate the integer census first, fold the tiny
+   * census second). An oracle replays the whole thing bit-for-bit.
+   *
+   * Output: (seed, n_reached, harmonic) — seeds with no out-edges are
+   * absent (the [[bfs]] unreached contract). Caller contract: pass a
+   * symmetrized edge list for undirected centrality.
+   */
+  def harmonicCentrality(edges: DataFrame, seeds: Seq[Long], maxDepth: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    require(seeds.nonEmpty, "harmonicCentrality: empty seed set")
+    val e = checkpointEdges(edges, src, dst)
+    val spark = e.sparkSession
+    import spark.implicits._
+    val seed0 = spark.createDataset(seeds).toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+    val (visited, _) = iterate((seed0, seed0.select("seed", "node")),
+        maxDepth, capEvery = 3) { case ((vis, frontier), i, cap) =>
+      val nxt = cap(
+        e.join(frontier.select(col("seed"), col("node").as(src)), src)
+          .select(col("seed"), col(dst).as("node")).distinct()
+          .join(vis.select("seed", "node"), Seq("seed", "node"), "left_anti")
+          .select(col("seed"), col("node"), lit(i.toLong).as("dist")))
+      (vis.unionAll(nxt), nxt.select("seed", "node"))
+    }
+    val census = visited.filter(col("dist") > 0)
+      .groupBy("seed", "dist").agg(count(lit(1)).as("cnt"))
+    census.groupBy("seed")
+      .agg(sum("cnt").as("n_reached"),
+        aggregate(sort_array(collect_list(struct(col("dist"), col("cnt")))),
+          lit(0.0), (a, s) => a + s.getField("cnt").cast("double")
+            / s.getField("dist").cast("double")).as("harmonic"))
+  }
+
+  /**
    * SINGLE-SOURCE SHORTEST PATHS, k-bounded (Bellman–Ford rounds) over a
    * DIRECTED edge list with POSITIVE INTEGER weights — the distance
    * completion of [[bfs]]'s reachability (bfs answers "how many hops";

@@ -320,7 +320,10 @@ object LlmQueries {
     * sets are provably equal, so one oracle certifies both): resolve
     * components with a recursive reachability CTE, keep min-id per
     * component. */
-  private val survivorsOracle: String =
+  /** Shared prefix: exact near-dup pairs at 0.5 resolved to components
+    * (`reach(src, cluster)`) — the union-find the engine runs as
+    * pointer jumping, replayed as a recursive reachability CTE. */
+  private val dupClustersCte: String =
     shingleCte +
       """,
         |pr AS (
@@ -337,7 +340,11 @@ object LlmQueries {
         |    UNION
         |    SELECT r.src, e.d FROM r JOIN edges e ON r.node = e.s
         |  ) SELECT src, min(node) AS cluster FROM r GROUP BY src
-        |)
+        |)""".stripMargin
+
+  private val survivorsOracle: String =
+    dupClustersCte +
+      """
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT src FROM reach WHERE cluster <> src)
         |ORDER BY doc_id""".stripMargin
@@ -958,6 +965,32 @@ object LlmQueries {
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id")
         .orderBy("doc_id")
+    },
+
+    // DUPLICATE-CLUSTER SIZE HISTOGRAM — the dedup tier's dashboard row
+    // (the gopher_funnel idiom applied to near-dup structure): how many
+    // duplicate families of each size the corpus carries, over the SAME
+    // exact pair detection + union-find the survivors rows certify. The
+    // distribution is what sizes a dedup policy's savings estimate and
+    // what flags pathological families (one 10⁶-member cluster = a
+    // boilerplate template, not content). All integer; the oracle
+    // composes the shared reach CTE with two stacked counts.
+    QueryDef.of("dedup_cluster_sizes",
+      dupClustersCte +
+        """
+          |SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+          |  SELECT cluster, CAST(count(*) AS BIGINT) AS size
+          |  FROM reach GROUP BY cluster
+          |) GROUP BY size ORDER BY size""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, k = 3, threshold = 0.5,
+        maxShingleDf = 1000, hashShingles = true, prefixFilter = true)
+        .select("doc_a", "doc_b")
+      // loopParts pinned — see dedup_survivors' rationale
+      Dedup.duplicateClusters(pairs, loopParts = 1)
+        .groupBy("cluster").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("size")
     },
 
     // Containment-similarity join — ASYMMETRIC near-dup: the fraction of

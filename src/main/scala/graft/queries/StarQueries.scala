@@ -732,6 +732,41 @@ object StarQueries {
        |ORDER BY n.node""".stripMargin
   }
 
+  /** Oracle for `graph_closeness`: k multi-source BFS levels unrolled as
+    * a CTE chain over [[strongCoPurchaseCte]] (the bfsOracle min-over-
+    * relaxations technique with a seed column — level i's per-(seed,
+    * node) integer min over the standing distances unioned with every
+    * one-hop relaxation equals the engine's first-reach BFS distance),
+    * then the per-(seed, dist) integer census and the cnt/dist harmonic
+    * fold in dist order — fold state ≤ k terms per seed, every division
+    * mirrored. Seeds = the 4 smallest source nodes (the graph_ppr
+    * convention). */
+  private def closenessOracle(k: Int, nSeeds: Int): String = {
+    def level(i: Int): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT seed, node, min(dist) AS dist FROM (
+         |    SELECT seed, node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT f.seed, e.dst AS node, f.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} f ON e.src = f.node
+         |  ) GROUP BY seed, node
+         |)""".stripMargin
+    s"""$strongCoPurchaseCte,
+       |seeds AS (SELECT src AS node FROM e GROUP BY src ORDER BY src LIMIT $nSeeds),
+       |d0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist FROM seeds),
+       |${(1 to k).map(level).mkString(",\n")},
+       |census AS (
+       |  SELECT seed, dist, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM d$k WHERE dist > 0 GROUP BY seed, dist
+       |)
+       |SELECT seed, CAST(sum(cnt) AS BIGINT) AS n_reached,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(list_sort(list(struct_pack(dist := dist, cnt := cnt))),
+       |      x -> CAST(x.cnt AS DOUBLE) / CAST(x.dist AS DOUBLE))),
+       |    (a, v) -> a + v) AS harmonic
+       |FROM census GROUP BY seed ORDER BY seed""".stripMargin
+  }
+
   /** Oracle for `graph_mst`: k synchronous Borůvka rounds unrolled as a
     * CTE chain over the WEIGHTED strong co-purchase pairs (w = 11 −
     * least(shared orders, 10) — the graph_sssp weights on the
@@ -2755,6 +2790,23 @@ object StarQueries {
       val e = strongCoPurchaseEdges(s, dir)
       graft.operators.Graph.maximalIndependentSet(e, rounds = 5)
         .orderBy("node")
+    },
+
+    // k-HOP HARMONIC CENTRALITY (the disconnected-graph-safe closeness)
+    // of the 4 smallest nodes on the sparse co-purchase graph: one
+    // multi-source BFS keyed by (seed, node) — the |E| join per round is
+    // shared across all seeds — then the per-(seed, dist) integer census
+    // and the ≤6-term cnt/dist fold in dist order (fold state is
+    // depth-bounded, never |V|). Distances/counts all integer; the
+    // divisions are mirrored op-for-op; depth 6 is the row's SEMANTIC
+    // (k-hop harmonic — what production centrality sweeps run), not a
+    // fixpoint claim.
+    QueryDef.of("graph_closeness", closenessOracle(6, 4)) { (s, dir) =>
+      val e = strongCoPurchaseEdges(s, dir)
+      val seeds = e.select(col("src")).distinct().orderBy("src").limit(4)
+        .collect().map(_.getLong(0)).toSeq // 4-row bounded collect
+      graft.operators.Graph.harmonicCentrality(e, seeds, maxDepth = 6)
+        .orderBy("seed")
     },
 
     // MINIMUM SPANNING FOREST (synchronous Borůvka) over the WEIGHTED

@@ -620,6 +620,54 @@ class GraphSpec extends SparkSpecBase {
     assert(got == lab)
   }
 
+  test("harmonicCentrality ≡ plain-Scala BFS census replay on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    for (trial <- 1 to 3) {
+      val raw = Seq.fill(120)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(p => p._1 != p._2)
+      val symE = (raw ++ raw.map(_.swap)).distinct
+      val seeds = symE.map(_._1).distinct.sorted.take(4)
+      val got = Graph.harmonicCentrality(symE.toDF("src", "dst"), seeds,
+          maxDepth = 5)
+        .as[(Long, Long, Double)].collect().toSet
+      Caches.releaseAll()
+      // reference: BFS distances to depth 5, per-dist census, cnt/dist
+      // fold in dist order — the engine's exact double recurrence
+      val adj = symE.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val ref = seeds.flatMap { s =>
+        var dist = Map(s -> 0L); var frontier = Set(s)
+        for (d <- 1 to 5) {
+          frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+            .filterNot(dist.contains)
+          dist = dist ++ frontier.map(_ -> d.toLong)
+        }
+        val census = dist.values.filter(_ > 0).groupBy(identity)
+          .map { case (d, xs) => (d, xs.size.toLong) }.toSeq.sortBy(_._1)
+        if (census.isEmpty) None
+        else Some((s, census.map(_._2).sum,
+          census.foldLeft(0.0) { case (a, (d, c)) => a + c.toDouble / d.toDouble }))
+      }.toSet
+      assert(got == ref, s"trial $trial")
+    }
+  }
+
+  test("harmonicCentrality hand case: path endpoint vs center") {
+    import spark.implicits._
+    // path 1-2-3-4-5 symmetrized; depth 2
+    val pr = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val symE = pr ++ pr.map(_.swap)
+    val got = Graph.harmonicCentrality(symE.toDF("src", "dst"),
+        Seq(1L, 3L), maxDepth = 2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (s, n, h) => s -> ((n, h)) }.toMap
+    Caches.releaseAll()
+    // endpoint 1: reaches 2 (d1), 3 (d2) → H = 1 + 0.5; center 3:
+    // reaches 2,4 (d1), 1,5 (d2) → H = 2 + 1
+    assert(got(1L) == ((2L, 1.5)))
+    assert(got(3L) == ((4L, 3.0)))
+  }
+
   /** Plain-Scala synchronous Borůvka — the engine's exact recurrence:
     * per round every component's min incident cross edge under (w, a, b),
     * full min-label contraction of the selections. Returns the
