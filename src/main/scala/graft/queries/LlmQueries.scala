@@ -604,6 +604,99 @@ object LlmQueries {
       |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Shared BM25 scoring CTE (td/dl/q/tf/consts → `scored(doc_id,
+    * score)`) behind `term_search_bm25` and `hybrid_rrf`: integer
+    * tf/df/N aggregates, one fixed-order double expression per row
+    * (Okapi k1 = 1.2, b = 0.75 spelled as the exact-double literals
+    * 2.2/1.2/0.25/0.75), mirrored token-for-token by [[bm25Scored]]. */
+  private val bm25ScoredCte: String =
+    """WITH td AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
+      |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+      |), dl AS (
+      |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM td
+      |), q AS (
+      |  SELECT doc_id, term FROM (SELECT doc_id, unnest(ts) AS term FROM td)
+      |  WHERE term IN ('hash', 'join', 'scan')
+      |), tf AS (
+      |  SELECT doc_id,
+      |    CAST(count(CASE WHEN term = 'hash' THEN 1 END) AS BIGINT) AS tf_hash,
+      |    CAST(count(CASE WHEN term = 'join' THEN 1 END) AS BIGINT) AS tf_join,
+      |    CAST(count(CASE WHEN term = 'scan' THEN 1 END) AS BIGINT) AS tf_scan
+      |  FROM q GROUP BY doc_id
+      |), consts AS (
+      |  SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_docs,
+      |    (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl,
+      |    CAST(count(DISTINCT CASE WHEN term = 'hash' THEN doc_id END) AS BIGINT) AS df_hash,
+      |    CAST(count(DISTINCT CASE WHEN term = 'join' THEN doc_id END) AS BIGINT) AS df_join,
+      |    CAST(count(DISTINCT CASE WHEN term = 'scan' THEN doc_id END) AS BIGINT) AS df_scan
+      |  FROM q
+      |), scored AS (
+      |  SELECT t.doc_id,
+      |    (CASE WHEN tf_hash > 0 THEN
+      |      ln((CAST(n_docs - df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5) + 1.0)
+      |        * (CAST(tf_hash AS DOUBLE) * 2.2)
+      |        / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(d.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |      ELSE 0.0 END)
+      |    + (CASE WHEN tf_join > 0 THEN
+      |      ln((CAST(n_docs - df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5) + 1.0)
+      |        * (CAST(tf_join AS DOUBLE) * 2.2)
+      |        / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(d.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |      ELSE 0.0 END)
+      |    + (CASE WHEN tf_scan > 0 THEN
+      |      ln((CAST(n_docs - df_scan AS DOUBLE) + 0.5) / (CAST(df_scan AS DOUBLE) + 0.5) + 1.0)
+      |        * (CAST(tf_scan AS DOUBLE) * 2.2)
+      |        / (CAST(tf_scan AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(d.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |      ELSE 0.0 END) AS score
+      |  FROM tf t JOIN dl d USING (doc_id) CROSS JOIN consts
+      |)""".stripMargin
+
+  /** Engine twin of [[bm25ScoredCte]]: (doc_id, score) for every doc
+    * matching ≥ 1 query term. The pre-round-13 `log` stays: this row's
+    * ln-of-count-ratio arguments sit in the measured fdlibm/libm
+    * agreement region (the Ieee754Ln scaladoc's history). */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+    val dl = base.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    val q = base.select(col("doc_id"), explode(col("ts")).as("term"))
+      .filter(col("term").isin("hash", "join", "scan"))
+    val tf = q.groupBy("doc_id").agg(
+      count(when(col("term") === "hash", 1)).as("tf_hash"),
+      count(when(col("term") === "join", 1)).as("tf_join"),
+      count(when(col("term") === "scan", 1)).as("tf_scan"))
+    val dfs = q.agg(
+      count_distinct(when(col("term") === "hash", col("doc_id"))).as("df_hash"),
+      count_distinct(when(col("term") === "join", col("doc_id"))).as("df_join"),
+      count_distinct(when(col("term") === "scan", col("doc_id"))).as("df_scan"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val consts = corpus.crossJoin(dfs)
+    // one fixed-order double expression per row — mirrored in the oracle
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    def bm25(tfc: org.apache.spark.sql.Column,
+        dfc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(tfc > 0,
+        log(((col("n_docs") - dfc).cast("double") + lit(0.5)) /
+            (dfc.cast("double") + lit(0.5)) + lit(1.0)) *
+          (tfc.cast("double") * lit(2.2)) /
+          (tfc.cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") / avgdl))))
+        .otherwise(lit(0.0))
+    tf.join(dl, "doc_id")
+      .join(broadcast(consts))
+      .withColumn("score",
+        bm25(col("tf_hash"), col("df_hash")) +
+          bm25(col("tf_join"), col("df_join")) +
+          bm25(col("tf_scan"), col("df_scan")))
+      .select(col("doc_id"), col("score"))
+  }
+
   /** Oracle for `ann_topk_sq`: replays the ENTIRE SQ8 pipeline —
     * per-dimension exact min/max (order-independent selections, so both
     * engines aggregate to the same floats), the affine quantization
@@ -3001,89 +3094,77 @@ object LlmQueries {
     // frame (the hybrid_search pattern); ranking stays
     // orderBy+limit → TakeOrderedAndProject (PlanSpec-pinned).
     QueryDef.of("term_search_bm25",
-      """WITH td AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ts
-        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
-        |), dl AS (
-        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM td
-        |), q AS (
-        |  SELECT doc_id, term FROM (SELECT doc_id, unnest(ts) AS term FROM td)
-        |  WHERE term IN ('hash', 'join', 'scan')
-        |), tf AS (
-        |  SELECT doc_id,
-        |    CAST(count(CASE WHEN term = 'hash' THEN 1 END) AS BIGINT) AS tf_hash,
-        |    CAST(count(CASE WHEN term = 'join' THEN 1 END) AS BIGINT) AS tf_join,
-        |    CAST(count(CASE WHEN term = 'scan' THEN 1 END) AS BIGINT) AS tf_scan
-        |  FROM q GROUP BY doc_id
-        |), consts AS (
-        |  SELECT
-        |    (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_docs,
-        |    (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl,
-        |    CAST(count(DISTINCT CASE WHEN term = 'hash' THEN doc_id END) AS BIGINT) AS df_hash,
-        |    CAST(count(DISTINCT CASE WHEN term = 'join' THEN doc_id END) AS BIGINT) AS df_join,
-        |    CAST(count(DISTINCT CASE WHEN term = 'scan' THEN doc_id END) AS BIGINT) AS df_scan
-        |  FROM q
-        |), scored AS (
-        |  SELECT t.doc_id,
-        |    (CASE WHEN tf_hash > 0 THEN
-        |      ln((CAST(n_docs - df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5) + 1.0)
-        |        * (CAST(tf_hash AS DOUBLE) * 2.2)
-        |        / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-        |            (CAST(d.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        |      ELSE 0.0 END)
-        |    + (CASE WHEN tf_join > 0 THEN
-        |      ln((CAST(n_docs - df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5) + 1.0)
-        |        * (CAST(tf_join AS DOUBLE) * 2.2)
-        |        / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-        |            (CAST(d.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        |      ELSE 0.0 END)
-        |    + (CASE WHEN tf_scan > 0 THEN
-        |      ln((CAST(n_docs - df_scan AS DOUBLE) + 0.5) / (CAST(df_scan AS DOUBLE) + 0.5) + 1.0)
-        |        * (CAST(tf_scan AS DOUBLE) * 2.2)
-        |        / (CAST(tf_scan AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-        |            (CAST(d.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        |      ELSE 0.0 END) AS score
-        |  FROM tf t JOIN dl d USING (doc_id) CROSS JOIN consts
-        |)
-        |SELECT doc_id, round(score, 4) AS bm25 FROM scored
-        |ORDER BY score DESC, doc_id
-        |LIMIT 10""".stripMargin) { (s, dir) =>
-      val base = Tables.documents(s, dir)
-        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
-      val dl = base.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
-      val q = base.select(col("doc_id"), explode(col("ts")).as("term"))
-        .filter(col("term").isin("hash", "join", "scan"))
-      val tf = q.groupBy("doc_id").agg(
-        count(when(col("term") === "hash", 1)).as("tf_hash"),
-        count(when(col("term") === "join", 1)).as("tf_join"),
-        count(when(col("term") === "scan", 1)).as("tf_scan"))
-      val dfs = q.agg(
-        count_distinct(when(col("term") === "hash", col("doc_id"))).as("df_hash"),
-        count_distinct(when(col("term") === "join", col("doc_id"))).as("df_join"),
-        count_distinct(when(col("term") === "scan", col("doc_id"))).as("df_scan"))
-      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      val consts = corpus.crossJoin(dfs)
-      // one fixed-order double expression per row — mirrored in the oracle
-      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-      def bm25(tfc: org.apache.spark.sql.Column,
-          dfc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        when(tfc > 0,
-          log(((col("n_docs") - dfc).cast("double") + lit(0.5)) /
-              (dfc.cast("double") + lit(0.5)) + lit(1.0)) *
-            (tfc.cast("double") * lit(2.2)) /
-            (tfc.cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
-              (col("dl").cast("double") / avgdl))))
-          .otherwise(lit(0.0))
-      tf.join(dl, "doc_id")
-        .join(broadcast(consts))
-        .withColumn("score",
-          bm25(col("tf_hash"), col("df_hash")) +
-            bm25(col("tf_join"), col("df_join")) +
-            bm25(col("tf_scan"), col("df_scan")))
+      bm25ScoredCte +
+        """
+          |SELECT doc_id, round(score, 4) AS bm25 FROM scored
+          |ORDER BY score DESC, doc_id
+          |LIMIT 10""".stripMargin) { (s, dir) =>
+      bm25Scored(s, dir)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+    },
+
+    // RECIPROCAL-RANK FUSION (Cormack et al. 2009) of the two certified
+    // rankers — the OTHER standard hybrid-retrieval combiner next to
+    // hybrid_search's linear fusion: rrf = Σ_lists 1/(60 + rank) over
+    // the lexical BM25 top-20 and the exact-cosine top-20 (query vector
+    // 0; doc_id ≡ vec_id, the hybrid_search identification). RRF needs
+    // only per-LIST ranks, so the global-row_number scale objection in
+    // hybrid_search's comment does not apply: both rank lists come from
+    // BOUNDED partial-agg TopK selections (20 rows each), and the rank
+    // assignment is a posexplode over the 20-element array — never a
+    // data-sized window. Ranks are integers, the two 1/(60+r) terms are
+    // mirrored fixed-order divisions (CAST-spelled literals — the DuckDB
+    // DECIMAL-folding pitfall), a doc in one list only contributes that
+    // list's term. Top-10 by (rrf DESC, doc_id).
+    QueryDef.of("hybrid_rrf",
+      bm25ScoredCte +
+        """,
+          |lex AS (
+          |  SELECT doc_id, CAST(row_number() OVER (
+          |    ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+          |  FROM scored ORDER BY score DESC, doc_id LIMIT 20
+          |),
+          |vec AS (
+          |  SELECT doc_id, vec_rank FROM (
+          |    SELECT c.vec_id AS doc_id, CAST(row_number() OVER (
+          |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+          |               c.vec_id) AS BIGINT) AS vec_rank
+          |    FROM embeddings q JOIN embeddings c
+          |      ON q.vec_id = 0 AND c.vec_id <> 0
+          |  ) WHERE vec_rank <= 20
+          |),
+          |f AS (
+          |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+          |    l.lex_rank, v.vec_rank,
+          |    coalesce(CAST(1.0 AS DOUBLE)
+          |        / (CAST(60.0 AS DOUBLE) + CAST(l.lex_rank AS DOUBLE)),
+          |      CAST(0.0 AS DOUBLE))
+          |    + coalesce(CAST(1.0 AS DOUBLE)
+          |        / (CAST(60.0 AS DOUBLE) + CAST(v.vec_rank AS DOUBLE)),
+          |      CAST(0.0 AS DOUBLE)) AS rrf
+          |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+          |)
+          |SELECT doc_id, lex_rank, vec_rank, rrf FROM f
+          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val lex = bm25Scored(s, dir)
+        .agg(graft.operators.TopK.topK(20)(col("doc_id"), col("score")).as("nn"))
+        .select(posexplode(col("nn")).as(Seq("pos", "t")))
+        .select(col("t.neighbor_id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("lex_rank"))
+      val emb = Tables.embeddings(s, dir)
+      val vec = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb,
+          k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+      def term(r: org.apache.spark.sql.Column) =
+        coalesce(lit(1.0) / (lit(60.0) + r.cast("double")), lit(0.0))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          (term(col("lex_rank")) + term(col("vec_rank"))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     },
 
     // TF-IDF weighted cosine similarity join (top-100 pairs) — the

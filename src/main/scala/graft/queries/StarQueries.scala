@@ -3133,6 +3133,49 @@ object StarQueries {
       graft.operators.Graph.modularityTotal(e, labels)
     },
 
+    // K-ANONYMITY RISK AUDIT (Sweeney) — the re-identification
+    // diagnostic next to data_quality's integrity gate: customers
+    // grouped by the quasi-identifier (nation, segment, 1000-wide
+    // balance bucket); for each adversary strength k ∈ {2,3,5,10}, how
+    // many QI groups fall below size k and how many CUSTOMERS sit in
+    // them. All integer (the bucket is one deterministic floor of a
+    // double, mirrored with the CAST-spelled literal — the DuckDB
+    // DECIMAL pitfall); one grouped pass + one stacked aggregate.
+    QueryDef.of("kanon_risk",
+      """WITH q AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / CAST(1000.0 AS DOUBLE)) AS BIGINT) AS bal_b
+        |  FROM customer
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS sz FROM q
+        |  GROUP BY c_nationkey, c_mktsegment, bal_b
+        |), a AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN sz < 2 THEN 1 END) AS BIGINT) AS g2,
+        |    CAST(coalesce(sum(CASE WHEN sz < 2 THEN sz END), 0) AS BIGINT) AS r2,
+        |    CAST(count(CASE WHEN sz < 3 THEN 1 END) AS BIGINT) AS g3,
+        |    CAST(coalesce(sum(CASE WHEN sz < 3 THEN sz END), 0) AS BIGINT) AS r3,
+        |    CAST(count(CASE WHEN sz < 5 THEN 1 END) AS BIGINT) AS g5,
+        |    CAST(coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT) AS r5,
+        |    CAST(count(CASE WHEN sz < 10 THEN 1 END) AS BIGINT) AS g10,
+        |    CAST(coalesce(sum(CASE WHEN sz < 10 THEN sz END), 0) AS BIGINT) AS r10
+        |  FROM g
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS k, g2 AS n_groups_below, r2 AS n_rows_at_risk FROM a
+        |  UNION ALL SELECT 3, g3, r3 FROM a
+        |  UNION ALL SELECT 5, g5, r5 FROM a
+        |  UNION ALL SELECT 10, g10, r10 FROM a
+        |) ORDER BY k""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir).select(
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_b"))
+      graft.operators.Privacy.kAnonymityRisk(c,
+          Seq(col("c_nationkey"), col("c_mktsegment"), col("bal_b")),
+          Seq(2, 3, 5, 10))
+        .orderBy("k")
+    },
+
     // Declarative data-quality audit over the star schema — the
     // expectation gate an ingest pipeline runs before data goes live.
     // Every non-FK rule on a table folds into ONE single-scan aggregate;

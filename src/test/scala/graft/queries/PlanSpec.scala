@@ -247,6 +247,10 @@ class PlanSpec extends SparkSpecBase {
     //  - ann_topk_sq: the broadcast QUERY BATCH against the CODE table
     //    (the ann_topk_pq class — the scanned side is the 4×-thinner
     //    int8 code array, never the embedding).
+    //  - hybrid_rrf: the 1-row bm25 corpus-constants broadcast (the
+    //    term_search_bm25 pattern) plus the 1-vector query-batch
+    //    broadcast (the hybrid_search pattern) — it composes both
+    //    certified rankers.
     val allowedProduct =
       Set("ann_topk", "ann_topk_ivf_exact", "ann_topk_ivf_lloyd_exact",
         "events_resample", "hybrid_search",
@@ -257,7 +261,7 @@ class PlanSpec extends SparkSpecBase {
         "graph_modularity", "graph_modularity_q", "graph_louvain_q",
         "graph_louvain2_q", "graph_triangles_ivm", "dsir_select",
         "quality_classifier", "corpus_divergence", "kmeans_lloyd",
-        "kmeans_lloyd_sse", "dsir_shift", "ann_topk_sq")
+        "kmeans_lloyd_sse", "dsir_shift", "ann_topk_sq", "hybrid_rrf")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
