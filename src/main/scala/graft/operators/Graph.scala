@@ -556,6 +556,76 @@ object Graph {
   }
 
   /**
+   * SEED-PAIR STRESS CENTRALITY (Shimbel 1953 — betweenness's
+   * integer-valued ancestor, and the Brandes-style path-counting
+   * machinery behind it): for every node v, the number of shortest
+   * paths BETWEEN seed pairs that pass through v —
+   * stress(v) = Σ_{s<t ∈ S} σ_st(v), where σ_st(v) = σ_s(v)·σ_t(v)
+   * when d_s(v) + d_t(v) = d(s, t) (v lies on a shortest s-t path) and
+   * 0 otherwise. Exact betweenness needs this same σ machinery plus a
+   * double-valued dependency accumulation (σ ratios — a per-round
+   * DOUBLE SUM, partition-order nondeterministic); the stress form
+   * keeps the whole computation in exact integers, which is what makes
+   * the row oracle-replayable — and seed-PAIR restriction is the
+   * standard production sampling anyway (full betweenness is APSP).
+   *
+   * σ via multi-source BFS with path counting: σ(seed, v at dist i) =
+   * Σ over frontier predecessors u of σ(seed, u) — every predecessor of
+   * a dist-i node sits at dist i−1 (the BFS property), so one
+   * partial-agg integer sum per round is the whole recurrence. The
+   * loop is [[harmonicCentrality]]'s multi-source shape with a σ
+   * payload: per round one |E| equi-join of the frontier onto the
+   * checkpointed base, a (seed, node) sum, an anti-join. Path counts
+   * are exact BIGINTs; a graph whose shortest-path counts overflow 2⁶³
+   * (astronomically redundant mesh at depth k) needs the log-space /
+   * sampled variant — documented, not wired.
+   *
+   * The pair combine: seed-pair distances d(s,t) come from the visited
+   * frame itself (seed rows landing on seed nodes — no driver round
+   * trip); through-counts are two equi-joins of the |S|·|V| visited
+   * frame (a-side keyed by s, b-side by (t, node)) against the ≤C(|S|,2)
+   * broadcast pair frame, filtered by the distance identity, then one
+   * partial-agg integer sum per node. Output: (node, stress) for nodes
+   * with stress > 0, seeds excluded per pair by definition.
+   */
+  def stressCentrality(edges: DataFrame, seeds: Seq[Long], maxDepth: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    require(seeds.nonEmpty, "stressCentrality: empty seed set")
+    val e = checkpointEdges(edges, src, dst)
+    val spark = e.sparkSession
+    import spark.implicits._
+    val seed0 = spark.createDataset(seeds).toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"),
+        lit(1L).as("sigma"))
+    val (visRaw, _) = iterate((seed0, seed0.select("seed", "node", "sigma")),
+        maxDepth, capEvery = 2) { case ((vis, frontier), i, cap) =>
+      val nxt = cap(
+        e.join(frontier.select(col("seed"), col("node").as(src),
+            col("sigma")), src)
+          .groupBy(col("seed"), col(dst).as("node"))
+          .agg(sum("sigma").as("sigma"))
+          .join(vis.select("seed", "node"), Seq("seed", "node"), "left_anti")
+          .select(col("seed"), col("node"), lit(i.toLong).as("dist"),
+            col("sigma")))
+      (vis.unionAll(nxt), nxt.select("seed", "node", "sigma"))
+    }
+    // the visited frame feeds the pair frame AND both combine legs
+    val vis = Caches.persistTracked(visRaw)
+    val pairD = vis
+      .filter(col("node").isin(seeds: _*) && col("seed") < col("node"))
+      .select(col("seed").as("s"), col("node").as("t"), col("dist").as("d"))
+    vis.select(col("seed").as("s"), col("node"),
+        col("dist").as("da"), col("sigma").as("sa"))
+      .join(broadcast(pairD), "s")
+      .join(vis.select(col("seed").as("t"), col("node"),
+        col("dist").as("db"), col("sigma").as("sb")), Seq("t", "node"))
+      .filter(col("da") + col("db") === col("d") &&
+        col("node") =!= col("s") && col("node") =!= col("t"))
+      .groupBy("node")
+      .agg(sum(col("sa") * col("sb")).as("stress"))
+  }
+
+  /**
    * SINGLE-SOURCE SHORTEST PATHS, k-bounded (Bellman–Ford rounds) over a
    * DIRECTED edge list with POSITIVE INTEGER weights — the distance
    * completion of [[bfs]]'s reachability (bfs answers "how many hops";

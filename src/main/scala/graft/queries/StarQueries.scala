@@ -767,6 +767,55 @@ object StarQueries {
        |FROM census GROUP BY seed ORDER BY seed""".stripMargin
   }
 
+  /** Oracle for `graph_stress`: k multi-source BFS-with-path-counting
+    * levels unrolled as a CTE chain over [[strongCoPurchaseCte]] —
+    * level i's frontier relaxation sums predecessor σ per (seed, node)
+    * (every predecessor of a dist-i node sits at dist i−1, so the
+    * frontier-only sum IS the σ recurrence), anti-joined against the
+    * standing visited set — then the seed-pair distances read off the
+    * visited frame and the through-count combine
+    * σ_s(v)·σ_t(v) · [d_s(v)+d_t(v) = d(s,t)]. All BIGINT. Every level
+    * is referenced twice or more → AS MATERIALIZED (the corenum
+    * lesson). Seeds = the `nSeeds` smallest source nodes (the
+    * graph_ppr convention). */
+  private def stressOracle(k: Int, nSeeds: Int): String = {
+    def level(i: Int): String =
+      s"""f$i AS MATERIALIZED (
+         |  SELECT x.seed, x.node, CAST($i AS BIGINT) AS dist, x.sigma
+         |  FROM (
+         |    SELECT f.seed, e.dst AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |    FROM e JOIN n${i - 1} f ON e.src = f.node
+         |    GROUP BY f.seed, e.dst
+         |  ) x LEFT JOIN v${i - 1} v ON x.seed = v.seed AND x.node = v.node
+         |  WHERE v.node IS NULL
+         |), n$i AS MATERIALIZED (
+         |  SELECT seed, node, sigma FROM f$i
+         |), v$i AS MATERIALIZED (
+         |  SELECT seed, node, dist, sigma FROM v${i - 1}
+         |  UNION ALL SELECT seed, node, dist, sigma FROM f$i
+         |)""".stripMargin
+    s"""$strongCoPurchaseCte,
+       |seeds AS MATERIALIZED (
+       |  SELECT src AS node FROM e GROUP BY src ORDER BY src LIMIT $nSeeds),
+       |v0 AS MATERIALIZED (
+       |  SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist,
+       |    CAST(1 AS BIGINT) AS sigma FROM seeds),
+       |n0 AS MATERIALIZED (SELECT seed, node, sigma FROM v0),
+       |${(1 to k).map(level).mkString(",\n")},
+       |dp AS MATERIALIZED (
+       |  SELECT seed AS s, node AS t, dist AS d FROM v$k
+       |  WHERE node IN (SELECT node FROM seeds) AND seed < node
+       |),
+       |th AS (
+       |  SELECT a.node, a.sigma * b.sigma AS sg
+       |  FROM dp JOIN v$k a ON a.seed = dp.s
+       |          JOIN v$k b ON b.seed = dp.t AND b.node = a.node
+       |  WHERE a.dist + b.dist = dp.d AND a.node <> dp.s AND a.node <> dp.t
+       |)
+       |SELECT node, CAST(sum(sg) AS BIGINT) AS stress
+       |FROM th GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `graph_mst`: k synchronous Borůvka rounds unrolled as a
     * CTE chain over the WEIGHTED strong co-purchase pairs (w = 11 −
     * least(shared orders, 10) — the graph_sssp weights on the
@@ -2807,6 +2856,24 @@ object StarQueries {
         .collect().map(_.getLong(0)).toSeq // 4-row bounded collect
       graft.operators.Graph.harmonicCentrality(e, seeds, maxDepth = 6)
         .orderBy("seed")
+    },
+
+    // SEED-PAIR STRESS CENTRALITY (Shimbel) on the sparse co-purchase
+    // graph: shortest-path counts through each node between the 4
+    // smallest seeds — betweenness's integer-valued ancestor, carrying
+    // the exact Brandes σ machinery (multi-source BFS with per-round
+    // predecessor-σ sums) while staying fully oracle-replayable (exact
+    // betweenness's dependency accumulation is an order-sensitive
+    // double sum; the stress form never leaves BIGINT, and seed-pair
+    // restriction is the standard sampling for a graph where full
+    // betweenness is APSP). Depth 6 = the BFS cap semantic shared with
+    // graph_closeness.
+    QueryDef.of("graph_stress", stressOracle(6, 4)) { (s, dir) =>
+      val e = strongCoPurchaseEdges(s, dir)
+      val seeds = e.select(col("src")).distinct().orderBy("src").limit(4)
+        .collect().map(_.getLong(0)).toSeq // 4-row bounded collect
+      graft.operators.Graph.stressCentrality(e, seeds, maxDepth = 6)
+        .orderBy("node")
     },
 
     // MINIMUM SPANNING FOREST (synchronous Borůvka) over the WEIGHTED

@@ -668,6 +668,67 @@ class GraphSpec extends SparkSpecBase {
     assert(got(3L) == ((4L, 3.0)))
   }
 
+  test("stressCentrality ≡ plain-Scala σ-counting replay on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    for (trial <- 1 to 3) {
+      val raw = Seq.fill(110)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2)
+      val symE = (raw ++ raw.map(_.swap)).distinct
+      val seeds = symE.map(_._1).distinct.sorted.take(4)
+      val got = Graph.stressCentrality(symE.toDF("src", "dst"), seeds,
+          maxDepth = 5)
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      // reference: per-seed BFS with σ to depth 5, then the pair combine
+      val adj = symE.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      def bfsSigma(s: Long): Map[Long, (Long, Long)] = {
+        var state = Map(s -> ((0L, 1L)))
+        var frontier = Map(s -> 1L)
+        for (d <- 1 to 5) {
+          val nxt = frontier.toSeq
+            .flatMap { case (u, sg) => adj.getOrElse(u, Seq.empty).map(_ -> sg) }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+            .filter { case (v, _) => !state.contains(v) }
+          state = state ++ nxt.map { case (v, sg) => v -> ((d.toLong, sg)) }
+          frontier = nxt
+        }
+        state
+      }
+      val bySeed = seeds.map(s => s -> bfsSigma(s)).toMap
+      val ref = (for {
+        (s, i) <- seeds.zipWithIndex; t <- seeds.drop(i + 1)
+        dST <- bySeed(s).get(t).map(_._1).toSeq
+        (v, (da, sa)) <- bySeed(s) if v != s && v != t
+        (db, sb) <- bySeed(t).get(v).toSeq if da + db == dST
+      } yield v -> sa * sb)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        .filter(_._2 > 0)
+      assert(got == ref, s"trial $trial")
+    }
+  }
+
+  test("stressCentrality hand cases: diamond middles and a path bridge") {
+    import spark.implicits._
+    // diamond 1-2, 1-3, 2-4, 3-4 (symmetrized), seeds {1,4}: the two
+    // shortest 1-4 paths pass one each through 2 and 3
+    val d0 = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val dia = d0 ++ d0.map(_.swap)
+    val gotD = Graph.stressCentrality(dia.toDF("src", "dst"), Seq(1L, 4L),
+        maxDepth = 4)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(gotD == Map(2L -> 1L, 3L -> 1L))
+    // path 1-2-3, seeds {1,3}: node 2 carries the one shortest path
+    val p0 = Seq((1L, 2L), (2L, 3L))
+    val path = p0 ++ p0.map(_.swap)
+    val gotP = Graph.stressCentrality(path.toDF("src", "dst"), Seq(1L, 3L),
+        maxDepth = 4)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(gotP == Map(2L -> 1L))
+  }
+
   /** Plain-Scala synchronous Borůvka — the engine's exact recurrence:
     * per round every component's min incident cross edge under (w, a, b),
     * full min-label contraction of the selections. Returns the
