@@ -830,7 +830,30 @@ object StarQueries {
     * computes) and relabel. All BIGINT — the chain replays every round
     * bit-for-bit on any corpus; every multiply-referenced level is
     * AS MATERIALIZED (the corenum inlining lesson). */
-  private def mstOracle(k: Int): String = {
+  private def mstOracle(k: Int): String =
+    mstChain(k) +
+      s"""
+         |SELECT round, a, b, w FROM (
+         |  ${(1 to k).map(i =>
+              s"SELECT CAST($i AS BIGINT) AS round, a, b, w FROM ch$i")
+              .mkString("\n  UNION ALL ")}
+         |) ORDER BY a, b""".stripMargin
+
+  /** Oracle for `graph_mst_ivm`: the FROM-SCRATCH minimum spanning
+    * forest of the WHOLE weighted graph (round tags dropped — the
+    * incremental engine's rounds differ from the from-scratch ones; the
+    * edge SET is what the sparsification theorem equates). A hash match
+    * against the engine's MST(MST(base) ∪ Δ) IS the theorem — the
+    * agg_incremental / graph_components_ivm certification pattern. */
+  private def mstIvmOracle(k: Int): String =
+    mstChain(k) +
+      s"""
+         |SELECT a, b, w FROM (
+         |  ${(1 to k).map(i => s"SELECT a, b, w FROM ch$i")
+              .mkString("\n  UNION ALL ")}
+         |) ORDER BY a, b""".stripMargin
+
+  private def mstChain(k: Int): String = {
     def level(i: Int): String =
       s"""ec$i AS MATERIALIZED (
          |  SELECT e.a, e.b, e.w, la.l AS ca, lb.l AS cb
@@ -868,12 +891,7 @@ object StarQueries {
        |  SELECT node, node AS l
        |  FROM (SELECT a AS node FROM e UNION SELECT b FROM e)
        |),
-       |${(1 to k).map(level).mkString(",\n")}
-       |SELECT round, a, b, w FROM (
-       |  ${(1 to k).map(i =>
-            s"SELECT CAST($i AS BIGINT) AS round, a, b, w FROM ch$i")
-            .mkString("\n  UNION ALL ")}
-       |) ORDER BY a, b""".stripMargin
+       |${(1 to k).map(level).mkString(",\n")}""".stripMargin
   }
 
   /** Oracle for `graph_components`: min-reachable-id per node via a
@@ -2892,6 +2910,33 @@ object StarQueries {
     QueryDef.of("graph_mst", mstOracle(6)) { (s, dir) =>
       graft.operators.Graph.boruvkaMst(
           strongCoPurchaseWeightedPairs(s, dir), rounds = 6, loopParts = 1)
+        .orderBy("a", "b")
+    },
+
+    // MST MAINTENANCE under an edge Δ-batch — the fourth graph-IVM face
+    // (components: quotient contraction; degrees: additive merge;
+    // triangles: Δ-anchored closure; MST: SPARSIFICATION):
+    // MSF(G ∪ Δ) = MSF(MSF(G) ∪ Δ) — the classic sparsification
+    // theorem, EXACT here because the (w, a, b) total order makes the
+    // MSF unique (an edge outside MSF(G) is the strict max on a cycle
+    // of G, stays so in G ∪ Δ, and the cycle property evicts it). The
+    // engine re-runs Borůvka on the |V|-bounded stored forest plus the
+    // batch — the base EDGE SET (the thing that grew) is never
+    // rescanned; the oracle recomputes the whole graph's MSF from
+    // scratch, so the hash match IS the theorem (the
+    // graph_components_ivm pattern). Round tags are dropped: the
+    // incremental rounds differ from the from-scratch ones; the edge
+    // SET is the invariant.
+    QueryDef.of("graph_mst_ivm", mstIvmOracle(6)) { (s, dir) =>
+      val pw = strongCoPurchaseWeightedPairs(s, dir)
+      val base = pw.filter(pmod(col("a") + col("b"), lit(5)) =!= 0)
+      val delta = pw.filter(pmod(col("a") + col("b"), lit(5)) === 0)
+      val baseMst = graft.operators.Graph.boruvkaMst(base, rounds = 6,
+          loopParts = 1)
+        .select("a", "b", "w")
+      graft.operators.Graph.boruvkaMst(baseMst.unionAll(delta), rounds = 6,
+          loopParts = 1)
+        .select("a", "b", "w")
         .orderBy("a", "b")
     },
 

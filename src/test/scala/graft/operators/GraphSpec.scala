@@ -826,6 +826,30 @@ class GraphSpec extends SparkSpecBase {
     assert(got == Set((1L, 1L, 2L, 1L), (1L, 3L, 4L, 1L), (2L, 2L, 3L, 2L)))
   }
 
+  test("MST sparsification: MSF(MSF(base) ∪ Δ) == MSF(base ∪ Δ) on random splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    for (trial <- 1 to 3) {
+      val all = Seq.fill(80)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+          (rnd.nextInt(9) + 1).toLong))
+        .collect { case (a, b, w) if a != b =>
+          (math.min(a, b), math.max(a, b), w) }
+        .groupBy(p => (p._1, p._2)).map(_._2.head).toSeq
+      val (delta, base) = all.partition { case (a, b, _) => (a + b) % 4 == 0 }
+      val baseMst = Graph.boruvkaMst(base.toDF("a", "b", "w"), rounds = 7,
+          loopParts = 1).select("a", "b", "w")
+      val inc = Graph.boruvkaMst(baseMst.unionAll(delta.toDF("a", "b", "w")),
+          rounds = 7, loopParts = 1)
+        .select("a", "b", "w").as[(Long, Long, Long)].collect().toSet
+      Caches.releaseAll()
+      val scratch = Graph.boruvkaMst(all.toDF("a", "b", "w"), rounds = 7,
+          loopParts = 1)
+        .select("a", "b", "w").as[(Long, Long, Long)].collect().toSet
+      Caches.releaseAll()
+      assert(inc == scratch, s"trial $trial")
+    }
+  }
+
   test("boruvkaMst: the wired 6 rounds are a fixpoint + margin on the sf0.001 graph") {
     // measured: sf0.001 finishes in 3 rounds, sf0.01 in 5, sf0.1 in 2 —
     // the wired 6 covers every tested SF with an idempotent margin; this
