@@ -790,6 +790,43 @@ object Similarity {
         (-col("s.cos")).cast("long").as("qdist"))
   }
 
+  /**
+   * PER-DIMENSION EMBEDDING PROFILE — (dim, mn, mx, mean): the vector
+   * sanity dashboard a pipeline reads before any ANN/quantization work
+   * (dead dimensions, range skew, centering drift) and the statistics
+   * the SQ8 quantizer fits on. mn/mx are exact ORDER-INDEPENDENT
+   * selections; the mean's numerator is a sum of doubles — order
+   * sensitive — so it runs the deterministic TWO-LEVEL vec_id % 16
+   * fold (the pagerank/kmeans pattern: sorted-fold within (dim,
+   * bucket) by vec_id, sorted-fold the ≤16 bucket sums by bucket id,
+   * ONE division by the exact integer count), which an oracle replays
+   * bit-for-bit. This is the oracle-exact mode; a production profile
+   * at 100 TB would swap the fold for a plain partial-aggregated
+   * `avg()` exactly as [[pageRank]]'s `exact = false` does — same
+   * documented trade.
+   *
+   * Scale shape: one posexplode scan (|corpus|·dim narrow rows), two
+   * partial-aggregated groupBys keyed by (dim, bucket) then dim —
+   * fold state bounded by |bucket| rows per key; output is dim rows.
+   */
+  def embeddingProfile(corpus: DataFrame): DataFrame = {
+    val x = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val l1 = x
+      .groupBy(col("dim"), pmod(col("vec_id"), lit(16L)).as("bkt"))
+      .agg(aggregate(sort_array(collect_list(struct(col("vec_id"), col("v")))),
+        lit(0.0), (a, s) => a + s.getField("v")).as("bs"),
+        min("v").as("bmn"), max("v").as("bmx"), count(lit(1)).as("bn"))
+    l1.groupBy("dim")
+      .agg(aggregate(sort_array(collect_list(struct(col("bkt"), col("bs")))),
+        lit(0.0), (a, s) => a + s.getField("bs")).as("s"),
+        min("bmn").as("mn"), max("bmx").as("mx"), sum("bn").as("n"))
+      .select(col("dim"), col("mn"), col("mx"),
+        (col("s") / col("n").cast("double")).as("mean"))
+  }
+
   /** Driver-side twin of the assignment loop inside [[lloyd]] (and of
     * [[graft.expressions.NearestCells]]' semantics at nProbe = 1):
     * left-to-right Σ(x−c)² fold, strict-< keeps the lowest index on ties.

@@ -1408,6 +1408,36 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
 
+    // PER-DIMENSION EMBEDDING PROFILE — (dim, mn, mx, mean), the vector
+    // dashboard before any ANN/quantization work and the statistics the
+    // SQ8 fit reads. mn/mx are order-independent selections; the mean
+    // runs the deterministic two-level vec_id%16 fold (the
+    // pagerank/kmeans pattern — the oracle-exact mode; production swaps
+    // a plain avg(), the pageRank exact=false trade).
+    QueryDef.of("embedding_profile",
+      """WITH x AS (
+        |  SELECT e.vec_id, CAST(j.j - 1 AS BIGINT) AS dim,
+        |    CAST(e.embedding[j.j] AS DOUBLE) AS v
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) j
+        |), l1 AS (
+        |  SELECT dim, vec_id % 16 AS bkt,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list_sort(list(struct_pack(vec_id := vec_id, v := v))),
+        |        s -> s.v)), (a, b) -> a + b) AS bs,
+        |    min(v) AS bmn, max(v) AS bmx, CAST(count(*) AS BIGINT) AS bn
+        |  FROM x GROUP BY dim, vec_id % 16
+        |)
+        |SELECT dim, min(bmn) AS mn, max(bmx) AS mx,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(bkt := bkt, bs := bs))),
+        |      s -> s.bs)), (a, b) -> a + b)
+        |    / CAST(sum(bn) AS DOUBLE) AS mean
+        |FROM l1 GROUP BY dim ORDER BY dim""".stripMargin) { (s, dir) =>
+      Similarity.embeddingProfile(Tables.embeddings(s, dir))
+        .orderBy("dim")
+    },
+
     // SCALAR QUANTIZATION (SQ8) ANN — the quantization family's fourth
     // point (LSH hyperplanes / IVF cells / PQ codebooks / per-dim affine
     // int8): a 4× thinner code scan with NO trained codebook. The fit is
@@ -3103,6 +3133,44 @@ object LlmQueries {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+    },
+
+    // FUZZY TERM SEARCH — typo-tolerant retrieval (the third face of
+    // the term_search family next to exact and phrase): docs containing
+    // any token within edit distance ≤ 2 of the (misspelled) query
+    // 'sot', which matches sort (d=1), row and slow (d=2). The
+    // Levenshtein pass runs on the DISTINCT VOCABULARY — never the
+    // token stream — and the matched-term list broadcasts back as an
+    // equi-join (at web scale, block the vocabulary by length/prefix
+    // first — the fuzzy_join machinery; the distance itself is exact
+    // integer DP in both engines). Output per doc: occurrence count,
+    // distinct matched terms, best distance — all integer.
+    QueryDef.of("term_search_fuzzy",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        |), near AS (
+        |  SELECT t, CAST(levenshtein(t, 'sot') AS BIGINT) AS d
+        |  FROM (SELECT DISTINCT t FROM toks)
+        |  WHERE levenshtein(t, 'sot') <= 2
+        |)
+        |SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(count(DISTINCT toks.t) AS BIGINT) AS n_terms,
+        |  CAST(min(near.d) AS BIGINT) AS best_dist
+        |FROM toks JOIN near ON toks.t = near.t
+        |GROUP BY toks.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      val near = toks.select("t").distinct()
+        .withColumn("d", levenshtein(col("t"), lit("sot")).cast("long"))
+        .filter(col("d") <= 2)
+      toks.join(broadcast(near), "t")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"),
+          count_distinct(col("t")).as("n_terms"),
+          min(col("d")).as("best_dist"))
+        .orderBy("doc_id")
     },
 
     // RECIPROCAL-RANK FUSION (Cormack et al. 2009) of the two certified

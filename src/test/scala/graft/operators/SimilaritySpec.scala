@@ -88,6 +88,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(top == (0L, 1L, 900000L, 0L))
   }
 
+  test("embeddingProfile ≡ plain-Scala two-level fold; mn/mx match the SQ fit") {
+    val got = Similarity.embeddingProfile(emb).orderBy("dim")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    val local = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val dim = local.head._2.length
+    val ref = (0 until dim).map { i =>
+      val vals = local.map { case (id, v) => (id, v(i).toDouble) }
+      // two-level fold: sorted within vec_id%16 buckets, then by bucket
+      val bs = vals.groupBy(_._1 % 16).toSeq.map { case (b, xs) =>
+        (b, xs.sortBy(_._1).foldLeft(0.0)(_ + _._2))
+      }
+      val s = bs.sortBy(_._1).foldLeft(0.0)(_ + _._2)
+      (i.toLong, vals.map(_._2).min, vals.map(_._2).max,
+        s / vals.size.toDouble)
+    }
+    assert(got == ref)
+    // the profile's mn/mx ARE what buildSqIndex fits on
+    val idx = Similarity.buildSqIndex(emb)
+    assert(got.map(_._2) == idx.mins && got.map(_._3) == idx.maxs)
+    idx.release()
+  }
+
   test("assignCells ≡ plain-Scala argmin-L2 with lowest-cell tie-break") {
     val local = emb.as[(Long, Array[Float])].collect()
     val cents: Seq[Seq[Double]] = local.filter(_._1 < 8).sortBy(_._1)
