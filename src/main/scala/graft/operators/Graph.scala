@@ -489,7 +489,13 @@ object Graph {
     // frame BEFORE it is unioned into the running state (an eager
     // checkpoint per level costs a materialization job that dominates
     // shallow searches — measured at sf0.1 depth 3: 3.0 s unchecked vs
-    // 3.3 s per-level; every 3rd bounds plan growth at 2³ per segment)
+    // 3.3 s per-level; every 3rd bounds plan growth at 2³ per segment).
+    // The RUNNING union is capped on the same cadence: uncapped, round
+    // i's anti-join replans against an i-way union of leaves — harmless
+    // at the wired depth-4 searches, but a 16-round sweep
+    // (graph_diameter_lb) measured ~20 MINUTES of pure driver
+    // planning/bookkeeping at sf0.01 before this cap and ~13 s after —
+    // the corenum plan-growth lesson applied to the visited set.
     val (dist, _) = iterate((dist0, dist0.select("node")), maxDepth,
         capEvery = 3) { case ((dist, frontier), i, cap) =>
       val nxt = cap(
@@ -497,7 +503,7 @@ object Graph {
           .select(col(dst).as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
           .select(col("node"), lit(i.toLong).as("dist")))
-      (dist.unionAll(nxt), nxt.select("node"))
+      (cap(dist.unionAll(nxt)), nxt.select("node"))
     }
     dist
   }
@@ -553,6 +559,40 @@ object Graph {
         aggregate(sort_array(collect_list(struct(col("dist"), col("cnt")))),
           lit(0.0), (a, s) => a + s.getField("cnt").cast("double")
             / s.getField("dist").cast("double")).as("harmonic"))
+  }
+
+  /**
+   * TWO-SWEEP DIAMETER LOWER BOUND (the Magnien–Latapy–Habib double-BFS
+   * heuristic — the standard way to bound a huge graph's diameter
+   * without APSP): BFS from the canonical min source u, take the
+   * farthest node w (ties to the smallest id — a total order), BFS
+   * again from w; ecc(w) ≥ ecc(u) always (w realizes ecc(u)), and on
+   * real graphs the second sweep typically lands the true diameter.
+   * Operates within u's component (the bound is for the component the
+   * canonical source lives in — cross-component distance is ∞ and not
+   * a diameter); `maxDepth` must cover the eccentricities involved —
+   * wire the measured value + margin, the corenum contract.
+   *
+   * All integer (BFS hop distances, one bounded 1-row driver collect
+   * for w — the ppr seed pattern), so an oracle replays both sweeps
+   * bit-for-bit. Output: one row (u, ecc_u, w, diameter_lb).
+   */
+  def diameterLowerBound(edges: DataFrame, maxDepth: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = checkpointEdges(edges, src, dst)
+    val r0 = e.agg(min(col(src))).head()
+    require(!r0.isNullAt(0),
+      "diameterLowerBound: the edge frame is empty — no source node exists")
+    val u = r0.getLong(0)
+    val d1 = bfsLoop(e, u, maxDepth, src, dst)
+    val wRow = d1.agg(
+      max_by(col("node"), struct(col("dist"), (-col("node")).as("nn"))).as("w"),
+      max(col("dist")).as("ecc")).head()
+    val (w, ecc) = (wRow.getLong(0), wRow.getLong(1))
+    bfsLoop(e, w, maxDepth, src, dst)
+      .agg(max(col("dist")).as("diameter_lb"))
+      .select(lit(u).as("u"), lit(ecc).as("ecc_u"), lit(w).as("w"),
+        col("diameter_lb"))
   }
 
   /**

@@ -767,6 +767,37 @@ object StarQueries {
        |FROM census GROUP BY seed ORDER BY seed""".stripMargin
   }
 
+  /** Oracle for `graph_diameter_lb`: TWO unrolled BFS chains (the
+    * bfsOracle min-over-relaxations technique) over
+    * [[strongCoPurchaseCte]] — sweep 1 from the min source, the
+    * farthest node under (dist DESC, node) picked by ORDER/LIMIT (the
+    * oracle's affordance — the engine's argmax is a partial-agg
+    * max_by), sweep 2 from it; the four output scalars are subquery
+    * reads of the two final levels. All BIGINT. */
+  private def diameterLbOracle(k: Int): String = {
+    def level(p: String, i: Int): String =
+      s"""$p$i AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM $p${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, f.dist + 1 AS dist
+         |    FROM e JOIN $p${i - 1} f ON e.src = f.node
+         |  ) GROUP BY node
+         |)""".stripMargin
+    s"""$strongCoPurchaseCte,
+       |s AS (SELECT min(src) AS u FROM e),
+       |d0 AS (SELECT u AS node, CAST(0 AS BIGINT) AS dist FROM s),
+       |${(1 to k).map(i => level("d", i)).mkString(",\n")},
+       |wn AS MATERIALIZED (
+       |  SELECT node AS w FROM d$k ORDER BY dist DESC, node LIMIT 1),
+       |g0 AS (SELECT w AS node, CAST(0 AS BIGINT) AS dist FROM wn),
+       |${(1 to k).map(i => level("g", i)).mkString(",\n")}
+       |SELECT (SELECT u FROM s) AS u,
+       |  (SELECT max(dist) FROM d$k) AS ecc_u,
+       |  (SELECT w FROM wn) AS w,
+       |  (SELECT max(dist) FROM g$k) AS diameter_lb""".stripMargin
+  }
+
   /** Oracle for `graph_stress`: k multi-source BFS-with-path-counting
     * levels unrolled as a CTE chain over [[strongCoPurchaseCte]] —
     * level i's frontier relaxation sums predecessor σ per (seed, node)
@@ -2874,6 +2905,20 @@ object StarQueries {
         .collect().map(_.getLong(0)).toSeq // 4-row bounded collect
       graft.operators.Graph.harmonicCentrality(e, seeds, maxDepth = 6)
         .orderBy("seed")
+    },
+
+    // TWO-SWEEP DIAMETER LOWER BOUND (double BFS) on the sparse
+    // co-purchase graph: BFS from the min source, BFS again from its
+    // farthest node — ecc(w) ≥ ecc(u) always, and the second sweep
+    // typically lands the true diameter. maxDepth = 16 covers the
+    // MEASURED eccentricities (3/13/1 at the three SFs) with margin.
+    // All integer; one 1-row bounded driver collect between sweeps.
+    // Measured lb: 3/13/1 at sf0.001/0.01/0.1 (the sf0.1 strong graph's
+    // min-source component is a 2-clique — the 2350-component
+    // fragmentation graph_components documents).
+    QueryDef.of("graph_diameter_lb", diameterLbOracle(16)) { (s, dir) =>
+      graft.operators.Graph.diameterLowerBound(
+        strongCoPurchaseEdges(s, dir), maxDepth = 16)
     },
 
     // SEED-PAIR STRESS CENTRALITY (Shimbel) on the sparse co-purchase

@@ -668,6 +668,50 @@ class GraphSpec extends SparkSpecBase {
     assert(got(3L) == ((4L, 3.0)))
   }
 
+  test("diameterLowerBound: path endpoints realize the diameter; lb ≥ ecc(u)") {
+    import spark.implicits._
+    // path 3-1-2-5-4 with min node 1 one hop in from the 3-end: u = 1,
+    // ecc(1) = 3 (to 4), w = 4 (the farthest), lb from 4 = 4 (the true
+    // path diameter — the second sweep recovers what the first missed)
+    val pr = Seq((3L, 1L), (1L, 2L), (2L, 5L), (5L, 4L))
+    val symE = pr ++ pr.map(_.swap)
+    val got = Graph.diameterLowerBound(symE.toDF("src", "dst"), maxDepth = 6)
+      .as[(Long, Long, Long, Long)].collect().head
+    Caches.releaseAll()
+    assert(got == ((1L, 3L, 4L, 4L)))
+  }
+
+  test("diameterLowerBound equals the double-BFS reference on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val raw = Seq.fill(90)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2)
+      val symE = (raw ++ raw.map(_.swap)).distinct
+      val got = Graph.diameterLowerBound(symE.toDF("src", "dst"), maxDepth = 12)
+        .as[(Long, Long, Long, Long)].collect().head
+      Caches.releaseAll()
+      val adj = symE.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def bfs(s: Long): Map[Long, Long] = {
+        var dist = Map(s -> 0L); var f = Set(s)
+        var d = 0L
+        while (f.nonEmpty && d < 12) {
+          d += 1
+          f = f.flatMap(n => adj.getOrElse(n, Set.empty)).filterNot(dist.contains)
+          dist = dist ++ f.map(_ -> d)
+        }
+        dist
+      }
+      val u = symE.map(_._1).min
+      val d1 = bfs(u)
+      val ecc = d1.values.max
+      val w = d1.filter(_._2 == ecc).keys.min
+      val lb = bfs(w).values.max
+      assert(got == ((u, ecc, w, lb)), s"trial $trial")
+      assert(got._4 >= got._2, "ecc(w) ≥ ecc(u) — the two-sweep guarantee")
+    }
+  }
+
   test("stressCentrality ≡ plain-Scala σ-counting replay on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(83)
