@@ -42,7 +42,13 @@ object Bench {
       val t = new Thread(() => {
         var h = 0x9E3779B97F4A7C15L + tid
         var i = 0
-        while (i < 80000000) {
+        // 40 M iterations (~75 ms/thread): halved from the round-9 80 M —
+        // the probe is a RATIO (spread = max/min over identical work), so
+        // a shorter quantum is exactly as attributable while cutting
+        // ~0.1 s × 4 probes × 190 queries ≈ 80-95 s off the run (the r12
+        // driver bench died on its time budget; every harness second is
+        // now margin)
+        while (i < 40000000) {
           h = h * 6364136223846793005L + 1442695040888963407L
           h ^= h >>> 33
           i += 1
@@ -135,6 +141,13 @@ object Bench {
     // pays TWO warm-ups (agreement needs two executions to compare), and
     // a THIRD only when those two disagree by > 40% — bounded wall clock,
     // roughly double round-7's single warm-up on the expensive queries.
+    // SINGLE warm-up for heavy queries: when the FIRST warm-up already
+    // costs ≥ 5 s, the agreement criterion's second execution buys
+    // nothing — the criterion exists for JIT tails on SMALL queries
+    // (dir_search's 6.4× monotone tail); a 15 s query's variance mode is
+    // sustained host load, which the parallel calibration probe already
+    // attributes. Dropping the second warm-up on the ~30 heaviest rows
+    // saves ~180 s of the driver budget the r12 run died on.
     var prevW = Double.MaxValue
     var wi = 0
     var continueWarm = true
@@ -149,7 +162,7 @@ object Bench {
       System.err.println(f"[bench] $name warm-up #${wi + 1} $wt%.2f s (untimed)")
       drain(spark)
       wi += 1
-      continueWarm = wi < 3 &&
+      continueWarm = wi < 3 && wt < 5.0 &&
         math.abs(wt - prevW) / math.max(wt, 1e-9) > 0.4
       prevW = wt
     }
@@ -169,12 +182,19 @@ object Bench {
     // the parallel calibration probe attributes. Executions inside a
     // batch are separated by the untimed cache sweep (lightDrain); the
     // full GC-settled drain runs between reps as always.
+    // Batch target 0.6 s (was 1.2 s) and reps 3 → 2 for sub-0.3 s rows:
+    // the in-rep median already discards one transient stall, so the
+    // second robustness layer (more/larger reps) is redundant at that
+    // scale — together these trim ~250 s of protocol from the ~100
+    // sub-second rows without weakening the attribution rule (probes
+    // still bracket every rep).
     val batchK =
       if (prevW < 1.0)
-        math.min(5, math.max(2, math.ceil(1.2 / math.max(prevW, 0.05)).toInt))
+        math.min(5, math.max(2, math.ceil(0.6 / math.max(prevW, 0.05)).toInt))
       else 1
+    val effReps = if (prevW < 0.3) math.min(reps, 2) else reps
     val qCals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val runs = (1 to reps).map { _ =>
+    val runs = (1 to effReps).map { _ =>
       val c = calibrate(nThreads); cals += c; qCals += c
       val execs = (1 to batchK).map { j =>
         val t0 = System.nanoTime()
@@ -265,7 +285,43 @@ object Bench {
     // `cal` spans only the resumed segment's probes; the per-query
     // `cal_by_query` attribution (the binding rule) is stored per line
     // and remains exact.
-    val statePath = sys.env.get("SPARK_GRAFT_BENCH_STATE")
+    // DEFAULT-ON resume state (r12 lesson: the driver run was killed on
+    // its time budget with ~12 queries left and shipped NOTHING — the
+    // opt-in env var was the right insurance pointed the wrong way). When
+    // the env var is unset, the state file lives at a repo-local path
+    // keyed by a fingerprint of the COMPILED CLASSES (every (path, size,
+    // mtime) under target/scala-2.13/classes folded into one hash) plus
+    // the run's (sf, cpus, reps): any recompile — even a whitespace one —
+    // rotates the key, so stale measurements from older code can never be
+    // resumed into a new artifact, while a re-invocation of the SAME
+    // build against the SAME config picks up exactly where the kill
+    // landed. Set SPARK_GRAFT_BENCH_STATE=none to disable entirely.
+    val statePath: Option[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_STATE") match {
+        case Some("none") => None
+        case Some(p) => Some(p)
+        case None =>
+          val classes = new java.io.File("target/scala-2.13/classes")
+          if (!classes.isDirectory) None
+          else {
+            var h = 0xCBF29CE484222325L
+            def mix(v: Long): Unit = { h ^= v; h *= 0x100000001B3L }
+            def walk(f: java.io.File): Unit =
+              if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(walk)
+              else {
+                f.getPath.foreach(c => mix(c.toLong))
+                mix(f.length()); mix(f.lastModified())
+              }
+            walk(classes)
+            val sfName = new java.io.File(sfDir).getName
+            val dir = new java.io.File(".bench_state")
+            dir.mkdirs()
+            Some(new java.io.File(dir,
+              f"state_$h%016x_${sfName}_c${cpus}_r$reps.jsonl").getPath)
+          }
+      }
+    statePath.foreach(p =>
+      System.err.println(s"[bench] resume state file: $p"))
     val prior: Map[String, (Double, Seq[Double], Double, Double, Int)] =
       statePath.filter(p => new java.io.File(p).exists()).map { p =>
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -293,16 +349,49 @@ object Bench {
       }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val cals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val results = selected.map { case (name, fn) =>
-      prior.get(name) match {
+    // Summary-line body over any PREFIX of the results: total so far,
+    // max spread, the spread-violation map paired with each violator's
+    // own probe spread, and the 10 largest medians. The final line and
+    // the incremental partials share it so an auditor reads one schema.
+    def summaryBody(
+        rs: Seq[(String, Double, Seq[Double], Double, Double, Int)],
+        errN: Int): String = {
+      val total = rs.map(_._2).sum
+      val maxSp = if (rs.nonEmpty) rs.map(_._4).max else 0.0
+      val top = rs.sortBy(-_._2).take(10)
+        .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val viol = rs.filter(_._4 > 2.0)
+        .map { case (k, _, _, s, qc, _) =>
+          "\"" + k + "\":" + f"""{"spread":$s%.2f,"cal":$qc%.2f}"""
+        }.mkString("{", ",", "}")
+      s""""total":${f"$total%.3f"},"max_spread":${f"$maxSp%.2f"},""" +
+        s""""errors_n":$errN,"viol":$viol,"top":$top"""
+    }
+    val acc =
+      scala.collection.mutable.ArrayBuffer
+        .empty[(String, Double, Seq[Double], Double, Double, Int)]
+    selected.zipWithIndex.foreach { case ((name, fn), idx) =>
+      acc += (prior.get(name) match {
         case Some((med, runs, spread, qcal, batchK)) =>
           System.err.println(s"[bench] $name resumed from state (median " +
             f"$med%.2f s)")
           (name, med, runs, spread, qcal, batchK)
         case None => runQuery(spark, sfDir, name, fn, reps, nThreads,
           errors, cals, recordState)
-      }
+      })
+      // INCREMENTAL partial summary every 10 queries (and near the end):
+      // the driver keeps only the tail of stdout and kills on a time
+      // budget — r12's killed run shipped a `parsed: null` artifact
+      // because the only summary line printed at the END. A partial line
+      // every 10 queries means ANY kill point leaves a parsable summary
+      // (marked "partial" with done/of so it cannot be mistaken for a
+      // full run) within the last ~10 queries of truth.
+      if ((idx + 1) % 10 == 0 && idx + 1 < selected.size)
+        println(s"""{"metric":"summary","partial":true,"done":${idx + 1},""" +
+          s""""of":${selected.size},${summaryBody(acc.toSeq, errors.size)}}""")
     }
+    val results = acc.toSeq
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val rs = results.map { case (k, _, runs, _, _, _) =>
@@ -345,14 +434,8 @@ object Bench {
     // descending order, and — for any query over the 2× spread bar — its
     // rep spread PAIRED with the calibration spread during its own reps,
     // so the host-noise attribution is auditable from the tail alone.
-    val top = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val viol = results.filter(_._4 > 2.0)
-      .map { case (k, _, _, s, qc, _) =>
-        "\"" + k + "\":" + f"""{"spread":$s%.2f,"cal":$qc%.2f}"""
-      }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total":${f"$total%.3f"},"max_spread":$maxSpreadStr,"cal_spread":${f"$calSpread%.2f"},"errors_n":${errors.size},"viol":$viol,"top":$top}""")
+    println(s"""{"metric":"summary","cal_spread":${f"$calSpread%.2f"},${
+      summaryBody(results, errors.size)}}""")
     if (sys.env.get("SPARK_GRAFT_STRESS").contains("1")) stress(spark, sfDir)
     spark.stop()
   }
