@@ -78,6 +78,78 @@ object Graph {
     s
   }
 
+  /**
+   * EXACT-FIXPOINT EARLY EXIT variant of [[iterate]], for loops whose
+   * step is a pure deterministic function of (state, fixed graph) AND
+   * whose wired round count is a measured-fixpoint-plus-margin: the step
+   * returns `(next, done)` and the loop stops after the first round that
+   * reports `done = true`.
+   *
+   * BIT-IDENTITY ARGUMENT (why this cannot change any oracle hash): a
+   * loop may only report done when further rounds are provably no-ops —
+   * either its state reached an exact fixpoint (`step(s) = s` as a row
+   * multiset, so by purity `stepⁿ(s) = s` for all n) or its per-round
+   * delta frame (BFS frontier, Borůvka selection) is EMPTY and the step
+   * only ever unions/merges that delta into the state. In both cases the
+   * early result equals the full-`maxSteps` result row-for-row, so the
+   * oracle — which still replays the whole unrolled chain — matches
+   * exactly as before; only wall-clock changes (corenum wires 20 rounds
+   * where sf0.1 converges in ~4: every idempotent round still paid its
+   * |E| joins before this).
+   *
+   * Loops with FLOATING-POINT state (pageRank, HITS) stay on [[iterate]]:
+   * their state never reaches exact equality, so a check would be pure
+   * overhead. Loops whose OUTPUT is a per-round trajectory with a row per
+   * wired round (kTrussTrajectory) must also stay: skipping idle rounds
+   * would drop their census rows.
+   *
+   * Unlike [[iterate]] the cap cannot skip the (unknown) final round —
+   * the one extra eager |V|-row job at the true fixpoint is the price of
+   * knowing it is one.
+   */
+  private[graft] def iterateUntil[S](init: S, maxSteps: Int, capEvery: Int)(
+      step: (S, Int, DataFrame => DataFrame) => (S, Boolean)): S = {
+    var s = init
+    var i = 1
+    var done = false
+    while (i <= maxSteps && !done) {
+      val cap: DataFrame => DataFrame =
+        if (capEvery > 0 && i % capEvery == 0)
+          Caches.checkpointTrackedFreshStats
+        else identity
+      val (ns, d) = step(s, i, cap)
+      s = ns
+      done = d
+      i += 1
+    }
+    s
+  }
+
+  /**
+   * The exact-fixpoint detector for [[iterateUntil]]'s state-convergence
+   * loops: true iff `prev` and `next` are the SAME keyed relation — same
+   * key set, same (null-safe-compared) value columns. One bounded job: a
+   * full-outer equi-join of the two |V|-bounded frames on `keys` with
+   * presence markers (a key in only one side is a difference even when
+   * every value column happens to be null), filtered to mismatches,
+   * `isEmpty`. CALLER CONTRACT: both frames materialized (the loop caps
+   * every round when it uses this check) and unique per key — every
+   * state here is a groupBy/distinct output, so the join cannot fan out.
+   */
+  private def stateUnchanged(prev: DataFrame, next: DataFrame,
+      keys: Seq[String]): Boolean = {
+    val vals = prev.columns.toSeq.filterNot(keys.contains)
+    val p = prev.select(
+      (keys.map(col) ++ vals.map(col)) :+ lit(1).as("_pp"): _*)
+    val n = next.select(
+      (keys.map(col) ++ vals.map(c => col(c).as(c + "_nx")))
+        :+ lit(1).as("_pn"): _*)
+    val mismatch =
+      (col("_pp").isNull || col("_pn").isNull) +:
+        vals.map(c => !(col(c) <=> col(c + "_nx")))
+    p.join(n, keys, "full_outer").filter(mismatch.reduce(_ || _)).isEmpty
+  }
+
   /** Distinct (`src`,`dst`) edges, pre-partitioned AND pre-sorted by the
     * per-iteration join key BEFORE the checkpoint leaf: localCheckpoint
     * preserves the physical partitioning/ordering, so each of a loop's k
@@ -485,25 +557,31 @@ object Graph {
     // scale-killer the PlanSpec sweep exists to catch; it did)
     val dist0 = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), lit(0L).as("dist"))
-    // level-lineage cap every 3rd level, applied to the INNER new-level
-    // frame BEFORE it is unioned into the running state (an eager
-    // checkpoint per level costs a materialization job that dominates
-    // shallow searches — measured at sf0.1 depth 3: 3.0 s unchecked vs
-    // 3.3 s per-level; every 3rd bounds plan growth at 2³ per segment).
-    // The RUNNING union is capped on the same cadence: uncapped, round
+    // The new level is checkpointed EVERY round now (was every 3rd): the
+    // empty-frontier EARLY EXIT below reads the materialized frame for
+    // free, and a search whose wired maxDepth exceeds the source's real
+    // eccentricity stops at the first empty level instead of paying
+    // |E|-join rounds that can only discover nothing (the 16-round
+    // graph_diameter_lb sweep on an ecc-~6 graph was mostly such rounds).
+    // An empty level leaves the union unchanged and every later level
+    // empty, so the early result is row-identical to the full unroll.
+    // The per-level eager job costs ~10% on a shallow search that never
+    // exits early (measured at sf0.1 depth 3: 3.0 s every-3rd vs 3.3 s
+    // per-level) — the exit savings dominate everywhere it triggers.
+    // The RUNNING union stays capped every 3rd round: uncapped, round
     // i's anti-join replans against an i-way union of leaves — harmless
     // at the wired depth-4 searches, but a 16-round sweep
     // (graph_diameter_lb) measured ~20 MINUTES of pure driver
     // planning/bookkeeping at sf0.01 before this cap and ~13 s after —
     // the corenum plan-growth lesson applied to the visited set.
-    val (dist, _) = iterate((dist0, dist0.select("node")), maxDepth,
+    val (dist, _) = iterateUntil((dist0, dist0.select("node")), maxDepth,
         capEvery = 3) { case ((dist, frontier), i, cap) =>
-      val nxt = cap(
+      val nxt = Caches.checkpointTrackedFreshStats(
         e.join(frontier.select(col("node").as(src)), src)
           .select(col(dst).as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
           .select(col("node"), lit(i.toLong).as("dist")))
-      (cap(dist.unionAll(nxt)), nxt.select("node"))
+      ((cap(dist.unionAll(nxt)), nxt.select("node")), nxt.isEmpty)
     }
     dist
   }
@@ -543,14 +621,19 @@ object Graph {
     import spark.implicits._
     val seed0 = spark.createDataset(seeds).toDF("seed")
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
-    val (visited, _) = iterate((seed0, seed0.select("seed", "node")),
+    // Per-level frontier checkpoint + empty-frontier EARLY EXIT and the
+    // running-union cap on the bfsLoop cadence (before this the union
+    // grew uncapped — safe at the wired depth 6, but the exact
+    // plan-growth trap bfsLoop measured at 20 minutes of driver planning
+    // on a 16-round sweep): the [[bfsLoop]] rationale, multi-source.
+    val (visited, _) = iterateUntil((seed0, seed0.select("seed", "node")),
         maxDepth, capEvery = 3) { case ((vis, frontier), i, cap) =>
-      val nxt = cap(
+      val nxt = Caches.checkpointTrackedFreshStats(
         e.join(frontier.select(col("seed"), col("node").as(src)), src)
           .select(col("seed"), col(dst).as("node")).distinct()
           .join(vis.select("seed", "node"), Seq("seed", "node"), "left_anti")
           .select(col("seed"), col("node"), lit(i.toLong).as("dist")))
-      (vis.unionAll(nxt), nxt.select("seed", "node"))
+      ((cap(vis.unionAll(nxt)), nxt.select("seed", "node")), nxt.isEmpty)
     }
     val census = visited.filter(col("dist") > 0)
       .groupBy("seed", "dist").agg(count(lit(1)).as("cnt"))
@@ -637,9 +720,13 @@ object Graph {
     val seed0 = spark.createDataset(seeds).toDF("seed")
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"),
         lit(1L).as("sigma"))
-    val (visRaw, _) = iterate((seed0, seed0.select("seed", "node", "sigma")),
-        maxDepth, capEvery = 2) { case ((vis, frontier), i, cap) =>
-      val nxt = cap(
+    // Per-level frontier checkpoint + empty-frontier EARLY EXIT and the
+    // running-union cap — the [[harmonicCentrality]] / [[bfsLoop]]
+    // rationale with the σ payload riding along.
+    val (visRaw, _) = iterateUntil(
+        (seed0, seed0.select("seed", "node", "sigma")),
+        maxDepth, capEvery = 3) { case ((vis, frontier), i, cap) =>
+      val nxt = Caches.checkpointTrackedFreshStats(
         e.join(frontier.select(col("seed"), col("node").as(src),
             col("sigma")), src)
           .groupBy(col("seed"), col(dst).as("node"))
@@ -647,7 +734,8 @@ object Graph {
           .join(vis.select("seed", "node"), Seq("seed", "node"), "left_anti")
           .select(col("seed"), col("node"), lit(i.toLong).as("dist"),
             col("sigma")))
-      (vis.unionAll(nxt), nxt.select("seed", "node", "sigma"))
+      ((cap(vis.unionAll(nxt)), nxt.select("seed", "node", "sigma")),
+        nxt.isEmpty)
     }
     // the visited frame feeds the pair frame AND both combine legs
     val vis = Caches.persistTracked(visRaw)
@@ -725,15 +813,20 @@ object Graph {
     // equi-joins instead of literal-substituted nested loops
     val dist0 = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), lit(0L).as("cost"))
-    // distance-lineage cap every 2nd round: unlike bfs, the WHOLE frame
-    // re-aggregates each round (min over union), so the running state is
-    // the right leaf to truncate
-    iterate(dist0, maxRounds, capEvery = 2) { (dist, _, cap) =>
+    // The whole distance frame re-aggregates each round (min over
+    // union), so the running state is the right leaf to truncate — and
+    // with [[iterateUntil]] it is capped EVERY round so the
+    // exact-fixpoint check (no relaxation improved any cost: the
+    // Bellman–Ford termination condition) is one bounded job against two
+    // materialized |V| frames. At dist_t = dist_{t-1} every later round
+    // relaxes to the same minima, so the early result is row-identical.
+    iterateUntil(dist0, maxRounds, capEvery = 1) { (dist, _, cap) =>
       val relaxed = e
         .join(dist.select(col("node").as("s"), col("cost")), "s")
         .select(col("d").as("node"), (col("cost") + col("w")).as("cost"))
-      cap(dist.unionAll(relaxed)
+      val next = cap(dist.unionAll(relaxed)
         .groupBy("node").agg(min("cost").as("cost")))
+      (next, stateUnchanged(dist, next, Seq("node")))
     }
   }
 
@@ -1065,8 +1158,16 @@ object Graph {
     val nodes = Caches.checkpointTracked(
       e.select(col(src).as("node")).distinct())
     val s0 = nodes.select(col("node"), lit(0L).as("status"))
-    iterate(s0, rounds, capEvery = 2) { (st, _, cap) =>
+    // EARLY EXIT on an empty undecided set ([[iterateUntil]]): once every
+    // node is MIS or dominated, each remaining wired margin round would
+    // still pay two |E| joins to select nothing and rebuild an identical
+    // status frame. `und` filters the (capped-every-round, materialized)
+    // state, so the emptiness probe is one bounded job; und = ∅ makes the
+    // round — and by induction all later rounds — the identity on the
+    // status frame, so the output is row-identical to the full unroll.
+    iterateUntil(s0, rounds, capEvery = 1) { (st, _, cap) =>
       val und = st.filter(col("status") === 0L).select("node")
+      if (und.isEmpty) (st, true) else {
       // min (p, id) among each undecided node's undecided neighbors
       val nbrMin = e
         .join(und.select(col("node").as(src)), src)
@@ -1084,14 +1185,15 @@ object Graph {
         .join(newMis.select(col("node").as(src)), src)
         .select(col(dst).as("node")).distinct()
         .join(und, Seq("node"), "left_semi")
-      cap(st
+      (cap(st
         .join(newMis.withColumn("mis", lit(true)), Seq("node"), "left")
         .join(dominated.withColumn("dom", lit(true)), Seq("node"), "left")
         .select(col("node"),
           when(col("status") =!= 0L, col("status"))
             .when(col("mis"), lit(2L))
             .when(col("dom"), lit(1L))
-            .otherwise(lit(0L)).as("status")))
+            .otherwise(lit(0L)).as("status"))), false)
+      }
     }
   }
 
@@ -1129,8 +1231,13 @@ object Graph {
     val s0 = Caches.checkpointTracked(
       e.select(col(src).as("node")).distinct())
     val d0 = s0.select(col("node"), lit(0L).as("deg"))
-    val (_, out) = iterate((s0, d0), rounds, capEvery = 2) {
-      case ((surv, _), _, cap) =>
+    // EXACT-FIXPOINT EARLY EXIT: peeling strictly shrinks the survivor
+    // set until the k-core is reached, after which every wired margin
+    // round recomputes an identical (node, deg) frame from two |E| joins.
+    // The capped-every-round frame makes the equality check one bounded
+    // job, and deg_t = deg_{t-1} implies all later peels are no-ops.
+    val (_, out) = iterateUntil((s0, d0), rounds, capEvery = 1) {
+      case ((surv, prevDeg), _, cap) =>
         // inner equi-joins against the UNIQUE survivor nodes ≡ left-semi
         // (no fan-out possible) but keep the planner free to reorder
         val deg = cap(e
@@ -1139,7 +1246,7 @@ object Graph {
           .groupBy(col(src).as("node"))
           .agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k))
-        (deg.select("node"), deg)
+        ((deg.select("node"), deg), stateUnchanged(prevDeg, deg, Seq("node")))
     }
     out
   }
@@ -1191,7 +1298,16 @@ object Graph {
     val e = checkpointEdges(edges, src, dst)
     val h0 = Caches.checkpointTracked(
       e.groupBy(col(src).as("node")).agg(count(lit(1)).as("h")))
-    iterate(h0, rounds, capEvery = 2) { (h, _, cap) =>
+    // EXACT-FIXPOINT EARLY EXIT ([[iterateUntil]]): the h-index iteration
+    // is monotonically non-increasing and converges in ~O(graph depth)
+    // rounds (sf0.1 measured: 4) while `rounds` wires a 20-round safety
+    // margin — before this, every idempotent round still paid its |E|
+    // joins + threshold explode. The state is capped EVERY round so the
+    // equality check compares two materialized |V| frames (one bounded
+    // job); at h_t = h_{t-1} every later round is a no-op by purity, so
+    // the early result is row-identical to the full unroll and the
+    // 20-round oracle CTE chain still hash-matches.
+    iterateUntil(h0, rounds, capEvery = 1) { (h, _, cap) =>
       val cand = e
         .join(h.select(col("node").as(src), col("h").as("ha")), src)
         .join(h.select(col("node").as(dst), col("h").as("hb")), dst)
@@ -1203,8 +1319,9 @@ object Graph {
       val hm = cand.groupBy("node", "k").agg(count(lit(1)).as("c"))
         .filter(col("c") >= col("k"))
         .groupBy("node").agg(max(col("k")).as("h"))
-      cap(h0.select("node").join(hm, Seq("node"), "left")
+      val next = cap(h0.select("node").join(hm, Seq("node"), "left")
         .select(col("node"), coalesce(col("h"), lit(0L)).as("h")))
+      (next, stateUnchanged(h, next, Seq("node")))
     }.select(col("node"), col("h").as("core"))
   }
 
@@ -1364,7 +1481,9 @@ object Graph {
         .distinct().select(col("node"), col("node").as("l")))
     val picked = Seq.newBuilder[DataFrame]
     var lab = lab0
-    for (r <- 1 to rounds) {
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
       val ec = e
         .join(lab.select(col("node").as("a"), col("l").as("ca")), "a")
         .join(lab.select(col("node").as("b"), col("l").as("cb")), "b")
@@ -1381,15 +1500,28 @@ object Graph {
           .select(col("ce.w").as("w"), col("ce.a").as("a"),
             col("ce.b").as("b"), col("ce.ca").as("ca"), col("ce.cb").as("cb"))
           .dropDuplicates("a", "b"))
-      val merge = Dedup.duplicateClusters(
-        chosen.select(col("ca").as("doc_a"), col("cb").as("doc_b")),
-        loopParts = loopParts)
-      lab = Caches.checkpointTrackedFreshStats(
-        lab.join(merge.select(col("doc_id").as("l"), col("cluster")),
-            Seq("l"), "left")
-          .select(col("node"), coalesce(col("cluster"), col("l")).as("l")))
       picked += chosen.select(lit(r.toLong).as("round"),
         col("a"), col("b"), col("w"))
+      // EARLY EXIT on an empty selection ([[iterateUntil]]'s argument in
+      // manual-loop form): no cross-component edge exists now, so none
+      // can exist in any later round either (contraction only merges) —
+      // the remaining wired margin rounds would each pay the two |E|
+      // label joins, a union-find, and a relabel to select nothing. The
+      // emptiness probe reads the ALREADY-materialized selection; the
+      // skipped rounds' empty frames contribute no output rows, so the
+      // forest is row-identical to the full unroll and `rounds` becomes
+      // a safety CAP instead of a cost (wire it with slack).
+      if (chosen.isEmpty) done = true
+      else {
+        val merge = Dedup.duplicateClusters(
+          chosen.select(col("ca").as("doc_a"), col("cb").as("doc_b")),
+          loopParts = loopParts)
+        lab = Caches.checkpointTrackedFreshStats(
+          lab.join(merge.select(col("doc_id").as("l"), col("cluster")),
+              Seq("l"), "left")
+            .select(col("node"), coalesce(col("cluster"), col("l")).as("l")))
+      }
+      r += 1
     }
     picked.result().reduce(_ unionAll _)
   }
@@ -1457,12 +1589,86 @@ object Graph {
    */
   def louvainMoveWeighted(edges: DataFrame, iterations: Int,
       src: String = "src", dst: String = "dst",
-      weight: String = "w", symmetric: Boolean = false): DataFrame =
-    louvainLoop(
-      Caches.checkpointTracked(edges.select(col(src), col(dst),
-          col(weight).cast("bigint").as("w"))
-        .repartition(col(src)).sortWithinPartitions(src)),
-      iterations, src, dst, symmetric)
+      weight: String = "w", symmetric: Boolean = false,
+      localEdgeCap: Long = 0L): DataFrame = {
+    val e = Caches.checkpointTracked(edges.select(col(src), col(dst),
+        col(weight).cast("bigint").as("w"))
+      .repartition(col(src)).sortWithinPartitions(src))
+    // DRIVER-LOCAL FAST PATH for the Louvain LEVEL-2 shape: [[coarsen]]'s
+    // output is community-bounded (≤ C² edges, 2,777 at sf0.1 — and it
+    // shrinks RELATIVE to |E| at scale, so the bound gets BETTER at
+    // 100 TB), yet the distributed loop charges it the same ~5 shuffles
+    // per round as the |E|-sized level 1, all fixed overhead. When the
+    // caller opts in with `localEdgeCap > 0` and the (materialized) edge
+    // frame fits, the whole move loop runs as a plain-Scala replay of
+    // the symmetric loop on the collected edges — BIT-IDENTICAL, because
+    // every aggregate the distributed loop computes is an integer sum
+    // (order-free) and the one double score is fixed-shape scalar
+    // arithmetic mirrored op-for-op, argmax under the same (s desc,
+    // c asc) total order (GraphSpec pins local ≡ distributed on random
+    // symmetric/self-looped graphs). Above the cap — a coarse graph of a
+    // 100 TB corpus can exceed any driver heap — it falls back to the
+    // distributed loop; the count deciding it is one bounded job on the
+    // checkpointed frame. Symmetric-only: the level-2 contract
+    // guarantees symmetry, and mirroring one loop keeps the twin small.
+    if (symmetric && localEdgeCap > 0 && e.count() <= localEdgeCap) {
+      val spark = e.sparkSession
+      val collected = e.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))
+      import spark.implicits._
+      spark.createDataset(
+        louvainLocalReplay(collected, iterations).sortBy(_._1).toSeq)
+        .toDF("node", "label")
+    } else louvainLoop(e, iterations, src, dst, symmetric)
+  }
+
+  /** The plain-Scala twin of [[louvainLoop]]'s symmetric branch — same
+    * integer sums, same fixed-shape double score evaluated in the same
+    * operator order, same (s desc, c asc) argmax; labels update
+    * SYNCHRONOUSLY (all scores read the previous round's labels). Kept
+    * in op-for-op sync with the distributed loop — GraphSpec pins the
+    * pair (the ShingleHashes twin convention). */
+  private[graft] def louvainLocalReplay(edges: Array[(Long, Long, Long)],
+      iterations: Int): Array[(Long, Long)] = {
+    val m = edges.iterator.map(_._3).sum.toDouble
+    val d = scala.collection.mutable.HashMap.empty[Long, Long]
+    edges.foreach { case (s, _, w) =>
+      d(s) = d.getOrElse(s, 0L) + w
+    }
+    val label = scala.collection.mutable.HashMap.empty[Long, Long]
+    d.keysIterator.foreach(n => label(n) = n)
+    for (_ <- 1 to iterations) {
+      val t = scala.collection.mutable.HashMap.empty[Long, Long]
+      d.foreach { case (n, dn) =>
+        val c = label(n); t(c) = t.getOrElse(c, 0L) + dn
+      }
+      val kvc = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      edges.foreach { case (s, dst, w) =>
+        val key = (s, label(dst)); kvc(key) = kvc.getOrElse(key, 0L) + w
+      }
+      // the always-present own-community candidate (the distributed
+      // loop's zero-kvc union row)
+      d.keysIterator.foreach { n =>
+        val own = (n, label(n))
+        if (!kvc.contains(own)) kvc(own) = 0L
+      }
+      val best = scala.collection.mutable.HashMap.empty[Long, (Double, Long)]
+      kvc.foreach { case ((n, c), k) =>
+        val dn = d(n)
+        val adj = if (label(n) == c) dn else 0L
+        val s = (k * 2L).toDouble / m -
+          dn.toDouble * (t(c) - adj).toDouble * 2.0 / m / m
+        best.get(n) match {
+          case Some((bs, bc)) if s > bs || (s == bs && c < bc) =>
+            best(n) = (s, c)
+          case None => best(n) = (s, c)
+          case _ => ()
+        }
+      }
+      best.foreach { case (n, (_, c)) => label(n) = c }
+    }
+    label.iterator.map { case (n, c) => (n, c) }.toArray
+  }
 
   /** The shared move loop: `e` is the checkpointed (src, dst, w) base —
     * w ≡ 1 for the unweighted face (sums of ones ARE the counts, so the
@@ -1489,12 +1695,19 @@ object Graph {
     val m = e.agg(sum(col("w"))).collect()(0).getLong(0).toDouble
     if (symmetric) {
       // one aggregate: d = dout = din (every node appears as a src by
-      // symmetry, so no full-outer node-universe merge is needed)
+      // symmetry, so no full-outer node-universe merge is needed).
+      // The loop STATE CARRIES d (node, label, d): degrees are constant
+      // across rounds, so folding them into the iterated frame turns
+      // `tot` from a join+aggregate into one aggregate and drops the
+      // degs leg of the scoring join — two fewer shuffles per round on
+      // a 5-shuffle round, values bit-identical (the same long sums and
+      // the same fixed-shape double expression, just routed through the
+      // state instead of a re-join; max(d) per node group IS d).
       val degs = Caches.checkpointTracked(
         e.groupBy(col(src).as("node")).agg(sum(col("w")).as("d")))
-      val lab0 = degs.select(col("node"), col("node").as("label"))
+      val lab0 = degs.select(col("node"), col("node").as("label"), col("d"))
       iterate(lab0, iterations, capEvery = 2) { (lab, _, cap) =>
-        val tot = lab.join(degs, "node").groupBy("label")
+        val tot = lab.groupBy("label")
           .agg(sum(col("d")).as("t"))
           .withColumnRenamed("label", "c")
         val kout = e
@@ -1510,10 +1723,9 @@ object Graph {
           .groupBy("node", "c")
           .agg(sum(col("kvc")).as("kvc"))
         val scored = cand
-          .join(degs, "node")
           .join(lab, "node")
           .join(tot, "c")
-          .select(col("node"), col("c"),
+          .select(col("node"), col("c"), col("d"),
             // (kvc·2).cast = (kvc + kcv).cast on equal longs;
             // X·2.0 = X + X bitwise for the equal double products —
             // the general gain, computed once and doubled
@@ -1525,18 +1737,22 @@ object Graph {
                 / lit(m) / lit(m)).as("s"))
         cap(scored.groupBy("node")
           .agg(max_by(col("c"), struct(col("s"), (-col("c")).as("nc")))
-            .as("label")))
-      }
+            .as("label"),
+            max(col("d")).as("d")))
+      }.select("node", "label")
     } else {
+      // the symmetric branch's state-carried-degree shape, with both
+      // directed degrees riding in the state
       val degs = Caches.checkpointTracked(
         e.groupBy(col(src).as("node")).agg(sum(col("w")).as("dout"))
           .join(e.groupBy(col(dst).as("node")).agg(sum(col("w")).as("din")),
             Seq("node"), "full")
           .select(col("node"), coalesce(col("dout"), lit(0L)).as("dout"),
             coalesce(col("din"), lit(0L)).as("din")))
-      val lab0 = degs.select(col("node"), col("node").as("label"))
+      val lab0 = degs.select(col("node"), col("node").as("label"),
+        col("dout"), col("din"))
       iterate(lab0, iterations, capEvery = 2) { (lab, _, cap) =>
-        val tot = lab.join(degs, "node").groupBy("label")
+        val tot = lab.groupBy("label")
           .agg(sum(col("dout")).as("tout"), sum(col("din")).as("tin"))
           .withColumnRenamed("label", "c")
         val kout = e
@@ -1559,10 +1775,9 @@ object Graph {
           .groupBy("node", "c")
           .agg(sum(col("kvc")).as("kvc"), sum(col("kcv")).as("kcv"))
         val scored = cand
-          .join(degs, "node")
           .join(lab, "node")
           .join(tot, "c")
-          .select(col("node"), col("c"),
+          .select(col("node"), col("c"), col("dout"), col("din"),
             ((col("kvc") + col("kcv")).cast("double") / lit(m)
               - (col("dout").cast("double")
                   * (col("tin") - when(col("label") === col("c"), col("din"))
@@ -1573,8 +1788,9 @@ object Graph {
                 / lit(m) / lit(m)).as("s"))
         cap(scored.groupBy("node")
           .agg(max_by(col("c"), struct(col("s"), (-col("c")).as("nc")))
-            .as("label")))
-      }
+            .as("label"),
+            max(col("dout")).as("dout"), max(col("din")).as("din")))
+      }.select("node", "label")
     }
   }
 

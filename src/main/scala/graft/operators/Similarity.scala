@@ -749,6 +749,11 @@ object Similarity {
     }
     // one bounded driver collect: 2·dim doubles (the centroid pattern)
     val row = corpus.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // min() over zero rows (or an all-null embedding column) aggregates
+    // to NULL — fail with a real message instead of getDouble's bare NPE
+    // (the diameterLowerBound empty-frame convention)
+    require(!row.isNullAt(0),
+      "buildSqIndex: empty corpus (or all-null embeddings) — no ranges to fit")
     val mins = (0 until dim).map(i => row.getDouble(2 * i))
     val maxs = (0 until dim).map(i => row.getDouble(2 * i + 1))
     val encoded = Caches.persistIndex(corpus

@@ -2972,14 +2972,21 @@ object StarQueries {
     // graph_components_ivm pattern). Round tags are dropped: the
     // incremental rounds differ from the from-scratch ones; the edge
     // SET is the invariant.
+    // rounds = 12 on BOTH internal runs: Borůvka round count is not
+    // monotone under edge deletion, so the base subgraph and forest ∪ Δ
+    // runs cannot inherit the FULL graph's measured fixpoint — and with
+    // the empty-selection early exit each run stops one round past ITS
+    // OWN fixpoint anyway, so 12 is a pure safety cap (covers 2¹²-deep
+    // merge chains) costing nothing (GraphSpec pins the split-graph
+    // fixpoints at sf0.001).
     QueryDef.of("graph_mst_ivm", mstIvmOracle(6)) { (s, dir) =>
       val pw = strongCoPurchaseWeightedPairs(s, dir)
       val base = pw.filter(pmod(col("a") + col("b"), lit(5)) =!= 0)
       val delta = pw.filter(pmod(col("a") + col("b"), lit(5)) === 0)
-      val baseMst = graft.operators.Graph.boruvkaMst(base, rounds = 6,
+      val baseMst = graft.operators.Graph.boruvkaMst(base, rounds = 12,
           loopParts = 1)
         .select("a", "b", "w")
-      graft.operators.Graph.boruvkaMst(baseMst.unionAll(delta), rounds = 6,
+      graft.operators.Graph.boruvkaMst(baseMst.unionAll(delta), rounds = 12,
           loopParts = 1)
         .select("a", "b", "w")
         .orderBy("a", "b")
@@ -3160,8 +3167,13 @@ object StarQueries {
         graft.operators.Graph.louvainMove(ep, iterations = 3,
           symmetric = true))
       val g2 = graft.operators.Graph.coarsen(ep, l1)
+      // level 2 on the coarse graph takes the DRIVER-LOCAL replay when
+      // the community graph fits under the cap (2,777 edges at sf0.1 vs
+      // ~5 distributed shuffles × 2 rounds of pure fixed overhead) —
+      // bit-identical labels, distributed fallback above the cap
       val l2 = graft.operators.Graph.louvainMoveWeighted(g2,
-        iterations = 2, weight = "weight", symmetric = true)
+        iterations = 2, weight = "weight", symmetric = true,
+        localEdgeCap = 1000000L)
       l1.join(l2.select(col("node").as("label"),
           col("label").as("label2")), "label")
         .select("node", "label2")
@@ -3195,8 +3207,11 @@ object StarQueries {
         graft.operators.Graph.louvainMove(ep, iterations = 3,
           symmetric = true))
       val g2 = graft.operators.Graph.coarsen(ep, l1)
+      // driver-local level-2 move under the cap (the graph_louvain2
+      // rationale) — bit-identical labels either path
       val l2 = graft.operators.Graph.louvainMoveWeighted(g2,
-        iterations = 2, weight = "weight", symmetric = true)
+        iterations = 2, weight = "weight", symmetric = true,
+        localEdgeCap = 1000000L)
       val labels = l1.join(l2.select(col("node").as("label"),
           col("label").as("label2")), "label")
         .select(col("node"), col("label2").as("label"))

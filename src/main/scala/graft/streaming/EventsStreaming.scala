@@ -206,6 +206,59 @@ object EventsStreaming {
       .drop("_simhash")
   }
 
+  /** The accepted-corpus signature table [[dedupIncrementalBySimhash]]
+    * anti-joins against: one row per DISTINCT 62-bit shingle-SimHash of
+    * the base corpus — |distinct signatures| × 8 bytes, never the texts.
+    * Built batch-side once per ingest epoch (the corpus is immutable
+    * within one); the SAME signature expression as [[dedupBySimhash]]
+    * and the batch `dedup_simhash` row, so the three faces share one
+    * certified operating point. */
+  def simhashSignatures(base: DataFrame, textCol: String = "text",
+      k: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions.{shingleHashes, simhashSig}
+    base.select(simhashSig(shingleHashes(col(textCol), k)).as("_simhash"))
+      .distinct()
+  }
+
+  /**
+   * STREAMING INCREMENTAL INGEST DEDUP — the watermark-finalized twin of
+   * the batch [[graft.operators.Dedup.incrementalNearDup]] row
+   * (`dedup_incremental`) at the signature-identical operating point: a
+   * stream of candidate documents is admitted iff
+   *
+   *  (a) its signature is absent from the STATIC accepted-corpus
+   *      signature table — a stream-static LEFT ANTI join, stateless on
+   *      the stream side (the base is immutable: a new copy of existing
+   *      content never displaces it, the batch row's has-base drop rule);
+   *  (b) no earlier in-horizon stream doc carried the same signature —
+   *      `dropDuplicatesWithinWatermark`, 8 bytes of state per distinct
+   *      in-window signature (the batch row's pure-batch survivor rule;
+   *      batch keeps the MIN-ID member where the stream keeps the FIRST
+   *      ARRIVAL — identical whenever event time follows id, the closed-
+   *      stream law StreamingSpec pins against the real
+   *      `incrementalNearDup` on exact-copy corpora).
+   *
+   * Scope, honestly ([[dedupBySimhash]]'s caveat): signature-identical
+   * catches reorderings/formatting variants/sub-bit-flip edits, not
+   * hamming > 0 pairs — the batch row at its Jaccard threshold is the
+   * radius-h engine; run it over the sink for periodic compaction. At
+   * 100 TB the static side is a signature TABLE (bytes per accepted doc):
+   * broadcast when small, shuffled equi-join when not — either way the
+   * stream never rescans accepted texts, the property that makes
+   * continuous ingest dedup viable at all.
+   */
+  def dedupIncrementalBySimhash(docs: DataFrame, baseSigs: DataFrame,
+      tsCol: String = "ts", textCol: String = "text", k: Int = 3,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    import graft.functions.TextFunctions.{shingleHashes, simhashSig}
+    docs
+      .withColumn("_simhash", simhashSig(shingleHashes(col(textCol), k)))
+      .withWatermark(tsCol, watermarkDelay)
+      .join(baseSigs, Seq("_simhash"), "left_anti")
+      .dropDuplicatesWithinWatermark("_simhash")
+      .drop("_simhash")
+  }
+
   /**
    * Streaming twin of the batch point-in-time join
    * ([[graft.operators.AsOf.asofJoin]], the `events_asof` query): every left

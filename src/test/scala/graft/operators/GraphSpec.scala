@@ -929,6 +929,49 @@ class GraphSpec extends SparkSpecBase {
     assert(at6.size == nNodes - nComps, "spanning certificate")
   }
 
+  test("graph_mst_ivm split graphs: rounds = 12 is fixpoint + margin on BOTH runs at sf0.001") {
+    // Borůvka round count is not monotone under edge deletion, so the
+    // base subgraph and forest ∪ Δ runs cannot inherit the full graph's
+    // measured fixpoint — this pins the wired 12-round cap as fixpoint +
+    // margin on the EXACT (a+b)%5 split the graph_mst_ivm row uses, and
+    // the sparsification identity against the from-scratch MSF on the
+    // same data (not just random splits).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("a"), col("b"),
+        (lit(11L) - least(col("cnt"), lit(10L))).as("w"))
+    pairs.cache()
+    val base = pairs.filter(pmod(col("a") + col("b"), lit(5)) =!= 0)
+    val delta = pairs.filter(pmod(col("a") + col("b"), lit(5)) === 0)
+    def msf(df: org.apache.spark.sql.DataFrame, rounds: Int) = {
+      val got = Graph.boruvkaMst(df, rounds = rounds, loopParts = 1)
+        .select("a", "b", "w").as[(Long, Long, Long)].collect().toSet
+      Caches.releaseAll()
+      got
+    }
+    // base-subgraph run: the cap is idempotent past the split's own fixpoint
+    val base12 = msf(base, 12)
+    assert(base12 == msf(base, 5), "base-subgraph fixpoint within 5 rounds")
+    // forest ∪ Δ run on the ACTUAL stored forest (|V|-bounded input)
+    val baseMstDf = base.sparkSession.createDataset(base12.toSeq)
+      .toDF("a", "b", "w")
+    val inc12 = msf(baseMstDf.unionAll(delta), 12)
+    assert(inc12 == msf(baseMstDf.unionAll(delta), 5),
+      "forest ∪ Δ fixpoint within 5 rounds")
+    // and the sparsification identity holds on this data
+    val scratch = msf(pairs, 12)
+    pairs.unpersist()
+    assert(inc12 == scratch, "MSF(MSF(base) ∪ Δ) == MSF(base ∪ Δ) at sf0.001")
+  }
+
   private def runCoreNumbers(pairs: Seq[(Long, Long)], rounds: Int) = {
     val got = Graph.coreNumbers(sym(pairs).toDF("src", "dst"), rounds)
       .as[(Long, Long)].collect().toMap
@@ -1446,6 +1489,41 @@ class GraphSpec extends SparkSpecBase {
       // and the fast path still equals the plain-Scala directed-gain
       // reference — not just the other Spark plan
       assert(fastW == louvainWeightedReference(wtd, 3), s"ref trial $trial")
+    }
+  }
+
+  test("louvainMoveWeighted driver-local replay ≡ distributed loop (the level-2 fast path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    for (trial <- 1 to 3) {
+      // the coarsened-community-graph shape: symmetric off-diagonal
+      // weights plus self-loops (within-community mass)
+      val raw = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2)
+      val offDiag = (raw ++ raw.map(_.swap)).distinct
+        .filter { case (a, b) => a < b }
+        .map { case (a, b) => (a, b, (a * 11 + b * 3) % 7 + 1) }
+      val wtd = offDiag ++ offDiag.map { case (a, b, w) => (b, a, w) } ++
+        raw.map(_._1).distinct.filter(_ % 2 == 0).map(v => (v, v, v % 5 + 1))
+      // localEdgeCap far above |E| → the driver-local replay runs
+      val local = Graph.louvainMoveWeighted(wtd.toDF("src", "dst", "w"),
+          iterations = 3, symmetric = true, localEdgeCap = 1000000L)
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      // cap 0 → the distributed symmetric loop runs
+      val dist = Graph.louvainMoveWeighted(wtd.toDF("src", "dst", "w"),
+          iterations = 3, symmetric = true)
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      assert(local == dist, s"local≡distributed trial $trial")
+      // and both equal the directed-gain reference
+      assert(local == louvainWeightedReference(wtd, 3), s"ref trial $trial")
+      // a cap BELOW |E| must fall back to the distributed loop
+      val below = Graph.louvainMoveWeighted(wtd.toDF("src", "dst", "w"),
+          iterations = 3, symmetric = true, localEdgeCap = 1L)
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      assert(below == dist, s"fallback trial $trial")
     }
   }
 

@@ -245,6 +245,82 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedupIncrementalBySimhash: static-base anti-join + in-stream first-wins") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val accepted = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fresh = "completely unrelated subject matter discussing other things"
+    val fresh2 = "yet another body of text about entirely separate topics"
+    val baseSigs = EventsStreaming.simhashSignatures(
+      Seq(accepted).toDF("text"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = EventsStreaming.dedupIncrementalBySimhash(docs, baseSigs)
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, t(10, 0), accepted),            // dup of the BASE — dropped
+        (2L, t(10, 1), "  " + accepted),     // whitespace variant of base — dropped
+        (3L, t(10, 2), fresh),               // new content — admitted
+        (4L, t(10, 3), fresh),               // in-stream dup of 3 — dropped
+        (5L, t(10, 4), fresh2))              // new content — admitted
+      q.processAllAvailable()
+      val ids = spark.table("inc_dedup").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(3L, 5L))
+    } finally q.stop()
+  }
+
+  test("dedupIncrementalBySimhash ≡ batch incrementalNearDup on closed exact-copy streams") {
+    // THE LAW tying the streaming twin to the wired batch row: on a
+    // corpus of exact-copy groups (where near-dup groups at the batch
+    // row's Jaccard 0.5 coincide with signature-equal groups) and event
+    // time following doc_id (where first-arrival = min-id), the stream's
+    // admitted set equals Dedup.incrementalNearDup's survivors exactly.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(71)
+    // a pool of mutually-distant texts (disjoint vocabularies → Jaccard
+    // ~0 and distinct signatures across groups)
+    val pool = (0 until 12).map { g =>
+      (0 until 10).map(i => s"w${g}x${g * 31 + i * 7}").mkString(" ")
+    }
+    for (trial <- 1 to 2) {
+      // each group contributes 0-2 base copies and 0-2 batch copies
+      val base = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var id = 0L
+      pool.foreach { text =>
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          base += ((id, text)); id += 1 }
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          batch += ((id, text)); id += 1 }
+      }
+      val baseDf = base.toSeq.toDF("doc_id", "text")
+      val batchDf = batch.toSeq.toDF("doc_id", "text")
+      val want = graft.operators.Dedup.incrementalNearDup(
+          baseDf, batchDf, k = 3, threshold = 0.5, loopParts = 1)
+        .as[Long].collect().toSet
+      graft.operators.Caches.releaseAll()
+      val baseSigs = EventsStreaming.simhashSignatures(baseDf)
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val docs = in.toDF().toDF("doc_id", "ts", "text")
+      val q = EventsStreaming.dedupIncrementalBySimhash(docs, baseSigs)
+        .writeStream.format("memory").queryName(s"inc_law_$trial")
+        .outputMode("append").start()
+      try {
+        // event time follows doc_id: first arrival = min id
+        in.addData(batch.toSeq.sortBy(_._1).map { case (i, text) =>
+          (i, t(10, i.toInt), text) }: _*)
+        q.processAllAvailable()
+        val got = spark.table(s"inc_law_$trial").select("doc_id")
+          .as[Long].collect().toSet
+        assert(got == want, s"trial $trial: stream $got vs batch $want")
+      } finally q.stop()
+    }
+  }
+
   test("attributionPairs: watermarked stream-stream interval join, out-of-order click, ≡ batch") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[AttEv]
