@@ -557,32 +557,50 @@ object Graph {
     // scale-killer the PlanSpec sweep exists to catch; it did)
     val dist0 = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), lit(0L).as("dist"))
-    // The new level is checkpointed EVERY round now (was every 3rd): the
-    // empty-frontier EARLY EXIT below reads the materialized frame for
-    // free, and a search whose wired maxDepth exceeds the source's real
-    // eccentricity stops at the first empty level instead of paying
-    // |E|-join rounds that can only discover nothing (the 16-round
-    // graph_diameter_lb sweep on an ecc-~6 graph was mostly such rounds).
-    // An empty level leaves the union unchanged and every later level
-    // empty, so the early result is row-identical to the full unroll.
-    // The per-level eager job costs ~10% on a shallow search that never
-    // exits early (measured at sf0.1 depth 3: 3.0 s every-3rd vs 3.3 s
-    // per-level) — the exit savings dominate everywhere it triggers.
-    // The RUNNING union stays capped every 3rd round: uncapped, round
-    // i's anti-join replans against an i-way union of leaves — harmless
-    // at the wired depth-4 searches, but a 16-round sweep
-    // (graph_diameter_lb) measured ~20 MINUTES of pure driver
-    // planning/bookkeeping at sf0.01 before this cap and ~13 s after —
-    // the corenum plan-growth lesson applied to the visited set.
-    val (dist, _) = iterateUntil((dist0, dist0.select("node")), maxDepth,
-        capEvery = 3) { case ((dist, frontier), i, cap) =>
-      val nxt = Caches.checkpointTrackedFreshStats(
-        e.join(frontier.select(col("node").as(src)), src)
-          .select(col(dst).as("node")).distinct()
-          .join(dist, Seq("node"), "left_anti")
-          .select(col("node"), lit(i.toLong).as("dist")))
-      ((cap(dist.unionAll(nxt)), nxt.select("node")), nxt.isEmpty)
-    }
+    // TWO SHAPES by wired depth (same rows either way):
+    //
+    //  - SHALLOW (maxDepth ≤ 4): the fully LAZY loop — levels capped
+    //    every 3rd round only, no per-level materialization, no
+    //    emptiness probes — so a depth-3 search stays ONE fused job.
+    //    Same-host A/B (driver round 13): per-level checkpoints cost
+    //    graph_bfs ×1.5 at depth 3, because a probe can only save
+    //    rounds a shallow search doesn't have.
+    //  - DEEP (maxDepth > 4): the new level is checkpointed EVERY round
+    //    and the loop EARLY-EXITS on an empty frontier — a sweep whose
+    //    wired depth exceeds the source's real eccentricity stops at the
+    //    first empty level instead of paying |E|-join rounds that can
+    //    only discover nothing (A/B: graph_diameter_lb 0.32×, its
+    //    16-round sweep on an ecc-~6 graph was mostly such rounds). An
+    //    empty level leaves the union unchanged and every later level
+    //    empty, so the early result is row-identical to the full unroll.
+    //
+    // The RUNNING union is capped every 3rd round in both shapes:
+    // uncapped, round i's anti-join replans against an i-way union of
+    // leaves — harmless at the wired depth-4 searches, but the 16-round
+    // sweep measured ~20 MINUTES of pure driver planning/bookkeeping at
+    // sf0.01 before this cap and ~13 s after — the corenum plan-growth
+    // lesson applied to the visited set.
+    val (dist, _) =
+      if (maxDepth <= 4)
+        iterate((dist0, dist0.select("node")), maxDepth,
+            capEvery = 3) { case ((dist, frontier), i, cap) =>
+          val nxt = cap(
+            e.join(frontier.select(col("node").as(src)), src)
+              .select(col(dst).as("node")).distinct()
+              .join(dist, Seq("node"), "left_anti")
+              .select(col("node"), lit(i.toLong).as("dist")))
+          (cap(dist.unionAll(nxt)), nxt.select("node"))
+        }
+      else
+        iterateUntil((dist0, dist0.select("node")), maxDepth,
+            capEvery = 3) { case ((dist, frontier), i, cap) =>
+          val nxt = Caches.checkpointTrackedFreshStats(
+            e.join(frontier.select(col("node").as(src)), src)
+              .select(col(dst).as("node")).distinct()
+              .join(dist, Seq("node"), "left_anti")
+              .select(col("node"), lit(i.toLong).as("dist")))
+          ((cap(dist.unionAll(nxt)), nxt.select("node")), nxt.isEmpty)
+        }
     dist
   }
 
