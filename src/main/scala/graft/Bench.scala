@@ -142,12 +142,19 @@ object Bench {
     // a THIRD only when those two disagree by > 40% — bounded wall clock,
     // roughly double round-7's single warm-up on the expensive queries.
     // SINGLE warm-up for heavy queries: when the FIRST warm-up already
-    // costs ≥ 5 s, the agreement criterion's second execution buys
-    // nothing — the criterion exists for JIT tails on SMALL queries
-    // (dir_search's 6.4× monotone tail); a 15 s query's variance mode is
-    // sustained host load, which the parallel calibration probe already
-    // attributes. Dropping the second warm-up on the ~30 heaviest rows
-    // saves ~180 s of the driver budget the r12 run died on.
+    // costs ≥ 10 s, the agreement criterion's second execution buys
+    // little — the criterion exists for JIT tails on SMALL queries
+    // (dir_search's 6.4× monotone tail), and at the measured ≤ 6×
+    // first-execution JIT factor a ≥ 10 s first execution implies a
+    // steady state ≳ 1.7 s, where a transient stall is a small rep
+    // fraction the calibration probe attributes. The r13 threshold of
+    // 5 s left a danger zone — a 1-2 s-steady iterative query whose
+    // first execution pays 3-6× lands in the 5-10 s window, got ONE
+    // warm-up, and could ship a mid-rep JIT spike (the r13 ADVICE case);
+    // those rows now get the agreement protocol again, and any residual
+    // spike on the ≥ 10 s rows is closed by the end-of-run viol-retry
+    // pass instead of an unconditional second warm-up on every heavy row
+    // (~180 s of driver budget).
     var prevW = Double.MaxValue
     var wi = 0
     var continueWarm = true
@@ -162,7 +169,7 @@ object Bench {
       System.err.println(f"[bench] $name warm-up #${wi + 1} $wt%.2f s (untimed)")
       drain(spark)
       wi += 1
-      continueWarm = wi < 3 && wt < 5.0 &&
+      continueWarm = wi < 3 && wt < 10.0 &&
         math.abs(wt - prevW) / math.max(wt, 1e-9) > 0.4
       prevW = wt
     }
@@ -182,17 +189,18 @@ object Bench {
     // the parallel calibration probe attributes. Executions inside a
     // batch are separated by the untimed cache sweep (lightDrain); the
     // full GC-settled drain runs between reps as always.
-    // Batch target 0.6 s (was 1.2 s) and reps 3 → 2 for sub-0.3 s rows:
-    // the in-rep median already discards one transient stall, so the
-    // second robustness layer (more/larger reps) is redundant at that
-    // scale — together these trim ~250 s of protocol from the ~100
-    // sub-second rows without weakening the attribution rule (probes
-    // still bracket every rep).
+    // Batch target 0.6 s (was 1.2 s) and reps 3 → 2 for every BATCHED
+    // row (steady state < 1 s — was < 0.3 s): a batched rep is already
+    // the median of K executions, so the in-rep median is the transient
+    // filter and a third rep-of-medians is a redundant robustness layer
+    // — together these trim ~250 s (r13) + ~100 s (r14) of protocol from
+    // the ~100 sub-second rows without weakening the attribution rule
+    // (probes still bracket every rep, spread still ships).
     val batchK =
       if (prevW < 1.0)
         math.min(5, math.max(2, math.ceil(0.6 / math.max(prevW, 0.05)).toInt))
       else 1
-    val effReps = if (prevW < 0.3) math.min(reps, 2) else reps
+    val effReps = if (batchK > 1) math.min(reps, 2) else reps
     val qCals = scala.collection.mutable.ArrayBuffer.empty[Double]
     val runs = (1 to effReps).map { _ =>
       val c = calibrate(nThreads); cals += c; qCals += c
@@ -303,21 +311,44 @@ object Bench {
         case None =>
           val classes = new java.io.File("target/scala-2.13/classes")
           if (!classes.isDirectory) None
-          else {
+          else try {
             var h = 0xCBF29CE484222325L
             def mix(v: Long): Unit = { h ^= v; h *= 0x100000001B3L }
+            // null guard: File.listFiles returns NULL (not empty) on an
+            // I/O error or a directory deleted mid-walk (e.g. concurrent
+            // sbt compile) — fall back to running without resume state
+            // rather than NPE-aborting the whole bench at startup
             def walk(f: java.io.File): Unit =
-              if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(walk)
+              if (f.isDirectory)
+                Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+                  .sortBy(_.getName).foreach(walk)
               else {
                 f.getPath.foreach(c => mix(c.toLong))
                 mix(f.length()); mix(f.lastModified())
               }
             walk(classes)
+            // the DATA is part of the key, not just the sf dir's basename:
+            // regenerated test data at the same path must rotate the key
+            // (stale timings from the old data cannot resume into a new
+            // artifact), so the full sfDir path and every parquet file's
+            // (name, size, mtime) fold into the hash
+            sfDir.foreach(c => mix(c.toLong))
+            Option(new java.io.File(sfDir).listFiles())
+              .getOrElse(Array.empty[java.io.File])
+              .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+              .foreach { f =>
+                f.getName.foreach(c => mix(c.toLong))
+                mix(f.length()); mix(f.lastModified())
+              }
             val sfName = new java.io.File(sfDir).getName
             val dir = new java.io.File(".bench_state")
             dir.mkdirs()
             Some(new java.io.File(dir,
               f"state_$h%016x_${sfName}_c${cpus}_r$reps.jsonl").getPath)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] resume-state fingerprint failed " +
+              s"(${e.getMessage}); running without resume state")
+            None
           }
       }
     statePath.foreach(p =>
@@ -355,7 +386,7 @@ object Bench {
     // the incremental partials share it so an auditor reads one schema.
     def summaryBody(
         rs: Seq[(String, Double, Seq[Double], Double, Double, Int)],
-        errN: Int): String = {
+        errN: Int, resumedN: Int): String = {
       val total = rs.map(_._2).sum
       val maxSp = if (rs.nonEmpty) rs.map(_._4).max else 0.0
       val top = rs.sortBy(-_._2).take(10)
@@ -366,16 +397,21 @@ object Bench {
           "\"" + k + "\":" + f"""{"spread":$s%.2f,"cal":$qc%.2f}"""
         }.mkString("{", ",", "}")
       s""""total":${f"$total%.3f"},"max_spread":${f"$maxSp%.2f"},""" +
-        s""""errors_n":$errN,"viol":$viol,"top":$top"""
+        s""""errors_n":$errN,"resumed_n":$resumedN,"viol":$viol,"top":$top"""
     }
     val acc =
       scala.collection.mutable.ArrayBuffer
         .empty[(String, Double, Seq[Double], Double, Double, Int)]
+    // resumed rows are COUNTED into the artifact (resumed_n in the full
+    // JSON and both summary lines): a re-invocation that recycled prior
+    // measurements must be distinguishable from a fresh independent run
+    var resumedN = 0
     selected.zipWithIndex.foreach { case ((name, fn), idx) =>
       acc += (prior.get(name) match {
         case Some((med, runs, spread, qcal, batchK)) =>
           System.err.println(s"[bench] $name resumed from state (median " +
             f"$med%.2f s)")
+          resumedN += 1
           (name, med, runs, spread, qcal, batchK)
         case None => runQuery(spark, sfDir, name, fn, reps, nThreads,
           errors, cals, recordState)
@@ -389,9 +425,34 @@ object Bench {
       // full run) within the last ~10 queries of truth.
       if ((idx + 1) % 10 == 0 && idx + 1 < selected.size)
         println(s"""{"metric":"summary","partial":true,"done":${idx + 1},""" +
-          s""""of":${selected.size},${summaryBody(acc.toSeq, errors.size)}}""")
+          s""""of":${selected.size},${
+            summaryBody(acc.toSeq, errors.size, resumedN)}}""")
     }
     val results = acc.toSeq
+    // VIOL-RETRY PASS: every query whose rep spread broke the 2× bar is
+    // re-measured ONCE at end of run under the same protocol (fresh
+    // warm-up, probe-bracketed reps, capped at 2 reps — the retry is
+    // corroborating evidence, not a replacement median). Rationale: the
+    // attribution rule (CLAUDE.md) only waives a violation whose OWN
+    // probes co-varied; a spread violation at quiet cal on a noisy-host
+    // run was previously stuck as an unfalsifiable "probably host noise"
+    // (r13 shipped three such rows). A retry that lands < 2× at quiet
+    // cal closes the row as transient with evidence; a retry that
+    // violates AGAIN at quiet cal is a real plan instability to fix.
+    // Both medians ship (`viol_retry` in the full JSON and the summary
+    // line); the main medians are never overwritten.
+    val violRows = results.filter(r => r._4 > 2.0 && !errors.contains(r._1))
+    val violRetry =
+      if (violRows.isEmpty) "{}"
+      else violRows.map { case (name, _, _, _, _, _) =>
+        System.err.println(s"[bench] viol-retry: re-measuring $name")
+        val fn = SparkEntry.queries(name)
+        val (_, med, _, spread, qcal, _) = runQuery(spark, sfDir, name, fn,
+          math.min(reps, 2), nThreads, errors, cals,
+          (_, _, _, _, _, _) => ()) // retries never touch resume state
+        "\"" + name + "\":" +
+          f"""{"med":$med%.3f,"spread":$spread%.2f,"cal":$qcal%.2f}"""
+      }.mkString("{", ",", "}")
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val rs = results.map { case (k, _, runs, _, _, _) =>
@@ -424,7 +485,7 @@ object Bench {
       System.err.println(f"[bench] WARNING: host-noise calibration probe " +
         f"varied $calSpread%.2f× (${cals.min}%.3f-${cals.max}%.3f s) across " +
         "the run — query rep spreads include machine noise at this scale")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"spread":$sp,"cal_by_query":$cq,"batch":$bk,"probe_threads":$nThreads,"max_spread":$maxSpreadStr,$cal,"errors":$errs,"reps":$reps,"warmup":"adaptive<=3","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"spread":$sp,"cal_by_query":$cq,"batch":$bk,"probe_threads":$nThreads,"max_spread":$maxSpreadStr,$cal,"viol_retry":$violRetry,"resumed_n":$resumedN,"errors":$errs,"reps":$reps,"warmup":"adaptive<=3","sf":"$sfDir"}""")
     // SECOND, compact line AFTER the full JSON: the driver artifact keeps
     // only the tail of stdout, and the full line's queries/runs maps are
     // wide enough to truncate mid-stream — which destroys exactly the
@@ -435,7 +496,7 @@ object Bench {
     // rep spread PAIRED with the calibration spread during its own reps,
     // so the host-noise attribution is auditable from the tail alone.
     println(s"""{"metric":"summary","cal_spread":${f"$calSpread%.2f"},${
-      summaryBody(results, errors.size)}}""")
+      summaryBody(results, errors.size, resumedN)},"viol_retry":$violRetry}""")
     if (sys.env.get("SPARK_GRAFT_STRESS").contains("1")) stress(spark, sfDir)
     spark.stop()
   }

@@ -26,6 +26,18 @@ object VectorFunctions {
       shiftright(sig, b * bits).bitwiseAND(lit(mask))): _*))
   }
 
+  /** Blockhash (aHash-family) content signature over a BINARY payload as
+    * `blocks / bandBits` per-band longs, via the native
+    * [[graft.expressions.BlockhashBands]] loop (bit-equality vs its
+    * plain-Scala reference asserted in MultimodalSpec). Engine-portable
+    * integer math end to end — the `dedup_phash` oracle recomputes it
+    * op-for-op in SQL. */
+  def blockhashBands(payload: Column, blocks: Int, bandBits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.BlockhashBands(
+      ColumnBridge.expression(payload), blocks, bandBits))
+  }
+
   /** Elementwise product then sum — `aggregate(zip_with(a,b,*), 0.0, +)`. */
   def dot(a: Column, b: Column): Column =
     aggregate(

@@ -56,6 +56,32 @@ object Caches {
     cp
   }
 
+  /** [[checkpointTracked]] for frames whose value IS their layout — the
+    * iterative operators' pre-partitioned edge bases. Lays `df` out as
+    * `repartition(shufflePartitions, hashCols).sortWithinPartitions
+    * (sortCols)`, checkpoints it, and RE-ANNOUNCES that layout on the
+    * checkpoint leaf via [[org.apache.spark.sql.graftbridge.DatasetBridge
+    * .relabelCheckpointLayout]] — because under AQE `localCheckpoint`
+    * returns an `UnknownPartitioning(0)` leaf, silently discarding the
+    * layout the loop paid a shuffle to build (every round then re-exchanges
+    * the |E| base the design says never moves). The layout claim is true
+    * by construction: this helper OWNS the repartition+sort it announces.
+    * Stats are dropped (the loop-cap rationale below). */
+  private[graft] def checkpointTrackedLayout(
+      df: org.apache.spark.sql.DataFrame, hashCols: Seq[String],
+      sortCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val laid = df.repartition(n, hashCols.map(col): _*)
+    val sorted =
+      if (sortCols.nonEmpty) laid.sortWithinPartitions(sortCols.map(col): _*)
+      else laid
+    val cp = sorted.localCheckpoint()
+    tracked.add(cp)
+    org.apache.spark.sql.graftbridge.DatasetBridge
+      .relabelCheckpointLayout(cp, hashCols, sortCols, n)
+  }
+
   /** [[checkpointTracked]] for ITERATIVE-LOOP state frames: additionally
     * drops the origin statistics the checkpoint inherits from the plan it
     * truncated (via [[org.apache.spark.sql.graftbridge.DatasetBridge
@@ -73,7 +99,16 @@ object Caches {
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cp = df.localCheckpoint()
     tracked.add(cp)
-    org.apache.spark.sql.graftbridge.DatasetBridge.dropCheckpointStats(cp)
+    // measured (not merely dropped) stats: the r11 drop-to-default cured
+    // the exponential compounding but set the leaf to Long.MaxValue,
+    // which statically forbade broadcasting a ~1 MB loop-state frame —
+    // every per-round join then planned sort-merge + exchange until AQE
+    // rescued it one materialized shuffle too late. The checkpoint's
+    // backing RDD is already materialized, so its BlockManager size is
+    // the honest leaf estimate: fixed (cannot compound) and real (a
+    // |V|-sized label frame broadcasts statically again).
+    org.apache.spark.sql.graftbridge.DatasetBridge
+      .withMeasuredCheckpointStats(cp)
   }
 
   /** Persist `ds` into the INDEX registry: caches whose lifetime is an

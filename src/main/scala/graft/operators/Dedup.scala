@@ -336,6 +336,67 @@ object Dedup {
   }
 
   /**
+   * PERCEPTUAL-HASH-STYLE CONTENT DEDUP over an opaque multimodal payload
+   * column — the composition of the [[Multimodal]] bytes contract with the
+   * [[simhashPairs]] banding machinery. The signature is the classic
+   * blockhash/average-hash: `blocks` equal byte spans, bit = span sum
+   * above the payload mean, computed by the native
+   * [[graft.expressions.BlockhashBands]] loop as `blocks / bandBits`
+   * per-band longs (no 64-bit pack → no sign-bit asymmetry between
+   * engines). A real media deployment decodes pixels per partition via
+   * [[Multimodal.MediaCodec]] and feeds the luma plane through the SAME
+   * signature — the math is payload-agnostic, so the Spark-side plumbing
+   * certified here carries over unchanged.
+   *
+   * Same scale shape as [[simhashPairs]]: signatures computed once in the
+   * scan stage and persisted ([[Caches.persistTracked]] — release via
+   * `Caches.releaseAll()`), banded via `posexplode` so the bucket join
+   * carries (band, band_val, id) longs — never payloads; with
+   * `bands > maxHamming` banding recall is structural (pigeonhole: ≤
+   * maxHamming differing bits cannot touch every band), so the pair set
+   * is EXACT for the signature metric, and the hamming verify (bit_count
+   * over per-band XORs, plan-constant unrolled — no HOF) runs BEFORE the
+   * pair-dedup shuffle. Engine-portable integer math end to end: the
+   * `dedup_phash` oracle recomputes signatures op-for-op in SQL — the
+   * `dedup_simhash_scale` contract, no corpus-separation assumption.
+   *
+   * Null payloads are dropped (a null has no content to match); empty
+   * payloads get the all-zero signature and pair with each other at
+   * hamming 0 — both behaviors mirrored exactly by the oracle.
+   */
+  def phashPairs(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload", blocks: Int = 64, bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(bands > maxHamming,
+      s"bands ($bands) must exceed maxHamming ($maxHamming) for structural recall")
+    require(blocks % bands == 0, s"blocks ($blocks) must split into $bands bands")
+    val bandBits = blocks / bands
+    val sig = Caches.persistTracked(media
+      .filter(col(payloadCol).isNotNull)
+      .select(col(idCol).as("media_id"),
+        VectorFunctions.blockhashBands(col(payloadCol), blocks, bandBits)
+          .as("bh")))
+    val banded = sig.select(col("media_id"), col("bh"),
+      posexplode(col("bh")).as(Seq("band", "band_val")))
+    val l = banded.select(col("band"), col("band_val"),
+      col("media_id").as("doc_a"), col("bh").as("bh_a"))
+    val r = banded.select(col("band"), col("band_val"),
+      col("media_id").as("doc_b"), col("bh").as("bh_b"))
+    // per-band XOR popcounts, unrolled over plan-constant indices (no
+    // lambda — the PlanSpec no-interpreted-HOF pin covers this plan)
+    val hamming = (0 until bands).map(i =>
+      bit_count(element_at(col("bh_a"), i + 1)
+        .bitwiseXOR(element_at(col("bh_b"), i + 1))))
+      .reduce(_ + _)
+    l.join(r, Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", hamming.cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /**
    * Word-k-shingle sets per document, stop-shingles stripped. Returns
    * (shSets, dfTable): shSets has (doc_id, sh: array, n_sh), persisted via
    * [[Caches.persistTracked]] — callers release it with

@@ -68,9 +68,18 @@ object Graph {
       // TRUNCATION, not its stats memory — inherited origin stats
       // compound (exponentially, for loops that join their state twice
       // per round) into million-digit BigInt estimates; see
-      // Caches.checkpointTrackedFreshStats
+      // Caches.checkpointTrackedFreshStats.
+      // The FINAL round is capped too (an r14 change — it used to stay
+      // lazy): a loop's last uncapped rounds ride into the consumer as a
+      // plan that references the last leaf once PER per-round state
+      // reference, multiplicatively — modularityTotal over a 4-round LPA
+      // carried a 113-codegen-stage tree and re-derived the tail per
+      // mixing leg (measured 7 → 17.6 s at sf0.1 after the loop joins
+      // went broadcast). Returning a materialized |V| leaf costs one
+      // eager job and makes every composition read it for free; rows
+      // identical, laziness was never part of the operator contract.
       val cap: DataFrame => DataFrame =
-        if (capEvery > 0 && i % capEvery == 0 && i < steps)
+        if (capEvery > 0 && (i % capEvery == 0 || i == steps))
           Caches.checkpointTrackedFreshStats
         else identity
       s = step(s, i, cap)
@@ -158,8 +167,9 @@ object Graph {
     * or re-sorts. Shared by every iterative operator. */
   private def checkpointEdges(edges: DataFrame, src: String,
       dst: String): DataFrame =
-    Caches.checkpointTracked(edges.select(col(src), col(dst))
-      .distinct().repartition(col(src)).sortWithinPartitions(src))
+    Caches.checkpointTrackedLayout(
+      edges.select(col(src), col(dst)).distinct(),
+      hashCols = Seq(src), sortCols = Seq(src))
 
   /**
    * PAGERANK (Page et al. 1999) over a DIRECTED distinct edge list, k
@@ -820,10 +830,10 @@ object Graph {
     * shape). */
   private def checkpointWeightedEdges(edges: DataFrame, src: String,
       dst: String, weight: String): DataFrame =
-    Caches.checkpointTracked(
+    Caches.checkpointTrackedLayout(
       edges.select(col(src).as("s"), col(dst).as("d"),
-          col(weight).cast("bigint").as("w"))
-        .repartition(col("s")).sortWithinPartitions("s"))
+        col(weight).cast("bigint").as("w")),
+      hashCols = Seq("s"), sortCols = Seq("s"))
 
   private def ssspLoop(e: DataFrame, source: Long, maxRounds: Int):
       DataFrame = {
@@ -1587,11 +1597,25 @@ object Graph {
   def louvainMove(edges: DataFrame, iterations: Int,
       src: String = "src", dst: String = "dst",
       symmetric: Boolean = false): DataFrame =
-    louvainLoop(
-      Caches.checkpointTracked(edges.select(col(src), col(dst)).distinct()
-        .withColumn("w", lit(1L))
-        .repartition(col(src)).sortWithinPartitions(src)),
-      iterations, src, dst, symmetric)
+    louvainMoveWithBase(edges, iterations, src, dst, symmetric)._1
+
+  /** [[louvainMove]] also returning the loop's CHECKPOINTED distinct-edge
+    * base `(src, dst, w ≡ 1)`: compositions that scan the same graph again
+    * after the move phase (coarsen, modularity) read the
+    * already-materialized base instead of recomputing the upstream edge
+    * derivation — one materialization serves the loop's k rounds AND every
+    * downstream consumer (the graph_coarsen query's second lineitem
+    * self-join was ~20% of its cost). The base's row multiset is exactly
+    * `edges.select(src, dst).distinct()`, so substituting it downstream is
+    * oracle-neutral. Released with the usual `Caches.releaseAll()`. */
+  def louvainMoveWithBase(edges: DataFrame, iterations: Int,
+      src: String = "src", dst: String = "dst",
+      symmetric: Boolean = false): (DataFrame, DataFrame) = {
+    val base = Caches.checkpointTrackedLayout(
+      edges.select(col(src), col(dst)).distinct().withColumn("w", lit(1L)),
+      hashCols = Seq(src), sortCols = Seq(src))
+    (louvainLoop(base, iterations, src, dst, symmetric), base)
+  }
 
   /**
    * WEIGHTED parallel Louvain move phase: [[louvainMove]] over a
@@ -1609,9 +1633,16 @@ object Graph {
       src: String = "src", dst: String = "dst",
       weight: String = "w", symmetric: Boolean = false,
       localEdgeCap: Long = 0L): DataFrame = {
-    val e = Caches.checkpointTracked(edges.select(col(src), col(dst),
-        col(weight).cast("bigint").as("w"))
-      .repartition(col(src)).sortWithinPartitions(src))
+    // src/dst cast alongside w: the driver-local fast path collects with
+    // getLong, which would ClassCastException on an int-typed edge frame
+    // the distributed fallback happily handles — normalize both paths to
+    // bigint at the door so the local≡distributed pin holds for any
+    // integral input type
+    val e = Caches.checkpointTrackedLayout(
+      edges.select(
+        col(src).cast("bigint").as(src), col(dst).cast("bigint").as(dst),
+        col(weight).cast("bigint").as("w")),
+      hashCols = Seq(src), sortCols = Seq(src))
     // DRIVER-LOCAL FAST PATH for the Louvain LEVEL-2 shape: [[coarsen]]'s
     // output is community-bounded (≤ C² edges, 2,777 at sf0.1 — and it
     // shrinks RELATIVE to |E| at scale, so the bound gets BETTER at
@@ -1724,24 +1755,39 @@ object Graph {
       val degs = Caches.checkpointTracked(
         e.groupBy(col(src).as("node")).agg(sum(col("w")).as("d")))
       val lab0 = degs.select(col("node"), col("node").as("label"), col("d"))
-      iterate(lab0, iterations, capEvery = 2) { (lab, _, cap) =>
+      // capEvery = 1 (was 2): each round references lab FOUR times (two
+      // join legs, own-community rows, community totals), and with the
+      // measured-stats leaves those references plan as broadcast builds —
+      // each of which re-derives an UNmaterialized previous round from
+      // scratch. A per-round |V| checkpoint makes every reference a leaf
+      // read (measured at sf0.1: the 3-round loop 9.4 → 5.3 s; the old
+      // every-2nd cap was tuned for the pre-layout SMJ shape)
+      iterate(lab0, iterations, capEvery = 1) { (lab, _, cap) =>
         val tot = lab.groupBy("label")
           .agg(sum(col("d")).as("t"))
           .withColumnRenamed("label", "c")
-        val kout = e
+        // v's OWN (label, d) ride through the contribution join on the
+        // src key — e is pre-partitioned by src, so this join adds no
+        // edge-side exchange (lab broadcasts at |V| scale, or exchanges
+        // |V| rows) — and the round loses the post-aggregation
+        // cand-⋈-lab scoring join (two |candidate|/|V|-row exchanges on
+        // node) it existed to feed. Values bit-identical: label and d
+        // are constant within a (node, c) group, so max() IS the value.
+        val contrib = e
+          .join(lab.select(col("node").as(src), col("label"), col("d")), src)
           .join(lab.select(col("node").as(dst), col("label").as("c")), dst)
-          .groupBy(col(src).as("node"), col("c"))
-          .agg(sum(col("w")).as("kvc"))
+          .select(col(src).as("node"), col("c"), col("w").as("kvc"),
+            col("label"), col("d"))
         // out-mass plus the always-present own-community row (the in
         // leg of the general loop is this one's mirror image — folded
         // into the ·2 below, not recomputed)
-        val cand = kout
+        val cand = contrib
           .unionAll(lab.select(col("node"), col("label").as("c"),
-            lit(0L).as("kvc")))
+            lit(0L).as("kvc"), col("label"), col("d")))
           .groupBy("node", "c")
-          .agg(sum(col("kvc")).as("kvc"))
+          .agg(sum(col("kvc")).as("kvc"), max(col("label")).as("label"),
+            max(col("d")).as("d"))
         val scored = cand
-          .join(lab, "node")
           .join(tot, "c")
           .select(col("node"), col("c"), col("d"),
             // (kvc·2).cast = (kvc + kcv).cast on equal longs;
@@ -1769,31 +1815,42 @@ object Graph {
             coalesce(col("din"), lit(0L)).as("din")))
       val lab0 = degs.select(col("node"), col("node").as("label"),
         col("dout"), col("din"))
-      iterate(lab0, iterations, capEvery = 2) { (lab, _, cap) =>
+      iterate(lab0, iterations, capEvery = 1) { (lab, _, cap) =>
         val tot = lab.groupBy("label")
           .agg(sum(col("dout")).as("tout"), sum(col("din")).as("tin"))
           .withColumnRenamed("label", "c")
+        // the symmetric branch's ride-through shape on both legs: each
+        // |E| join picks up the scored node's own (label, dout, din) on
+        // its grouping key, so no post-aggregation scoring join remains
         val kout = e
+          .join(lab.select(col("node").as(src), col("label"),
+            col("dout"), col("din")), src)
           .join(lab.select(col("node").as(dst), col("label").as("c")), dst)
-          .groupBy(col(src).as("node"), col("c"))
-          .agg(sum(col("w")).as("kvc"))
+          .select(col(src).as("node"), col("c"), col("w").as("kvc"),
+            col("label"), col("dout"), col("din"))
         val kin = e
+          .join(lab.select(col("node").as(dst), col("label"),
+            col("dout"), col("din")), dst)
           .join(lab.select(col("node").as(src), col("label").as("c")), src)
-          .groupBy(col(dst).as("node"), col("c"))
-          .agg(sum(col("w")).as("kcv"))
+          .select(col(dst).as("node"), col("c"), col("w").as("kcv"),
+            col("label"), col("dout"), col("din"))
         // out-mass, in-mass, and the always-present own-community row
         // merge in one partial-agg pass; tot' subtracts v's own degrees
         // when it scores the community it is already in
         val cand = kout
-          .select(col("node"), col("c"), col("kvc"), lit(0L).as("kcv"))
+          .select(col("node"), col("c"), col("kvc"), lit(0L).as("kcv"),
+            col("label"), col("dout"), col("din"))
           .unionAll(kin.select(col("node"), col("c"),
-            lit(0L).as("kvc"), col("kcv")))
+            lit(0L).as("kvc"), col("kcv"),
+            col("label"), col("dout"), col("din")))
           .unionAll(lab.select(col("node"), col("label").as("c"),
-            lit(0L).as("kvc"), lit(0L).as("kcv")))
+            lit(0L).as("kvc"), lit(0L).as("kcv"),
+            col("label"), col("dout"), col("din")))
           .groupBy("node", "c")
-          .agg(sum(col("kvc")).as("kvc"), sum(col("kcv")).as("kcv"))
+          .agg(sum(col("kvc")).as("kvc"), sum(col("kcv")).as("kcv"),
+            max(col("label")).as("label"),
+            max(col("dout")).as("dout"), max(col("din")).as("din"))
         val scored = cand
-          .join(lab, "node")
           .join(tot, "c")
           .select(col("node"), col("c"), col("dout"), col("din"),
             ((col("kvc") + col("kcv")).cast("double") / lit(m)

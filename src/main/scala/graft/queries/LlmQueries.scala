@@ -251,6 +251,50 @@ object LlmQueries {
        |)""".stripMargin
   }
 
+  /** Oracle for `dedup_phash`: recomputes the WHOLE blockhash pipeline in
+    * DuckDB — 64 integer-boundary byte-span sums over the payload bytes
+    * (ASCII text ⇒ byte = character code, the multimodal_decode
+    * contract; `WHERE text IS NOT NULL` mirrors the operator dropping
+    * null payloads), strictly-greater-than-mean bits, four 16-bit band
+    * values (never a 64-bit pack — DuckDB's BIGINT `<<` cannot reach bit
+    * 63), then the exact hamming ≤ 3 pair set via per-band
+    * bit_count(xor). Signatures recomputed op-for-op ⇒ exact on ANY
+    * corpus (no separation assumption); hamming 3 < 4 bands ⇒ the Spark
+    * side's banding recall is structural (pigeonhole), so it finds
+    * exactly this set. */
+  private val phashOracle: String = {
+    val blockSums =
+      """list_transform(generate_series(0, 63), b ->
+        |      list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |        generate_series(b * length(text) // 64 + 1,
+        |                        (b + 1) * length(text) // 64),
+        |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)))))""".stripMargin
+    def band(j: Int) = (0 until 16).map { k =>
+      val b = j * 16 + k
+      s"(CASE WHEN bs[${b + 1}] * 64 > tot THEN (CAST(1 AS BIGINT) << $k)" +
+        " ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" |\n    ") // operator at line END: stripMargin eats leading '|'
+    s"""WITH bl AS (
+       |  SELECT doc_id, $blockSums AS bs
+       |  FROM documents WHERE text IS NOT NULL
+       |), tt AS (
+       |  SELECT doc_id, bs,
+       |    CAST(list_sum(list_prepend(CAST(0 AS BIGINT), bs)) AS BIGINT) AS tot
+       |  FROM bl
+       |), sig AS (
+       |  SELECT doc_id, (${band(0)}) AS b0, (${band(1)}) AS b1,
+       |    (${band(2)}) AS b2, (${band(3)}) AS b3 FROM tt
+       |)
+       |SELECT * FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |      AS INTEGER) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |) WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val simhashScaleOracle: String =
     portableSimhashCte +
       """
@@ -2962,6 +3006,26 @@ object LlmQueries {
           hex(substring(col("content"), 1, 4)).as("magic_hex"),
           substring(col("content"), -4, 4).cast("string").as("footer"))
         .orderBy("file_name")
+    },
+
+    // PERCEPTUAL-HASH-STYLE CONTENT DEDUP over the multimodal payload
+    // bytes — the composition of the dedup and multimodal families: the
+    // blockhash/average-hash signature (64 integer-boundary byte-span
+    // sums, bit = span above the payload mean) as four 16-bit band
+    // values from the native BlockhashBands loop, banded candidates
+    // (bands > maxHamming ⇒ pigeonhole recall is structural), hamming
+    // verified via per-band bit_count(xor) BEFORE the pair-dedup
+    // shuffle. The oracle recomputes the ENTIRE signature pipeline
+    // op-for-op in DuckDB (ASCII text ⇒ payload byte = character code,
+    // the multimodal_decode contract), so exactness needs NO
+    // corpus-separation assumption — the dedup_simhash_scale pattern.
+    // A real deployment decodes pixels per partition via MediaCodec and
+    // feeds the luma plane through the same signature.
+    QueryDef.of("dedup_phash", phashOracle) { (s, dir) =>
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Dedup.phashPairs(media, idCol = "doc_id")
+        .orderBy("doc_a", "doc_b")
     },
 
     // Opaque-binary payload plumbing: byte length + header hex, computed as

@@ -3161,12 +3161,12 @@ object StarQueries {
       // both levels run the symmetric fast path: e is symmetrized by
       // the ok-self-join, and coarsen of a symmetric graph is symmetric
       // (w(c1→c2) = w(c2→c1); self-loops are their own reverse)
-      // e is scanned twice (move + coarsen) — persist the self-join
-      val ep = graft.operators.Caches.persistTracked(e)
-      val l1 = graft.operators.Caches.persistTracked(
-        graft.operators.Graph.louvainMove(ep, iterations = 3,
-          symmetric = true))
-      val g2 = graft.operators.Graph.coarsen(ep, l1)
+      // e is scanned twice (move + coarsen) — coarsen reads the move
+      // loop's checkpointed base, so the self-join runs exactly once
+      val (l1raw, base) = graft.operators.Graph.louvainMoveWithBase(e,
+        iterations = 3, symmetric = true)
+      val l1 = graft.operators.Caches.persistTracked(l1raw)
+      val g2 = graft.operators.Graph.coarsen(base.select("src", "dst"), l1)
       // level 2 on the coarse graph takes the DRIVER-LOCAL replay when
       // the community graph fits under the cap (2,777 edges at sf0.1 vs
       // ~5 distributed shuffles × 2 rounds of pure fixed overhead) —
@@ -3199,14 +3199,13 @@ object StarQueries {
       // the graph_louvain2 composition verbatim (symmetric fast path at
       // both levels), then the level-2 node partition through the same
       // integer-sum total as graph_louvain_q
-      // e is scanned THREE times here (move, coarsen, mixing) — the
-      // self-join is the one intermediate worth persisting in the
-      // whole composition
-      val ep = graft.operators.Caches.persistTracked(e)
-      val l1 = graft.operators.Caches.persistTracked(
-        graft.operators.Graph.louvainMove(ep, iterations = 3,
-          symmetric = true))
-      val g2 = graft.operators.Graph.coarsen(ep, l1)
+      // e is scanned THREE times here (move, coarsen, mixing) — all
+      // three read the move loop's one checkpointed base, so the
+      // self-join runs exactly once and nothing is persisted twice
+      val (l1raw, base) = graft.operators.Graph.louvainMoveWithBase(e,
+        iterations = 3, symmetric = true)
+      val l1 = graft.operators.Caches.persistTracked(l1raw)
+      val g2 = graft.operators.Graph.coarsen(base.select("src", "dst"), l1)
       // driver-local level-2 move under the cap (the graph_louvain2
       // rationale) — bit-identical labels either path
       val l2 = graft.operators.Graph.louvainMoveWeighted(g2,
@@ -3215,7 +3214,8 @@ object StarQueries {
       val labels = l1.join(l2.select(col("node").as("label"),
           col("label").as("label2")), "label")
         .select(col("node"), col("label2").as("label"))
-      graft.operators.Graph.modularityTotal(e, labels)
+      graft.operators.Graph.modularityTotal(
+        base.select("src", "dst"), labels)
     },
 
     // LOUVAIN AGGREGATION PHASE: the Louvain(3) partition collapsed to
@@ -3231,15 +3231,15 @@ object StarQueries {
         .join(li.select(col("ok"), col("pk").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct()
-      // e is scanned twice (move + coarsen); persisting the self-join
-      // measured a WASH here (13.6 s persisted vs 14.1 unpersisted in
-      // adjacent windows — the cache materialization costs what the
-      // recompute saves, and it breaks whole-stage fusion into the move
-      // loop's checkpoint base), so keep the simpler unpersisted plan;
-      // the 3-scan composition (graph_louvain2_q) is where it pays
-      val labels = graft.operators.Graph.louvainMove(e, iterations = 3,
-        symmetric = true)
-      graft.operators.Graph.coarsen(e, labels)
+      // e is scanned twice (move + coarsen): a query-level persist of
+      // the self-join measured a WASH (13.6 s persisted vs 14.1
+      // unpersisted — the extra materialization costs what the recompute
+      // saves), but the move loop CHECKPOINTS its distinct-edge base
+      // regardless, so coarsen reads that free materialization instead
+      // of recomputing the self-join
+      val (labels, base) = graft.operators.Graph.louvainMoveWithBase(e,
+        iterations = 3, symmetric = true)
+      graft.operators.Graph.coarsen(base.select("src", "dst"), labels)
         .orderBy("src", "dst")
     },
 
@@ -3257,11 +3257,13 @@ object StarQueries {
         .filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct() // modularity's simple-graph m
       // e is scanned TWICE (the move loop's checkpoint base and the
-      // mixing matrix) — persist the self-join instead of recomputing it
-      val ep = graft.operators.Caches.persistTracked(e)
-      val labels = graft.operators.Graph.louvainMove(ep, iterations = 3,
-        symmetric = true)
-      graft.operators.Graph.modularityTotal(ep, labels)
+      // mixing matrix) — the loop CHECKPOINTS its distinct-edge base
+      // anyway, so the mixing matrix reads that one materialization
+      // instead of a second self-join (or a redundant persist of it)
+      val (labels, base) = graft.operators.Graph.louvainMoveWithBase(e,
+        iterations = 3, symmetric = true)
+      graft.operators.Graph.modularityTotal(
+        base.select("src", "dst"), labels)
     },
 
     // MODULARITY of the LPA(4) partition on the co-purchase graph

@@ -216,7 +216,13 @@ object EventsStreaming {
   def simhashSignatures(base: DataFrame, textCol: String = "text",
       k: Int = 3): DataFrame = {
     import graft.functions.TextFunctions.{shingleHashes, simhashSig}
-    base.select(simhashSig(shingleHashes(col(textCol), k)).as("_simhash"))
+    // the shingle size is TAGGED into the column name: a base table built
+    // at k=4 anti-joined by an ingest stream hashing at k=3 has disjoint
+    // signature spaces and silently admits EVERY duplicate — the name
+    // check in dedupIncrementalBySimhash turns that mismatch into a loud
+    // construction-time failure instead
+    base.select(simhashSig(shingleHashes(col(textCol), k))
+        .as(s"_simhash_k$k"))
       .distinct()
   }
 
@@ -251,12 +257,20 @@ object EventsStreaming {
       tsCol: String = "ts", textCol: String = "text", k: Int = 3,
       watermarkDelay: String = "2 hours"): DataFrame = {
     import graft.functions.TextFunctions.{shingleHashes, simhashSig}
+    val sigCol = s"_simhash_k$k"
+    // the k-tagged column name ([[simhashSignatures]]) is the coupling
+    // check: a signature table hashed at a different shingle size would
+    // otherwise anti-join against a disjoint signature space and admit
+    // every duplicate — fail construction loudly instead
+    require(baseSigs.columns.sameElements(Array(sigCol)),
+      s"baseSigs must be simhashSignatures(base, k = $k) — expected one " +
+        s"column '$sigCol', got [${baseSigs.columns.mkString(", ")}]")
     docs
-      .withColumn("_simhash", simhashSig(shingleHashes(col(textCol), k)))
+      .withColumn(sigCol, simhashSig(shingleHashes(col(textCol), k)))
       .withWatermark(tsCol, watermarkDelay)
-      .join(baseSigs, Seq("_simhash"), "left_anti")
-      .dropDuplicatesWithinWatermark("_simhash")
-      .drop("_simhash")
+      .join(baseSigs, Seq(sigCol), "left_anti")
+      .dropDuplicatesWithinWatermark(sigCol)
+      .drop(sigCol)
   }
 
   /**

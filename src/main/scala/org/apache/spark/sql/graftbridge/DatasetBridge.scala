@@ -52,4 +52,96 @@ object DatasetBridge {
           session, lr.copy()(session, None, None))
       case _ => ds // not a bare checkpoint leaf — leave untouched
     }
+
+  /**
+   * Re-announce a just-`localCheckpoint`ed frame's PHYSICAL LAYOUT on its
+   * [[LogicalRDD]] leaf: `HashPartitioning(hashCols, numPartitions)` plus
+   * an ascending per-partition ordering on `sortCols`.
+   *
+   * Why this must exist: under AQE (the default), `Dataset.localCheckpoint`
+   * builds its LogicalRDD from `AdaptiveSparkPlanExec`, whose
+   * `outputPartitioning` is the LeafExecNode default `UnknownPartitioning(0)`
+   * — so a frame laid out with `repartition(n, key).sortWithinPartitions`
+   * comes back as a leaf that CLAIMS no layout at all, and every downstream
+   * join/aggregate on the key re-exchanges (and re-sorts) the materialized
+   * data. For graft's iterative operators, whose whole design is "checkpoint
+   * the |E| edge base pre-partitioned by the per-round join key so only the
+   * |V| state exchanges per round", the silent loss re-shuffled the edge
+   * base EVERY ROUND (measured at sf0.1: a 1.5 M-edge Exchange per Louvain
+   * round that the plans were designed not to pay).
+   *
+   * CALLER CONTRACT (correctness-critical — a false claim silently
+   * mis-joins): the checkpointed plan must ACTUALLY end in
+   * `repartition(numPartitions, hashCols).sortWithinPartitions(sortCols)`
+   * (checkpoint partitions are the executed plan's partitions 1:1 and rows
+   * are copied in order, so the physical layout IS the claim). Explicit-N
+   * repartition is REPARTITION_BY_NUM, which AQE never coalesces — the
+   * count is verified against the backing RDD here and the claim is
+   * declined (frame returned unchanged, merely unannounced) on mismatch.
+   * Origin statistics are dropped (the iterative-loop contract of
+   * [[dropCheckpointStats]]); AQE re-plans join strategies from runtime
+   * sizes regardless.
+   */
+  def relabelCheckpointLayout(ds: Dataset[org.apache.spark.sql.Row],
+      hashCols: Seq[String], sortCols: Seq[String],
+      numPartitions: Int): Dataset[org.apache.spark.sql.Row] =
+    ds.queryExecution.analyzed match {
+      case lr: LogicalRDD if lr.rdd.getNumPartitions == numPartitions =>
+        val session = ds.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val byName = lr.output.map(a => a.name -> a).toMap
+        val part = org.apache.spark.sql.catalyst.plans.physical
+          .HashPartitioning(hashCols.map(byName), numPartitions)
+        val ord = sortCols.map(c =>
+          org.apache.spark.sql.catalyst.expressions.SortOrder(
+            byName(c), org.apache.spark.sql.catalyst.expressions.Ascending))
+        org.apache.spark.sql.classic.Dataset.ofRows(
+          session,
+          lr.copy(outputPartitioning = part, outputOrdering = ord)(
+            session, measuredStats(session, lr), None))
+      case _ => ds // not a bare checkpoint leaf / count mismatch: no claim
+    }
+
+  /** The measured BlockManager size of a checkpoint leaf's backing RDD as
+    * leaf [[Statistics]] — None (caller falls back to session default)
+    * when the storage info is not yet visible. */
+  private def measuredStats(
+      session: org.apache.spark.sql.classic.SparkSession, lr: LogicalRDD)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.Statistics] =
+    session.sparkContext.getRDDStorageInfo
+      .find(_.id == lr.rdd.id)
+      .map(i => i.memSize + i.diskSize)
+      .filter(_ > 0L)
+      .map(bytes => org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = BigInt(bytes)))
+
+  /**
+   * Replace a just-checkpointed frame's leaf statistics with the REAL
+   * MEASURED size of its (already materialized — `localCheckpoint` is
+   * eager) backing RDD from the BlockManager's storage info.
+   *
+   * This supersedes [[dropCheckpointStats]]'s fall-back-to-default for
+   * iterative loops on both of that fix's axes while adding a third:
+   * (1) no compounding — the size is a fixed measured number, not a
+   * product of upstream estimates, so a loop that joins its state twice
+   * per round stays linear; (2) honest planning — the session-default
+   * fallback is `Long.MaxValue`, which statically FORBIDS broadcasting a
+   * 1 MB label frame and forces every per-round join through
+   * sort-merge + exchange until AQE rescues it one materialized shuffle
+   * too late (measured on the Louvain move loop: the |V| state paid an
+   * exchange per join per round); (3) the in-memory object-size estimate
+   * OVER-states serialized bytes, so a borderline frame errs toward not
+   * broadcasting — the safe direction. Falls back to dropping stats when
+   * the storage info is not yet visible.
+   */
+  def withMeasuredCheckpointStats(ds: Dataset[org.apache.spark.sql.Row])
+      : Dataset[org.apache.spark.sql.Row] =
+    ds.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val session = ds.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        org.apache.spark.sql.classic.Dataset.ofRows(
+          session, lr.copy()(session, measuredStats(session, lr), None))
+      case _ => ds
+    }
 }

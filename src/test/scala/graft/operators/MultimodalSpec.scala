@@ -96,4 +96,60 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got == Set((1L, 4L, "01020304"), (2L, 3L, "090807"), (3L, 0L, "")))
   }
+
+  test("BlockhashBands expression is bit-equal to its plain-Scala reference") {
+    import graft.expressions.BlockhashBands
+    import org.apache.spark.sql.functions.col
+    // deterministic pseudo-random payloads of awkward lengths: shorter
+    // than the block count, exact multiples, long, empty — plus negative
+    // bytes (the & 0xff unsigned fold is part of the contract)
+    val rnd = new scala.util.Random(42)
+    val payloads: Seq[Array[Byte]] =
+      Seq(0, 1, 7, 63, 64, 65, 300, 4096).map { n =>
+        val a = new Array[Byte](n); rnd.nextBytes(a); a
+      }
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("media_id", "payload")
+    val got = df.select(col("media_id"),
+        graft.functions.VectorFunctions.blockhashBands(col("payload"), 64, 16)
+          .as("bh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      assert(got(i.toLong) == BlockhashBands.reference(p, 64, 16).toSeq,
+        s"payload #$i (${p.length} bytes)")
+    }
+    // empty payload → all-zero bands (pairs with other empties at hamming 0)
+    assert(got(0L) == Seq(0L, 0L, 0L, 0L))
+    // band values stay inside 16 bits — the no-sign-bit contract
+    assert(got.values.forall(_.forall(v => v >= 0L && v < (1L << 16))))
+  }
+
+  test("phashPairs: planted near-identical payloads pair, disparate ones do not") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val base = new Array[Byte](1024); rnd.nextBytes(base)
+    // near-dup: flip a handful of bytes (a few block sums wiggle, most
+    // bits survive); far: an independent payload
+    val near = base.clone(); (0 until 8).foreach(i => near(i * 100) = (near(i * 100) + 1).toByte)
+    val far = new Array[Byte](1024); rnd.nextBytes(far)
+    val media = Seq((1L, base), (2L, near), (3L, far), (4L, base.clone()))
+      .toDF("media_id", "payload")
+    val pairs = Dedup.phashPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.releaseAll()
+    assert(pairs.contains((1L, 4L)), "exact copy must pair at hamming 0")
+    assert(pairs.contains((1L, 2L)), "lightly-perturbed payload must pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "independent payload must not pair")
+    // pair set equals the all-pairs hamming<=3 truth from the reference
+    import graft.expressions.BlockhashBands
+    val sigs = Seq(1L -> base, 2L -> near, 3L -> far, 4L -> base)
+      .map { case (id, p) => id -> BlockhashBands.reference(p, 64, 16) }
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = sa.zip(sb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs == truth)
+  }
 }
