@@ -273,8 +273,15 @@ object Similarity {
    * in DuckDB and hash-matches the resulting partition of the corpus.
    */
   def assignCells(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
-    corpus.select(col("vec_id"),
-      element_at(nearestCells(col("embedding"), centroids, 1), 1).as("cell"))
+    corpus.select(col("vec_id"), cellColumn(col("embedding"), centroids).as("cell"))
+
+  /** The cell-assignment COLUMN behind [[assignCells]] — argmin
+    * squared-L2 centroid, ties to the lowest cell index, centroids baked
+    * in as plan constants. Exposed so the streaming ingest twin
+    * ([[graft.streaming.EventsStreaming.ivfIngestAssign]]) applies the
+    * IDENTICAL certified expression (`kmeans_assign` oracle) per row. */
+  def cellColumn(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    element_at(nearestCells(vec, centroids, 1), 1)
 
   /**
    * ONE exact Lloyd MEAN-UPDATE: assign every vector to its nearest

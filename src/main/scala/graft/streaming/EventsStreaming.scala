@@ -274,6 +274,52 @@ object EventsStreaming {
   }
 
   /**
+   * STREAMING IVF INDEX MAINTENANCE, ingest half — new embeddings arrive
+   * on a stream and are assigned to an EXISTING index's cells by the
+   * IDENTICAL plan-constant argmin expression the batch tier certified
+   * ([[graft.operators.Similarity.assignCells]], `kmeans_assign` oracle):
+   * a STATELESS per-row map, so the output appends straight onto the
+   * index's assignment table with no watermark and no state — exactly
+   * the shape that keeps an ANN index's coverage fresh between retrains.
+   * The batch build-once stance stands at 100 TB: the stream maintains
+   * the ASSIGNMENT, never the centroids (centroid drift is detected by
+   * [[ivfIngestCellCounts]] and answered by a batch refit —
+   * `buildIvfIndex`/`lloydCentroidsTrained`).
+   *
+   * Output: every input column plus `cell`. StreamingSpec pins the
+   * closed-stream law: streaming assignment ≡ batch `assignCells` on the
+   * same rows, any arrival order (per-row purity makes it exact).
+   */
+  def ivfIngestAssign(vecs: DataFrame,
+      centroids: Seq[Seq[Double]],
+      embCol: String = "embedding"): DataFrame =
+    vecs.withColumn("cell",
+      graft.operators.Similarity.cellColumn(col(embCol), centroids))
+
+  /**
+   * The DRIFT SIGNAL for [[ivfIngestAssign]]: watermark-final ingest
+   * counts per (event-time window, cell). A coarse quantizer fitted on
+   * yesterday's distribution shows up here as a shifting cell histogram —
+   * the operational trigger for a batch refit — and the counts double as
+   * per-cell probe-cost telemetry (a cell absorbing most ingest is the
+   * one IVF probes will be slowest on). State: one count per in-horizon
+   * (window, cell) — nCells × windows, independent of stream volume.
+   *
+   * StreamingSpec pins the closed-stream law against the batch
+   * `assignCells` + window/count aggregation on a randomized
+   * out-of-order stream.
+   */
+  def ivfIngestCellCounts(vecs: DataFrame, centroids: Seq[Seq[Double]],
+      tsCol: String = "ts", embCol: String = "embedding",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    ivfIngestAssign(vecs, centroids, embCol)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength), col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("cell"), col("n"))
+
+  /**
    * Streaming twin of the batch point-in-time join
    * ([[graft.operators.AsOf.asofJoin]], the `events_asof` query): every left
    * row is enriched with the LATEST right row of the same key with

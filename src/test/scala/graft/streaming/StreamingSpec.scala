@@ -10,6 +10,9 @@ case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class AttEv(event_id: Long, user_id: Long, ts: Timestamp,
     event_type: String, value: Double)
 
+/** Timestamped embedding row for the streaming IVF ingest twin. */
+case class VecEv(vec_id: Long, ts: Timestamp, embedding: Seq[Float])
+
 /** Structured Streaming twin of the batch events queries, driven end-to-end
   * over MemoryStream. */
 class StreamingSpec extends SparkSpecBase {
@@ -117,6 +120,63 @@ class StreamingSpec extends SparkSpecBase {
         .as[(Timestamp, Long)].collect().toSet
       assert(batch == streamed)
     } finally q.stop()
+  }
+
+  test("ivfIngestAssign/ivfIngestCellCounts: streaming IVF ingest ≡ batch assignCells, any arrival order") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Similarity
+    // four plan-constant centroids in 2-D; vectors land deterministically
+    val centroids = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(10.0, 10.0))
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 40).map { i =>
+      val c = centroids(rnd.nextInt(4))
+      VecEv(i.toLong, t(9 + rnd.nextInt(3), rnd.nextInt(60)),
+        Seq((c(0) + rnd.nextDouble()).toFloat, (c(1) + rnd.nextDouble()).toFloat))
+    }
+    val shuffled = rnd.shuffle(rows) // out-of-order arrival
+    val in = MemoryStream[VecEv]
+    // (a) the stateless assignment twin — append straight through
+    val qa = EventsStreaming.ivfIngestAssign(in.toDF(), centroids)
+      .select("vec_id", "cell")
+      .writeStream.format("memory").queryName("ivf_assign")
+      .outputMode("append").start()
+    // (b) the watermark-final drift histogram
+    val qc = EventsStreaming.ivfIngestCellCounts(in.toDF(), centroids)
+      .writeStream.format("memory").queryName("ivf_cells")
+      .outputMode("append").start()
+    try {
+      shuffled.grouped(7).foreach { g => in.addData(g); qa.processAllAvailable(); qc.processAllAvailable() }
+      // push the watermark past every window so append mode finalizes
+      in.addData(VecEv(999L, t(23, 0), Seq(0f, 0f)))
+      qa.processAllAvailable(); qc.processAllAvailable()
+      val batchVecs = rows.toDF()
+        .select($"vec_id", $"ts", $"embedding")
+      // law (a): streaming assignment ≡ batch assignCells on the closed
+      // stream (the sentinel row included — per-row purity, any order)
+      val streamedAssign = spark.table("ivf_assign")
+        .as[(Long, Int)].collect().toMap
+      val batchAssign = Similarity.assignCells(
+          batchVecs.union(Seq(VecEv(999L, t(23, 0), Seq(0f, 0f))).toDF()
+            .select($"vec_id", $"ts", $"embedding")),
+          centroids)
+        .as[(Long, Int)].collect().toMap
+      assert(streamedAssign == batchAssign)
+      assert(streamedAssign.size == 41)
+      // law (b): finalized (window, cell) counts ≡ the batch
+      // window/count aggregation over assignCells (sentinel's window is
+      // NOT finalized — watermark sits at its event time — so exclude it)
+      val streamedCounts = spark.table("ivf_cells")
+        .as[(Timestamp, Int, Long)].collect().toSet
+      val batchCounts = EventsStreaming.ivfIngestAssign(batchVecs, centroids)
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"), $"cell")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .select($"window.start", $"cell", $"n")
+        .as[(Timestamp, Int, Long)].collect().toSet
+      assert(streamedCounts == batchCounts)
+      // the histogram actually spans multiple cells (drift is observable)
+      assert(streamedCounts.map(_._2).size >= 3)
+    } finally { qa.stop(); qc.stop() }
   }
 
   test("hoppingByType: each event lands in exactly two overlapping windows; batch ≡ streaming") {
