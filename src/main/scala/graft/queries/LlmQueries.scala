@@ -262,7 +262,9 @@ object LlmQueries {
     * corpus (no separation assumption); hamming 3 < 4 bands ⇒ the Spark
     * side's banding recall is structural (pigeonhole), so it finds
     * exactly this set. */
-  private val phashOracle: String = {
+  /** Shared blockhash CTE prefix: signatures `sig(doc_id, b0..b3)` and
+    * the exact hamming ≤ 3 pair set `ppr(doc_a, doc_b, hamming)`. */
+  private val phashCte: String = {
     val blockSums =
       """list_transform(generate_series(0, 63), b ->
         |      list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(
@@ -284,16 +286,46 @@ object LlmQueries {
        |), sig AS (
        |  SELECT doc_id, (${band(0)}) AS b0, (${band(1)}) AS b1,
        |    (${band(2)}) AS b2, (${band(3)}) AS b3 FROM tt
-       |)
-       |SELECT * FROM (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-       |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
-       |      AS INTEGER) AS hamming
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |) WHERE hamming <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |), ppr AS (
+       |  SELECT * FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |         + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |        AS INTEGER) AS hamming
+       |    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  ) WHERE hamming <= 3
+       |)""".stripMargin
   }
+
+  private val phashOracle: String =
+    phashCte +
+      """
+        |SELECT doc_a, doc_b, hamming FROM ppr
+        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle for `dedup_phash_survivors`: the blockhash pair set through
+    * the SAME recursive-reachability components + min-id-keeper CTE the
+    * batch survivors rows certify — content-dedup cluster resolution over
+    * the multimodal payload family, exact end to end (signatures
+    * op-for-op, components a full fixpoint). */
+  private val phashSurvivorsOracle: String =
+    phashCte +
+      """,
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM ppr
+        |  UNION ALL SELECT doc_b, doc_a FROM ppr
+        |),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT DISTINCT s, s FROM edges
+        |    UNION
+        |    SELECT r.src, e.d FROM r JOIN edges e ON r.node = e.s
+        |  ) SELECT src, min(node) AS cluster FROM r GROUP BY src
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE text IS NOT NULL
+        |  AND doc_id NOT IN (SELECT src FROM reach WHERE cluster <> src)
+        |ORDER BY doc_id""".stripMargin
 
   private val simhashScaleOracle: String =
     portableSimhashCte +
@@ -3026,6 +3058,26 @@ object LlmQueries {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Dedup.phashPairs(media, idCol = "doc_id")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // The phash family COMPOSED with cluster resolution — the full
+    // content-dedup pipeline a multimodal corpus runs: blockhash pairs →
+    // connected components (the union-find loop the text survivors rows
+    // certify) → keep the min-id member per cluster. Null payloads have
+    // no content to match and pass through as survivors-by-absence on
+    // both sides (the text IS NOT NULL filter).
+    QueryDef.of("dedup_phash_survivors", phashSurvivorsOracle) { (s, dir) =>
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .filter(col("payload").isNotNull)
+      val pairs = Dedup.phashPairs(media, idCol = "doc_id")
+        .select("doc_a", "doc_b")
+      // loopParts pinned — see dedup_survivors' rationale
+      val losers = Dedup.duplicateClusters(pairs, loopParts = 1)
+        .filter(col("doc_id") =!= col("cluster"))
+      media.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
     },
 
     // Opaque-binary payload plumbing: byte length + header hex, computed as

@@ -74,7 +74,7 @@ class PlanSpec extends SparkSpecBase {
   test("dedup candidate-generation paths contain no per-key Window") {
     for (name <- Seq("dedup_minhash", "dedup_simhash", "dedup_simhash_scale",
         "ngram_jaccard", "dedup_exact", "dedup_fingerprint", "dedup_embedding",
-        "dedup_phash",
+        "dedup_phash", "dedup_phash_survivors",
         "ann_topk", "ann_topk_lsh", "join_skew_salted", "corpus_sample")) {
       val p = plan(name)
       assert(!p.contains("Window"), s"$name plan has a Window:\n$p")
@@ -163,7 +163,7 @@ class PlanSpec extends SparkSpecBase {
     // arithmetic; this pin keeps it that way.
     for (name <- Seq("dedup_minhash", "dedup_simhash", "dedup_simhash_scale",
         "ngram_jaccard", "dedup_exact", "dedup_fingerprint", "dedup_embedding",
-        "dedup_phash", "dedup_exact_norm",
+        "dedup_phash", "dedup_phash_survivors", "dedup_exact_norm",
         "dedup_survivors", "dedup_survivors_composed", "dedup_containment",
         "dedup_incremental", "corpus_sample",
         "decontaminate", "decontaminate_fuzzy",
