@@ -225,8 +225,8 @@ object Graph {
       exact: Boolean = true, foldBuckets: Int = 16): DataFrame = {
     val e = edges.select(col(src), col(dst)).distinct()
     val deg = e.groupBy(src).agg(count(lit(1)).as("deg"))
-    val base = Caches.checkpointTracked(
-      e.join(deg, src).repartition(col(src)).sortWithinPartitions(src))
+    val base = Caches.checkpointTrackedLayout(e.join(deg, src),
+      hashCols = Seq(src), sortCols = Seq(src))
     val nodes = Caches.checkpointTracked(deg.select(col(src).as("node")))
     val n = nodes.count() // bounded eager job: ONE driver-side long
     val jump = (1.0 - damping) / n.toDouble
@@ -263,8 +263,8 @@ object Graph {
       foldBuckets: Int = 16): DataFrame = {
     val e = edges.select(col(src), col(dst), col(weight).as("w"))
     val sw = e.groupBy(src).agg(sum(col("w")).as("sw"))
-    val base = Caches.checkpointTracked(
-      e.join(sw, src).repartition(col(src)).sortWithinPartitions(src))
+    val base = Caches.checkpointTrackedLayout(e.join(sw, src),
+      hashCols = Seq(src), sortCols = Seq(src))
     val nodes = Caches.checkpointTracked(sw.select(col(src).as("node")))
     val n = nodes.count() // bounded eager job: ONE driver-side long
     val jump = (1.0 - damping) / n.toDouble
@@ -301,8 +301,8 @@ object Graph {
       s"personalizedPageRank seeds must be distinct: $seeds")
     val e = edges.select(col(src), col(dst)).distinct()
     val deg = e.groupBy(src).agg(count(lit(1)).as("deg"))
-    val base = Caches.checkpointTracked(
-      e.join(deg, src).repartition(col(src)).sortWithinPartitions(src))
+    val base = Caches.checkpointTrackedLayout(e.join(deg, src),
+      hashCols = Seq(src), sortCols = Seq(src))
     val nodes = Caches.checkpointTracked(deg.select(col(src).as("node")))
     // Seeds must be src nodes of the graph: an absent seed would silently
     // lose its teleport + initial-mass share (total rank < 1, quietly
@@ -434,6 +434,12 @@ object Graph {
       dst: String = "dst", exact: Boolean = true,
       foldBuckets: Int = 16): DataFrame = {
     val eSrc = checkpointEdges(edges, src, dst)
+    // NOT the layout-claimed variant: a claimed eDst removes the shuffle
+    // boundary AQE needs to re-plan the per-round joins (whose other side
+    // is a mid-derivation state frame with estimate-only stats) into
+    // broadcasts — measured +10% on this loop (r14 control A/B); the
+    // pagerank-family bases keep the claim because their loop sides are
+    // measured-stats leaves that already plan broadcast statically
     val eDst = Caches.checkpointTracked(eSrc
       .repartition(col(dst)).sortWithinPartitions(dst))
     val nodes = Caches.checkpointTracked(
@@ -1500,6 +1506,7 @@ object Graph {
    */
   def boruvkaMst(pairs: DataFrame, rounds: Int, a: String = "a",
       b: String = "b", w: String = "w", loopParts: Int = 0): DataFrame = {
+    // unclaimed layout on purpose — the hits eDst rationale above
     val e = Caches.checkpointTracked(pairs
       .select(col(a).as("a"), col(b).as("b"), col(w).as("w"))
       .distinct().repartition(col("a")).sortWithinPartitions("a"))
