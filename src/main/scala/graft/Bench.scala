@@ -19,6 +19,58 @@ object Bench {
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+  /** One-line JVM + Spark state snapshot, printed to stderr at run
+    * checkpoints (every 30 queries, before the viol-retry pass, at end).
+    * Exists to make late-run degradation ATTRIBUTABLE: the r14 driver run
+    * measured `graph_pagerank_weighted`'s end-of-suite retry at 4.3× its
+    * main-run median with a quiet per-query cal spread — a signature that
+    * could be accumulated BlockManager blocks, JIT code-cache exhaustion,
+    * metaspace pressure, or shuffle-file buildup, and the artifact carried
+    * no evidence to tell them apart. Every number here is a cheap
+    * MXBean/driver-side read; the one directory walk (spark temp dirs) is
+    * capped at 50k entries. */
+  private[graft] def jvmDiag(spark: SparkSession): String = {
+    import scala.jdk.CollectionConverters._
+    def mb(n: Long): Long = n >> 20
+    import java.lang.management.ManagementFactory
+    val heap = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+    def poolUsed(name: String): Long =
+      pools.filter(_.getName.contains(name)).map(_.getUsage.getUsed).sum
+    val codeUsed = poolUsed("CodeHeap") + poolUsed("Code Cache")
+    val codeMax = pools.filter(p => p.getName.contains("CodeHeap") ||
+      p.getName.contains("Code Cache")).map(_.getUsage.getMax).sum
+    val meta = poolUsed("Metaspace")
+    val gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+    val sto = spark.sparkContext.getRDDStorageInfo
+    val nPersist = spark.sparkContext.getPersistentRDDs.size
+    // shuffle/temp file footprint: every spark-managed temp dir under
+    // java.io.tmpdir (blockmgr-* holds shuffle + localCheckpoint blocks
+    // spilled to disk; spark-* holds temp jars/files). Bounded walk.
+    var files = 0L; var bytes = 0L; var budget = 50000
+    def walk(f: java.io.File): Unit =
+      if (budget > 0) {
+        budget -= 1
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(walk)
+        else { files += 1; bytes += f.length() }
+      }
+    Option(new java.io.File(System.getProperty("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
+      .foreach(walk)
+    s"""{"heap_mb":${mb(heap.getUsed)},"heap_max_mb":${mb(heap.getMax)},""" +
+      s""""code_mb":${mb(codeUsed)},"code_max_mb":${mb(codeMax)},""" +
+      s""""meta_mb":${mb(meta)},"gc_total_s":${gcMs / 1000},""" +
+      s""""rdd_blocks":${sto.length},"rdd_mem_mb":${mb(sto.map(_.memSize).sum)},""" +
+      s""""rdd_disk_mb":${mb(sto.map(_.diskSize).sum)},""" +
+      s""""persistent_rdds":$nPersist,""" +
+      s""""tracked":${graft.operators.Caches.trackedCount},""" +
+      s""""tracked_idx":${graft.operators.Caches.trackedIndexCount},""" +
+      s""""tmp_files":$files,"tmp_mb":${mb(bytes)}}"""
+  }
+
   /** Host-noise floor probe: a fixed quantum of deterministic,
     * allocation-free JVM arithmetic run on `threads` concurrent threads
     * (one per Spark local slot — each thread ~150 ms of work on an idle
@@ -116,8 +168,8 @@ object Bench {
       fn: (SparkSession, String) => DataFrame, reps: Int, nThreads: Int,
       errors: scala.collection.mutable.ArrayBuffer[String],
       cals: scala.collection.mutable.ArrayBuffer[Double],
-      record: (String, Double, Seq[Double], Double, Double, Int) => Unit)
-      : (String, Double, Seq[Double], Double, Double, Int) = {
+      record: (String, Double, Seq[Double], Double, Double, Int, Double) => Unit)
+      : (String, Double, Seq[Double], Double, Double, Int, Double) = {
     System.err.println(s"[bench] running $name ×$reps")
     // One UNTIMED warm-up execution per query before the timed reps.
     // Measured (r6 artifact + local repro): the first execution of a
@@ -200,9 +252,23 @@ object Bench {
       if (prevW < 1.0)
         math.min(5, math.max(2, math.ceil(0.6 / math.max(prevW, 0.05)).toInt))
       else 1
+    // ADAPTIVE rep count for heavy (unbatched) rows: run 2 reps, and pay
+    // the 3rd ONLY when the first two disagree by > 10%. Rationale (r14
+    // budget pressure — 3,328 s of a ~3,600 s driver budget): a heavy row
+    // whose two reps agree within 10% gains nothing from a tie-breaking
+    // median — any 3rd rep would land between or near them, moving the
+    // reported median ≤ ~10%. The estimator stays `median()` in all cases
+    // (for 2 reps that is the LARGER — the conservative direction, and the
+    // same estimator batched sub-second rows have always shipped); the
+    // `runs` array carries the per-rep times, so an auditor sees exactly
+    // how many reps a row paid. Spread is still max/min over the reps run,
+    // and the probes still bracket every rep.
     val effReps = if (batchK > 1) math.min(reps, 2) else reps
     val qCals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val runs = (1 to effReps).map { _ =>
+    val runsBuf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var rep = 0
+    var continueReps = true
+    while (continueReps) {
       val c = calibrate(nThreads); cals += c; qCals += c
       val execs = (1 to batchK).map { j =>
         val t0 = System.nanoTime()
@@ -216,8 +282,13 @@ object Bench {
         dt
       }
       drain(spark)
-      median(execs)
+      runsBuf += median(execs)
+      rep += 1
+      continueReps = rep < effReps &&
+        !(batchK == 1 && rep == 2 && effReps > 2 && runsBuf.min > 0 &&
+          runsBuf.max / runsBuf.min <= 1.10)
     }
+    val runs = runsBuf.toSeq
     // trailing probe: each query's reps are BRACKETED by probes (reps+1
     // samples), so host noise during the last rep still has a probe
     // window to co-vary with
@@ -234,16 +305,25 @@ object Bench {
     // reps — a run-global cal figure could waive a real regression with
     // host noise that happened during some other query hours apart
     val qCalSpread = if (qCals.nonEmpty && qCals.min > 0) qCals.max / qCals.min else 0.0
+    // ABSOLUTE probe level during this query's reps, alongside the spread:
+    // the spread (a ratio over the query's own probes) is blind to a
+    // SUSTAINED degradation — a JVM running every probe at 0.9 s when the
+    // run's quiet floor is 0.09 s shows spread 1.0. The per-query probe
+    // MEDIAN against the run-global cal.min makes that mode visible (the
+    // r14 pagerank_weighted retry shipped "quiet cal 1.24" with no way to
+    // tell whether the probes sat at the floor or 10× above it).
+    val qCalMed = if (qCals.nonEmpty) median(qCals.toSeq) else 0.0
     if (spread > 2.0)
       System.err.println(f"[bench] WARNING: $name rep spread $spread%.1f× " +
         f"(runs ${runs.map(r => f"$r%.2f").mkString("/")}; cal spread " +
-        f"during its reps $qCalSpread%.2f×) — median unreliable")
+        f"during its reps $qCalSpread%.2f×, cal median $qCalMed%.3f s) " +
+        "— median unreliable")
     System.err.println(
       f"[bench] $name median $med%.2f s spread $spread%.1f× batch ×$batchK " +
         f"(rep medians ${runs.map(r => f"$r%.2f").mkString("/")})")
-    val out = (name, med, runs.toSeq, spread, qCalSpread, batchK)
+    val out = (name, med, runs, spread, qCalSpread, batchK, qCalMed)
     if (!errors.contains(name))
-      record(name, med, runs.toSeq, spread, qCalSpread, batchK)
+      record(name, med, runs, spread, qCalSpread, batchK, qCalMed)
     out
   }
 
@@ -333,13 +413,15 @@ object Bench {
             // artifact), so the full sfDir path and every parquet file's
             // (name, size, mtime) fold into the hash
             sfDir.foreach(c => mix(c.toLong))
+            // walk(), not a flat (name, size, mtime) fold: a Spark-style
+            // parquet table written as a DIRECTORY ending in .parquet
+            // would fold only the directory's own size/mtime, which need
+            // not change when part files inside are regenerated — the
+            // recursion keys every part file's bytes into the hash
             Option(new java.io.File(sfDir).listFiles())
               .getOrElse(Array.empty[java.io.File])
               .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-              .foreach { f =>
-                f.getName.foreach(c => mix(c.toLong))
-                mix(f.length()); mix(f.lastModified())
-              }
+              .foreach(walk)
             val sfName = new java.io.File(sfDir).getName
             val dir = new java.io.File(".bench_state")
             dir.mkdirs()
@@ -353,7 +435,7 @@ object Bench {
       }
     statePath.foreach(p =>
       System.err.println(s"[bench] resume state file: $p"))
-    val prior: Map[String, (Double, Seq[Double], Double, Double, Int)] =
+    val prior: Map[String, (Double, Seq[Double], Double, Double, Int, Double)] =
       statePath.filter(p => new java.io.File(p).exists()).map { p =>
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val src = scala.io.Source.fromFile(p)
@@ -363,7 +445,8 @@ object Bench {
             .map(i => n.get("runs").get(i).asDouble())
           n.get("name").asText() -> (n.get("med").asDouble(), runs.toSeq,
             n.get("spread").asDouble(), n.get("cal").asDouble(),
-            n.get("batch").asInt())
+            n.get("batch").asInt(),
+            Option(n.get("cal_med")).map(_.asDouble()).getOrElse(0.0))
         }.toMap
         finally src.close()
       }.getOrElse(Map.empty)
@@ -371,11 +454,11 @@ object Bench {
       System.err.println(s"[bench] resuming: ${prior.size} queries loaded " +
         s"from ${statePath.get}")
     def recordState(name: String, med: Double, runs: Seq[Double],
-        spread: Double, qcal: Double, batchK: Int): Unit =
+        spread: Double, qcal: Double, batchK: Int, calMed: Double): Unit =
       statePath.foreach { p =>
         val w = new java.io.FileWriter(p, true)
         try w.write(s"""{"name":"$name","med":$med,"runs":[${
-          runs.mkString(",")}],"spread":$spread,"cal":$qcal,"batch":$batchK}\n""")
+          runs.mkString(",")}],"spread":$spread,"cal":$qcal,"batch":$batchK,"cal_med":$calMed}\n""")
         finally w.close()
       }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -385,37 +468,45 @@ object Bench {
     // own probe spread, and the 10 largest medians. The final line and
     // the incremental partials share it so an auditor reads one schema.
     def summaryBody(
-        rs: Seq[(String, Double, Seq[Double], Double, Double, Int)],
+        rs: Seq[(String, Double, Seq[Double], Double, Double, Int, Double)],
         errN: Int, resumedN: Int): String = {
       val total = rs.map(_._2).sum
       val maxSp = if (rs.nonEmpty) rs.map(_._4).max else 0.0
       val top = rs.sortBy(-_._2).take(10)
-        .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+        .map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
+      // viol rows carry BOTH the probe ratio during the query's reps (cal)
+      // and the probes' absolute median (cal_med) — read against the
+      // run-global cal.min: a quiet ratio at an elevated absolute level is
+      // a sustained-degradation mode, not a clean measurement
       val viol = rs.filter(_._4 > 2.0)
-        .map { case (k, _, _, s, qc, _) =>
-          "\"" + k + "\":" + f"""{"spread":$s%.2f,"cal":$qc%.2f}"""
+        .map { case (k, _, _, s, qc, _, cm) =>
+          "\"" + k + "\":" +
+            f"""{"spread":$s%.2f,"cal":$qc%.2f,"cal_med":$cm%.3f}"""
         }.mkString("{", ",", "}")
       s""""total":${f"$total%.3f"},"max_spread":${f"$maxSp%.2f"},""" +
         s""""errors_n":$errN,"resumed_n":$resumedN,"viol":$viol,"top":$top"""
     }
     val acc =
       scala.collection.mutable.ArrayBuffer
-        .empty[(String, Double, Seq[Double], Double, Double, Int)]
+        .empty[(String, Double, Seq[Double], Double, Double, Int, Double)]
     // resumed rows are COUNTED into the artifact (resumed_n in the full
     // JSON and both summary lines): a re-invocation that recycled prior
     // measurements must be distinguishable from a fresh independent run
     var resumedN = 0
+    val runStart = System.nanoTime()
     selected.zipWithIndex.foreach { case ((name, fn), idx) =>
       acc += (prior.get(name) match {
-        case Some((med, runs, spread, qcal, batchK)) =>
+        case Some((med, runs, spread, qcal, batchK, calMed)) =>
           System.err.println(s"[bench] $name resumed from state (median " +
             f"$med%.2f s)")
           resumedN += 1
-          (name, med, runs, spread, qcal, batchK)
+          (name, med, runs, spread, qcal, batchK, calMed)
         case None => runQuery(spark, sfDir, name, fn, reps, nThreads,
           errors, cals, recordState)
       })
+      if ((idx + 1) % 30 == 0)
+        System.err.println(s"[bench] diag after ${idx + 1} queries: ${jvmDiag(spark)}")
       // INCREMENTAL partial summary every 10 queries (and near the end):
       // the driver keeps only the tail of stdout and kills on a time
       // budget — r12's killed run shipped a `parsed: null` artifact
@@ -442,33 +533,77 @@ object Bench {
     // Both medians ship (`viol_retry` in the full JSON and the summary
     // line); the main medians are never overwritten.
     val violRows = results.filter(r => r._4 > 2.0 && !errors.contains(r._1))
+    // SPARK_GRAFT_FORCE_RETRY=<names>: retry these queries at end of run
+    // even when their main reps were clean — the local repro lever for
+    // end-of-suite state pathologies (the r14 pagerank_weighted anomaly
+    // only manifests after ~190 queries of accumulated JVM/Spark state,
+    // so a fresh-process single-query run can never reproduce it).
+    val forced = sys.env.get("SPARK_GRAFT_FORCE_RETRY")
+      .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
+      .getOrElse(Nil)
+    val retryRows: Seq[(String, Boolean)] =
+      violRows.map(r => (r._1, false)) ++
+        forced.filterNot(n => violRows.exists(_._1 == n)).map((_, true))
+    // WALL-BUDGET CAP on the retry pass: the driver kills the whole sbt
+    // invocation on a ~3,600 s budget, and r14 measured the retry pass
+    // alone costing ~5 min on a noisy run (one 42 s-median retry = a
+    // 3-minute line item). A skipped retry ships as an explicit
+    // `skipped_budget` marker — evidence withheld is recorded, never
+    // silently absent. Forced (local-repro) retries are exempt: they only
+    // run where the operator asked for them.
+    val retryBudgetS =
+      sys.env.getOrElse("SPARK_GRAFT_RETRY_BUDGET", "2850").toDouble
     val violRetry =
-      if (violRows.isEmpty) "{}"
-      else violRows.map { case (name, _, _, _, _, _) =>
-        System.err.println(s"[bench] viol-retry: re-measuring $name")
-        val fn = SparkEntry.queries(name)
-        val (_, med, _, spread, qcal, _) = runQuery(spark, sfDir, name, fn,
-          math.min(reps, 2), nThreads, errors, cals,
-          (_, _, _, _, _, _) => ()) // retries never touch resume state
-        "\"" + name + "\":" +
-          f"""{"med":$med%.3f,"spread":$spread%.2f,"cal":$qcal%.2f}"""
+      if (retryRows.isEmpty) "{}"
+      else retryRows.map { case (name, isForced) =>
+        val elapsed = (System.nanoTime() - runStart) / 1e9
+        if (!isForced && elapsed > retryBudgetS) {
+          System.err.println(f"[bench] viol-retry: SKIPPING $name " +
+            f"(elapsed $elapsed%.0f s > budget $retryBudgetS%.0f s)")
+          "\"" + name + "\":" + """{"skipped_budget":true}"""
+        } else {
+          System.err.println(s"[bench] viol-retry: re-measuring $name" +
+            (if (isForced) " (forced)" else ""))
+          System.err.println(s"[bench] diag before retry: ${jvmDiag(spark)}")
+          // separate error buffer: a retry failure (e.g. transient end-of-
+          // run OOM) must not mark a query errored whose PRIMARY reps
+          // succeeded and shipped a valid median — the artifact would
+          // self-contradict (valid entry in `queries`, name in `errors`)
+          val retryErrors = scala.collection.mutable.ArrayBuffer.empty[String]
+          val fn = SparkEntry.queries(name)
+          val (_, med, _, spread, qcal, _, calMed) = runQuery(spark, sfDir,
+            name, fn, math.min(reps, 2), nThreads, retryErrors, cals,
+            (_, _, _, _, _, _, _) => ()) // retries never touch resume state
+          val errField =
+            if (retryErrors.nonEmpty) ""","err":"retry_failed"""" else ""
+          val forcedField = if (isForced) ""","forced":true""" else ""
+          "\"" + name + "\":" +
+            f"""{"med":$med%.3f,"spread":$spread%.2f,"cal":$qcal%.2f,""" +
+            f""""cal_med":$calMed%.3f$errField$forcedField}"""
+        }
       }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val rs = results.map { case (k, _, runs, _, _, _) =>
+    val rs = results.map { case (k, _, runs, _, _, _, _) =>
       "\"" + k + "\":" + runs.map(r => f"$r%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val sp = results.map { case (k, _, _, spread, _, _) =>
+    val sp = results.map { case (k, _, _, spread, _, _, _) =>
       "\"" + k + "\":" + f"$spread%.2f"
     }.mkString("{", ",", "}")
     // per-query calibration spreads, so any spread violation can be
     // checked against the host-noise level during ITS OWN reps
-    val cq = results.map { case (k, _, _, _, qc, _) =>
+    val cq = results.map { case (k, _, _, _, qc, _, _) =>
       "\"" + k + "\":" + f"$qc%.2f"
+    }.mkString("{", ",", "}")
+    // per-query ABSOLUTE probe medians: against cal.min this exposes the
+    // sustained-degradation mode the ratio cannot see (all probes slow =
+    // quiet spread at an elevated level)
+    val cm = results.map { case (k, _, _, _, _, _, cmed) =>
+      "\"" + k + "\":" + f"$cmed%.3f"
     }.mkString("{", ",", "}")
     // per-query batch size K (reps are medians of K executions when K > 1)
     // — shipped so an auditor can tell a batched median from a raw one
-    val bk = results.map { case (k, _, _, _, _, b) =>
+    val bk = results.map { case (k, _, _, _, _, b, _) =>
       "\"" + k + "\":" + b
     }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -485,7 +620,8 @@ object Bench {
       System.err.println(f"[bench] WARNING: host-noise calibration probe " +
         f"varied $calSpread%.2f× (${cals.min}%.3f-${cals.max}%.3f s) across " +
         "the run — query rep spreads include machine noise at this scale")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"spread":$sp,"cal_by_query":$cq,"batch":$bk,"probe_threads":$nThreads,"max_spread":$maxSpreadStr,$cal,"viol_retry":$violRetry,"resumed_n":$resumedN,"errors":$errs,"reps":$reps,"warmup":"adaptive<=3","sf":"$sfDir"}""")
+    System.err.println(s"[bench] diag at end of run: ${jvmDiag(spark)}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"spread":$sp,"cal_by_query":$cq,"cal_med_by_query":$cm,"batch":$bk,"probe_threads":$nThreads,"max_spread":$maxSpreadStr,$cal,"viol_retry":$violRetry,"resumed_n":$resumedN,"errors":$errs,"reps":"adaptive2-$reps","warmup":"adaptive<=3","sf":"$sfDir"}""")
     // SECOND, compact line AFTER the full JSON: the driver artifact keeps
     // only the tail of stdout, and the full line's queries/runs maps are
     // wide enough to truncate mid-stream — which destroys exactly the

@@ -65,8 +65,13 @@ object Caches {
     * returns an `UnknownPartitioning(0)` leaf, silently discarding the
     * layout the loop paid a shuffle to build (every round then re-exchanges
     * the |E| base the design says never moves). The layout claim is true
-    * by construction: this helper OWNS the repartition+sort it announces.
-    * Stats are dropped (the loop-cap rationale below). */
+    * by construction: this helper OWNS the repartition+sort it announces —
+    * and the bridge re-verifies that against the plan it is handed (the
+    * pre-checkpoint logical plan must actually end in that repartition(+
+    * sort), or the claim is declined). Leaf stats are the MEASURED
+    * BlockManager size of the backing RDD (session default only when the
+    * storage info is not yet visible) — fixed, so they cannot compound
+    * (see [[checkpointTrackedFreshStats]]). */
   private[graft] def checkpointTrackedLayout(
       df: org.apache.spark.sql.DataFrame, hashCols: Seq[String],
       sortCols: Seq[String]): org.apache.spark.sql.DataFrame = {
@@ -79,7 +84,7 @@ object Caches {
     val cp = sorted.localCheckpoint()
     tracked.add(cp)
     org.apache.spark.sql.graftbridge.DatasetBridge
-      .relabelCheckpointLayout(cp, hashCols, sortCols, n)
+      .relabelCheckpointLayout(cp, sorted, hashCols, sortCols, n)
   }
 
   /** [[checkpointTracked]] for ITERATIVE-LOOP state frames: additionally

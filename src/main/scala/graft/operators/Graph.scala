@@ -41,10 +41,14 @@ object Graph {
    * THE ITERATION SCAFFOLD shared by every fixed-k iterative operator in
    * the toolkit ([[pageRank]], [[labelPropagation]], [[bfs]], [[sssp]]):
    * run `steps` rounds of `step`, handing each round a `cap` function
-   * that is [[Caches.checkpointTracked]] on every `capEvery`-th round
-   * and identity otherwise — NEVER on the last round (nothing re-derives
-   * the final state, so an eager materialization job there is pure
-   * waste).
+   * that is [[Caches.checkpointTrackedFreshStats]] on every `capEvery`-th
+   * round AND on the final round, identity otherwise. Capping the final
+   * round is deliberate (r14 contract): loops return MATERIALIZED leaves,
+   * because an uncapped tail is re-derived once per downstream reference
+   * — a consumer that mixes the loop state into several legs multiplies
+   * the whole tail's cost (the modularityTotal 113-codegen-stage
+   * regression). Consequence: re-executing a returned loop frame after
+   * `Caches.releaseAll()` is invalid — the leaf's blocks are gone.
    *
    * Why the cap exists: each round's logical plan nests every previous
    * round's, so an uncapped k-round loop grows the plan exponentially in

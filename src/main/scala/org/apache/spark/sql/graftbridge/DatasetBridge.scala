@@ -74,19 +74,29 @@ object DatasetBridge {
    * mis-joins): the checkpointed plan must ACTUALLY end in
    * `repartition(numPartitions, hashCols).sortWithinPartitions(sortCols)`
    * (checkpoint partitions are the executed plan's partitions 1:1 and rows
-   * are copied in order, so the physical layout IS the claim). Explicit-N
-   * repartition is REPARTITION_BY_NUM, which AQE never coalesces — the
-   * count is verified against the backing RDD here and the claim is
-   * declined (frame returned unchanged, merely unannounced) on mismatch.
-   * Origin statistics are dropped (the iterative-loop contract of
-   * [[dropCheckpointStats]]); AQE re-plans join strategies from runtime
-   * sizes regardless.
+   * are copied in order, so the physical layout IS the claim). The
+   * contract is VERIFIED, not trusted: `origin` is the pre-checkpoint
+   * frame, whose analyzed plan must end in exactly that
+   * Sort(within-partitions, ascending `sortCols`) over
+   * RepartitionByExpression(`hashCols`, `numPartitions`) — a caller that
+   * reorders the repartition columns or drops the sort cannot make a
+   * false claim; the claim is silently declined instead (frame returned
+   * unannounced — merely slower, never wrong). Explicit-N repartition is
+   * REPARTITION_BY_NUM, which AQE never coalesces — the count is
+   * additionally verified against the backing RDD. Leaf statistics are
+   * the MEASURED BlockManager size of the backing RDD
+   * ([[withMeasuredCheckpointStats]]'s contract — fixed, honest,
+   * broadcast-enabling), falling back to the session default when the
+   * storage info is not yet visible.
    */
   def relabelCheckpointLayout(ds: Dataset[org.apache.spark.sql.Row],
+      origin: Dataset[org.apache.spark.sql.Row],
       hashCols: Seq[String], sortCols: Seq[String],
       numPartitions: Int): Dataset[org.apache.spark.sql.Row] =
     ds.queryExecution.analyzed match {
-      case lr: LogicalRDD if lr.rdd.getNumPartitions == numPartitions =>
+      case lr: LogicalRDD if lr.rdd.getNumPartitions == numPartitions &&
+          originMatchesClaim(origin.queryExecution.analyzed, hashCols,
+            sortCols, numPartitions) =>
         val session = ds.sparkSession
           .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         val byName = lr.output.map(a => a.name -> a).toMap
@@ -99,8 +109,37 @@ object DatasetBridge {
           session,
           lr.copy(outputPartitioning = part, outputOrdering = ord)(
             session, measuredStats(session, lr), None))
-      case _ => ds // not a bare checkpoint leaf / count mismatch: no claim
+      case _ => ds // no checkpoint leaf / count or layout mismatch: no claim
     }
+
+  /** Does `plan` end in Sort(within-partitions, asc `sortCols`) over
+    * RepartitionByExpression(`hashCols`, `numPartitions`) — i.e. is the
+    * layout claim literally the plan that was checkpointed? Column
+    * matching is by attribute NAME (the claim columns are caller-supplied
+    * names over the same frame). Anything unexpected → false (decline). */
+  private def originMatchesClaim(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      hashCols: Seq[String], sortCols: Seq[String], n: Int): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.{RepartitionByExpression, Sort}
+    def attrNames(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : Option[Seq[String]] = {
+      val names = es.map { case a: Attribute => a.name; case _ => null }
+      if (names.contains(null)) None else Some(names)
+    }
+    val (sortOk, inner) = plan match {
+      case s: Sort if !s.global =>
+        (s.order.forall(_.direction == Ascending) &&
+          attrNames(s.order.map(_.child)).contains(sortCols), s.child)
+      case p => (sortCols.isEmpty, p)
+    }
+    sortOk && (inner match {
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.contains(n) &&
+          attrNames(r.partitionExpressions).contains(hashCols)
+      case _ => false
+    })
+  }
 
   /** The measured BlockManager size of a checkpoint leaf's backing RDD as
     * leaf [[Statistics]] — None (caller falls back to session default)
