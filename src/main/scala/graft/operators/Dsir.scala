@@ -65,22 +65,33 @@ object Dsir {
 
   /** Per-document log importance weight (doc_id, weight). */
   def importanceWeights(docs: DataFrame, isTarget: Column,
-      buckets: Int): DataFrame =
-    weightsFrom(Caches.persistTracked(hashedFeatures(docs, isTarget, buckets)),
-      buckets)
+      buckets: Int): DataFrame = {
+    val feats = Caches.persistTracked(hashedFeatures(docs, isTarget, buckets))
+    weightsFrom(feats, bucketMarginals(feats), buckets)
+  }
 
-  /** (doc_id, weight) from an already-persisted feature frame — the
-    * shared core of [[importanceWeights]] and [[distributionShift]] (the
-    * latter reuses ONE feature scan for both the selection and the KL
-    * counts). */
-  private def weightsFrom(feats: DataFrame, buckets: Int): DataFrame = {
+  /** BOTH per-bucket marginals in ONE pass over the feature frame (r15):
+    * the old shape aggregated raw counts (rf) and target counts (tf) as
+    * two separate scans + exchanges and LEFT-joined them. `sum(when(tgt,
+    * k))` over a bucket with no target rows is NULL — exactly the join
+    * miss the consumers coalesce to 0 — so (bucket, cr, ct) is the old
+    * rf⋈tf row set bit-for-bit (integer sums, order-free) at half the
+    * passes. ≤B rows; callers persist when they fan out. */
+  private def bucketMarginals(feats: DataFrame): DataFrame =
+    feats.groupBy("bucket").agg(sum("k").as("cr"),
+      sum(when(col("tgt"), col("k"))).as("ct"))
+
+  /** (doc_id, weight) from an already-persisted feature frame and its
+    * [[bucketMarginals]] — the shared core of [[importanceWeights]] and
+    * [[distributionShift]] (the latter reuses ONE feature scan AND one
+    * marginal pass for both the selection and the KL counts). */
+  private def weightsFrom(feats: DataFrame, marginals: DataFrame,
+      buckets: Int): DataFrame = {
     val b = lit(buckets.toLong)
-    val rf = feats.groupBy("bucket").agg(sum("k").as("cr"))
-    val tf = feats.filter(col("tgt")).groupBy("bucket").agg(sum("k").as("ct"))
-    val rt = rf.agg(sum("cr").as("rtot"))
-    val tt = tf.agg(coalesce(sum("ct"), lit(0L)).as("ttot"))
+    val rt = marginals.agg(sum("cr").as("rtot"))
+    val tt = marginals.agg(coalesce(sum("ct"), lit(0L)).as("ttot"))
     // ieeeLn, not Spark's log(): the oracle's ln is libm — see Ieee754Ln
-    val wb = rf.join(tf, Seq("bucket"), "left")
+    val wb = marginals
       .crossJoin(broadcast(rt)).crossJoin(broadcast(tt))
       .select(col("bucket"),
         (TextFunctions.ieeeLn((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
@@ -123,17 +134,19 @@ object Dsir {
       n: Int): DataFrame = {
     val b = lit(buckets.toLong)
     val feats = Caches.persistTracked(hashedFeatures(docs, isTarget, buckets))
+    // ONE marginal pass (≤B rows, persisted) feeds the selection weights
+    // AND the KL counts — the old shape aggregated rf/tf twice each
+    // (once inside weightsFrom, once here), four feature scans for two
+    // marginals (r15)
+    val marginals = Caches.persistTracked(bucketMarginals(feats))
     // selection from the SAME persisted feature frame — one scan total
-    val selIds = weightsFrom(feats, buckets)
+    val selIds = weightsFrom(feats, marginals, buckets)
       .orderBy(desc("weight"), col("doc_id"))
       .limit(n)
       .select("doc_id")
-    val rf = feats.groupBy("bucket").agg(sum("k").as("cr"))
-    val tf = feats.filter(col("tgt")).groupBy("bucket").agg(sum("k").as("ct"))
     val sf = feats.join(selIds, Seq("doc_id"), "left_semi")
       .groupBy("bucket").agg(sum("k").as("cs"))
-    val joined = rf
-      .join(tf, Seq("bucket"), "left")
+    val joined = marginals
       .join(sf, Seq("bucket"), "left")
       .select(col("bucket"), col("cr"),
         coalesce(col("ct"), lit(0L)).as("ct"),

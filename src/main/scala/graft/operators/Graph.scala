@@ -227,17 +227,28 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int = 5,
       damping: Double = 0.85, src: String = "src", dst: String = "dst",
       exact: Boolean = true, foldBuckets: Int = 16): DataFrame = {
-    val e = edges.select(col(src), col(dst)).distinct()
-    val deg = e.groupBy(src).agg(count(lit(1)).as("deg"))
-    val base = Caches.checkpointTrackedLayout(e.join(deg, src),
+    // ONE materialization of the distinct edge base (r15): the old shape
+    // checkpointed e⋈deg and nodes separately, so the upstream edge
+    // DERIVATION (for the wired queries, a lineitem self-join + distinct)
+    // was evaluated three times per build — once per subtree (e, deg-from-e,
+    // nodes-from-deg-from-e). Deriving deg FROM the leaf runs the
+    // derivation exactly once, and the leaf's claimed HashPartitioning(src)
+    // makes the degree aggregate exchange-free. deg rides in the LOOP STATE
+    // (the louvain state-carried-degree trick) so no per-edge deg column is
+    // ever materialized — values bit-identical: same integer deg, same
+    // fixed-shape contribution expression, just routed through the state.
+    val base = Caches.checkpointTrackedLayout(
+      edges.select(col(src), col(dst)).distinct(),
       hashCols = Seq(src), sortCols = Seq(src))
-    val nodes = Caches.checkpointTracked(deg.select(col(src).as("node")))
-    val n = nodes.count() // bounded eager job: ONE driver-side long
+    val deg = Caches.checkpointTracked(
+      base.groupBy(col(src).as("node")).agg(count(lit(1)).as("deg")))
+    val n = deg.count() // bounded eager job: ONE driver-side long
     val jump = (1.0 - damping) / n.toDouble
-    val r0 = nodes.select(col("node"), lit(1.0 / n.toDouble).as("pr"))
-    prLoop(base, nodes, r0, lit(jump),
+    val r0 = deg.select(col("node"), lit(1.0 / n.toDouble).as("pr"),
+      col("deg"))
+    prLoop(base, deg, r0, lit(jump),
       col("pr") / col("deg").cast("double"),
-      iterations, damping, exact, foldBuckets, src, dst)
+      iterations, damping, exact, foldBuckets, src, dst, carry = Seq("deg"))
   }
 
   /**
@@ -265,17 +276,22 @@ object Graph {
       damping: Double = 0.85, src: String = "src", dst: String = "dst",
       weight: String = "w", exact: Boolean = true,
       foldBuckets: Int = 16): DataFrame = {
-    val e = edges.select(col(src), col(dst), col(weight).as("w"))
-    val sw = e.groupBy(src).agg(sum(col("w")).as("sw"))
-    val base = Caches.checkpointTrackedLayout(e.join(sw, src),
+    // the pageRank r15 one-materialization shape: weighted base leaf, the
+    // out-weight total sw derived FROM the leaf (exchange-free on its
+    // claimed layout) and carried in the loop state — the derivation runs
+    // once instead of three times, contribution values bit-identical
+    val base = Caches.checkpointTrackedLayout(
+      edges.select(col(src), col(dst), col(weight).as("w")),
       hashCols = Seq(src), sortCols = Seq(src))
-    val nodes = Caches.checkpointTracked(sw.select(col(src).as("node")))
-    val n = nodes.count() // bounded eager job: ONE driver-side long
+    val sw = Caches.checkpointTracked(
+      base.groupBy(col(src).as("node")).agg(sum(col("w")).as("sw")))
+    val n = sw.count() // bounded eager job: ONE driver-side long
     val jump = (1.0 - damping) / n.toDouble
-    val r0 = nodes.select(col("node"), lit(1.0 / n.toDouble).as("pr"))
-    prLoop(base, nodes, r0, lit(jump),
+    val r0 = sw.select(col("node"), lit(1.0 / n.toDouble).as("pr"),
+      col("sw"))
+    prLoop(base, sw, r0, lit(jump),
       col("pr") * col("w").cast("double") / col("sw").cast("double"),
-      iterations, damping, exact, foldBuckets, src, dst)
+      iterations, damping, exact, foldBuckets, src, dst, carry = Seq("sw"))
   }
 
   /**
@@ -303,31 +319,73 @@ object Graph {
     require(seeds.nonEmpty, "personalizedPageRank needs a non-empty seed set")
     require(seeds.distinct.size == seeds.size,
       s"personalizedPageRank seeds must be distinct: $seeds")
-    val e = edges.select(col(src), col(dst)).distinct()
-    val deg = e.groupBy(src).agg(count(lit(1)).as("deg"))
-    val base = Caches.checkpointTrackedLayout(e.join(deg, src),
-      hashCols = Seq(src), sortCols = Seq(src))
-    val nodes = Caches.checkpointTracked(deg.select(col(src).as("node")))
+    val (base, deg) = pprBase(edges, src, dst)
     // Seeds must be src nodes of the graph: an absent seed would silently
     // lose its teleport + initial-mass share (total rank < 1, quietly
     // diverging from the documented semantics). One shuffle-free scan of
-    // the ALREADY-checkpointed node frame (localCheckpoint is eager —
+    // the ALREADY-checkpointed degree frame (localCheckpoint is eager —
     // nothing recomputes), so the guard costs a narrow count, not a job
     // over the raw edges.
-    val present = nodes.filter(col("node").isin(seeds: _*))
+    val present = deg.filter(col("node").isin(seeds: _*))
       .agg(count(lit(1))).collect()(0).getLong(0)
     require(present == seeds.size,
       s"personalizedPageRank: ${seeds.size - present} of ${seeds.size} " +
         "seeds are not src nodes of the graph (teleport mass would be lost)")
+    pprLoop(base, deg, seeds, iterations, damping, exact, foldBuckets,
+      src, dst)
+  }
+
+  /** [[personalizedPageRank]] seeded by the graph's `nSeeds` SMALLEST src
+    * nodes — the bfsFromMinSource convention applied to the seed set. The
+    * seeds are collected off the ALREADY-checkpointed degree leaf (one
+    * bounded nSeeds-row job), so picking them costs a leaf aggregate
+    * instead of a second full edge derivation (the wired query previously
+    * paid the lineitem self-join + distinct twice: once for the seed
+    * collect, once inside the operator — measured ~25% of graph_ppr).
+    * Seeds are src nodes BY CONSTRUCTION, so the explicit-seed guard is
+    * superfluous here. Same rows as personalizedPageRank(edges, those
+    * seeds) — GraphSpec pins the law. */
+  def personalizedPageRankMinSeeds(edges: DataFrame, nSeeds: Int,
+      iterations: Int = 5, damping: Double = 0.85, src: String = "src",
+      dst: String = "dst", exact: Boolean = true,
+      foldBuckets: Int = 16): DataFrame = {
+    require(nSeeds > 0, "personalizedPageRankMinSeeds needs nSeeds > 0")
+    val (base, deg) = pprBase(edges, src, dst)
+    val seeds = deg.select(col("node")).orderBy(col("node")).limit(nSeeds)
+      .collect().map(_.getLong(0)).toSeq // bounded nSeeds-row collect
+    require(seeds.size == nSeeds,
+      s"personalizedPageRankMinSeeds: graph has only ${seeds.size} src " +
+        s"nodes, $nSeeds seeds requested")
+    pprLoop(base, deg, seeds, iterations, damping, exact, foldBuckets,
+      src, dst)
+  }
+
+  /** The pageRank r15 one-materialization base shared by both
+    * personalized faces: distinct-edge leaf laid out by the per-round
+    * join key + the degree leaf derived from it (exchange-free on the
+    * claimed layout). */
+  private def pprBase(edges: DataFrame, src: String,
+      dst: String): (DataFrame, DataFrame) = {
+    val base = Caches.checkpointTrackedLayout(
+      edges.select(col(src), col(dst)).distinct(),
+      hashCols = Seq(src), sortCols = Seq(src))
+    val deg = Caches.checkpointTracked(
+      base.groupBy(col(src).as("node")).agg(count(lit(1)).as("deg")))
+    (base, deg)
+  }
+
+  private def pprLoop(base: DataFrame, deg: DataFrame, seeds: Seq[Long],
+      iterations: Int, damping: Double, exact: Boolean, foldBuckets: Int,
+      src: String, dst: String): DataFrame = {
     val jumpS = (1.0 - damping) / seeds.size.toDouble
     val isSeed = col("node").isin(seeds: _*)
-    val r0 = nodes.select(col("node"),
+    val r0 = deg.select(col("node"),
       when(isSeed, lit(1.0 / seeds.size.toDouble)).otherwise(lit(0.0d))
-        .as("pr"))
-    prLoop(base, nodes, r0,
+        .as("pr"), col("deg"))
+    prLoop(base, deg, r0,
       when(isSeed, lit(jumpS)).otherwise(lit(0.0d)),
       col("pr") / col("deg").cast("double"),
-      iterations, damping, exact, foldBuckets, src, dst)
+      iterations, damping, exact, foldBuckets, src, dst, carry = Seq("deg"))
   }
 
   /** The shared power-iteration loop behind [[pageRank]] /
@@ -378,20 +436,28 @@ object Graph {
 
   private def prLoop(base: DataFrame, nodes: DataFrame, r0: DataFrame,
       jumpCol: Column, contribC: Column, iterations: Int, damping: Double,
-      exact: Boolean, foldBuckets: Int, src: String, dst: String)
-      : DataFrame = {
+      exact: Boolean, foldBuckets: Int, src: String, dst: String,
+      carry: Seq[String]): DataFrame = {
+    // `carry` = the constant per-node columns (deg / sw) riding in the
+    // loop state (r15): the contribution expression reads them off the
+    // joined state instead of an |E|-materialized edge column, so the
+    // base leaf stays (src, dst[, w]) and the node-side build is derived
+    // from it once. `nodes` is the carrying leaf (node, carry...); the
+    // per-round update re-attaches the carried columns from it — same
+    // integer values every round, bit-identical ranks.
     // rank-lineage cap every 2nd step (see [[iterate]]) on the |V|-row
     // rank frame
     iterate(r0, iterations, capEvery = 2) { (r, _, cap) =>
       val contribs = base
-        .join(r.select(col("node").as(src), col("pr")), src)
+        .join(r.select(col("node").as(src) +: col("pr") +:
+          carry.map(col): _*), src)
         .select(col(dst), col(src), contribC.as("c"))
       val sums = foldedContribSum(contribs, dst, src, exact, foldBuckets)
       cap(nodes.join(sums, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node") +:
           (jumpCol + lit(damping) * coalesce(col("s"), lit(0.0d)))
-            .as("pr")))
-    }
+            .as("pr") +: carry.map(col): _*))
+    }.select("node", "pr")
   }
 
   /**
@@ -501,13 +567,26 @@ object Graph {
    * never a cartesian. Output: (node, label) after `iterations` rounds.
    */
   def labelPropagation(edges: DataFrame, iterations: Int,
-      src: String = "src", dst: String = "dst"): DataFrame = {
+      src: String = "src", dst: String = "dst"): DataFrame =
+    labelPropagationWithBase(edges, iterations, src, dst)._1
+
+  /** [[labelPropagation]] also returning the loop's CHECKPOINTED
+    * distinct-edge base — the louvainMoveWithBase idiom: compositions
+    * that scan the same graph again after the label phase (modularity's
+    * mixing matrix) read the already-materialized base instead of
+    * recomputing the upstream edge derivation (for the wired
+    * graph_modularity/_q queries, a second lineitem self-join + distinct
+    * — measured ~20% of each query). The base's row multiset is exactly
+    * `edges.select(src, dst).distinct()`, so substituting it downstream
+    * is oracle-neutral. Released with the usual `Caches.releaseAll()`. */
+  def labelPropagationWithBase(edges: DataFrame, iterations: Int,
+      src: String = "src", dst: String = "dst"): (DataFrame, DataFrame) = {
     val e = checkpointEdges(edges, src, dst)
     val nodes = Caches.checkpointTracked(
       e.select(col(dst).as("node")).distinct())
     val lab0 = nodes.select(col("node"), col("node").as("label"))
     // label-lineage cap every 2nd round (see [[iterate]])
-    iterate(lab0, iterations, capEvery = 2) { (lab, _, cap) =>
+    val labels = iterate(lab0, iterations, capEvery = 2) { (lab, _, cap) =>
       cap(e
         .join(lab.select(col("node").as(src), col("label")), src)
         .groupBy(col(dst), col("label"))
@@ -517,6 +596,7 @@ object Graph {
           struct(col("c"), (-col("label")).as("nl"))).as("label"))
         .select(col(dst).as("node"), col("label")))
     }
+    (labels, e)
   }
 
   /**
@@ -652,9 +732,38 @@ object Graph {
    * symmetrized edge list for undirected centrality.
    */
   def harmonicCentrality(edges: DataFrame, seeds: Seq[Long], maxDepth: Int,
-      src: String = "src", dst: String = "dst"): DataFrame = {
-    require(seeds.nonEmpty, "harmonicCentrality: empty seed set")
+      src: String = "src", dst: String = "dst"): DataFrame =
+    harmonicLoop(checkpointEdges(edges, src, dst), seeds, maxDepth, src, dst)
+
+  /** [[harmonicCentrality]] of the graph's `nSeeds` SMALLEST src nodes —
+    * the personalizedPageRankMinSeeds idiom: the seed collect runs over
+    * the ALREADY-checkpointed edge leaf (distinct src is an aggregate on
+    * the leaf's claimed src layout — exchange-light, nSeeds rows to the
+    * driver) instead of a second full edge derivation, which is exactly
+    * what the wired graph_closeness query previously paid. Same rows as
+    * harmonicCentrality(edges, those seeds) — GraphSpec pins the law. */
+  def harmonicCentralityMinSeeds(edges: DataFrame, nSeeds: Int,
+      maxDepth: Int, src: String = "src", dst: String = "dst"): DataFrame = {
     val e = checkpointEdges(edges, src, dst)
+    harmonicLoop(e, minSrcSeeds(e, nSeeds, src, "harmonicCentralityMinSeeds"),
+      maxDepth, src, dst)
+  }
+
+  /** The graph's `nSeeds` smallest src nodes off an already-checkpointed
+    * edge leaf — one bounded nSeeds-row collect (the ppr seed pattern). */
+  private def minSrcSeeds(e: DataFrame, nSeeds: Int, src: String,
+      who: String): Seq[Long] = {
+    require(nSeeds > 0, s"$who: nSeeds must be > 0")
+    val seeds = e.select(col(src)).distinct().orderBy(col(src)).limit(nSeeds)
+      .collect().map(_.getLong(0)).toSeq
+    require(seeds.size == nSeeds,
+      s"$who: graph has only ${seeds.size} src nodes, $nSeeds requested")
+    seeds
+  }
+
+  private def harmonicLoop(e: DataFrame, seeds: Seq[Long], maxDepth: Int,
+      src: String, dst: String): DataFrame = {
+    require(seeds.nonEmpty, "harmonicCentrality: empty seed set")
     val spark = e.sparkSession
     import spark.implicits._
     val seed0 = spark.createDataset(seeds).toDF("seed")
@@ -750,9 +859,23 @@ object Graph {
    * with stress > 0, seeds excluded per pair by definition.
    */
   def stressCentrality(edges: DataFrame, seeds: Seq[Long], maxDepth: Int,
+      src: String = "src", dst: String = "dst"): DataFrame =
+    stressLoop(checkpointEdges(edges, src, dst), seeds, maxDepth, src, dst)
+
+  /** [[stressCentrality]] of the graph's `nSeeds` SMALLEST src nodes —
+    * the harmonicCentralityMinSeeds rationale verbatim (seed collect off
+    * the checkpointed leaf instead of a second edge derivation). Same
+    * rows as stressCentrality(edges, those seeds). */
+  def stressCentralityMinSeeds(edges: DataFrame, nSeeds: Int, maxDepth: Int,
       src: String = "src", dst: String = "dst"): DataFrame = {
-    require(seeds.nonEmpty, "stressCentrality: empty seed set")
     val e = checkpointEdges(edges, src, dst)
+    stressLoop(e, minSrcSeeds(e, nSeeds, src, "stressCentralityMinSeeds"),
+      maxDepth, src, dst)
+  }
+
+  private def stressLoop(e: DataFrame, seeds: Seq[Long], maxDepth: Int,
+      src: String, dst: String): DataFrame = {
+    require(seeds.nonEmpty, "stressCentrality: empty seed set")
     val spark = e.sparkSession
     import spark.implicits._
     val seed0 = spark.createDataset(seeds).toDF("seed")
@@ -1952,7 +2075,15 @@ object Graph {
       src: String, dst: String): (DataFrame, DataFrame) = {
     val e = edges.select(col(src).as("s"), col(dst).as("d"))
     val lab = Caches.persistTracked(labels.select(col("node"), col("label")))
-    val mixing = Caches.persistTracked(e
+    // checkpointTracked, NOT persistTracked (r15): the mixing matrix is
+    // read by FOUR subtrees (within/out/in marginals + m), and a cache
+    // entry is only reused where the CacheManager's plan match fires —
+    // measured with a checkpoint-leaf edge input, three of the four
+    // references missed the cache and re-ran the two label joins + the
+    // |E| aggregation each (graph_modularity 9.0 → 15.8 s). A checkpoint
+    // is a LEAF — every reference reads the ≤C²-row materialization by
+    // construction, no matcher in the loop.
+    val mixing = Caches.checkpointTracked(e
       .join(lab.select(col("node").as("s"), col("label").as("sl")), "s")
       .join(lab.select(col("node").as("d"), col("label").as("dl")), "d")
       .groupBy("sl", "dl").agg(count(lit(1)).as("cnt")))

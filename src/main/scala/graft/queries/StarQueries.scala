@@ -2681,9 +2681,12 @@ object StarQueries {
         .join(li.select(col("ok"), col("pk").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
         .select("src", "dst")
-      val seeds = e.select(col("src")).distinct().orderBy("src").limit(4)
-        .collect().map(_.getLong(0)).toSeq // 4-row bounded collect
-      graft.operators.Graph.personalizedPageRank(e, seeds, iterations = 5)
+      // seeds = the 4 smallest src nodes, collected INSIDE the operator
+      // off its checkpointed edge leaf (r15): the explicit-seed wiring
+      // paid the whole co-purchase derivation twice — once for the seed
+      // collect, once inside the operator. Same seeds, same rows.
+      graft.operators.Graph.personalizedPageRankMinSeeds(e, nSeeds = 4,
+          iterations = 5)
         .orderBy("node")
     },
 
@@ -2900,10 +2903,11 @@ object StarQueries {
     // (k-hop harmonic — what production centrality sweeps run), not a
     // fixpoint claim.
     QueryDef.of("graph_closeness", closenessOracle(6, 4)) { (s, dir) =>
-      val e = strongCoPurchaseEdges(s, dir)
-      val seeds = e.select(col("src")).distinct().orderBy("src").limit(4)
-        .collect().map(_.getLong(0)).toSeq // 4-row bounded collect
-      graft.operators.Graph.harmonicCentrality(e, seeds, maxDepth = 6)
+      // seeds = the 4 smallest src nodes, collected inside the operator
+      // off its checkpointed leaf (the graph_ppr r15 rationale — the
+      // explicit wiring derived the strong co-purchase graph twice)
+      graft.operators.Graph.harmonicCentralityMinSeeds(
+          strongCoPurchaseEdges(s, dir), nSeeds = 4, maxDepth = 6)
         .orderBy("seed")
     },
 
@@ -2932,10 +2936,9 @@ object StarQueries {
     // betweenness is APSP). Depth 6 = the BFS cap semantic shared with
     // graph_closeness.
     QueryDef.of("graph_stress", stressOracle(6, 4)) { (s, dir) =>
-      val e = strongCoPurchaseEdges(s, dir)
-      val seeds = e.select(col("src")).distinct().orderBy("src").limit(4)
-        .collect().map(_.getLong(0)).toSeq // 4-row bounded collect
-      graft.operators.Graph.stressCentrality(e, seeds, maxDepth = 6)
+      // min-seeds-inside-the-operator (the graph_closeness r15 rationale)
+      graft.operators.Graph.stressCentralityMinSeeds(
+          strongCoPurchaseEdges(s, dir), nSeeds = 4, maxDepth = 6)
         .orderBy("node")
     },
 
@@ -2980,7 +2983,12 @@ object StarQueries {
     // merge chains) costing nothing (GraphSpec pins the split-graph
     // fixpoints at sf0.001).
     QueryDef.of("graph_mst_ivm", mstIvmOracle(6)) { (s, dir) =>
-      val pw = strongCoPurchaseWeightedPairs(s, dir)
+      // ONE materialization of the weighted pair set (r15): base and Δ
+      // are filters of the same derivation, and each Borůvka run
+      // checkpoints its own input — uncheckpointed, the lineitem
+      // self-join + groupBy ran once per referencing subtree (twice)
+      val pw = graft.operators.Caches.checkpointTracked(
+        strongCoPurchaseWeightedPairs(s, dir))
       val base = pw.filter(pmod(col("a") + col("b"), lit(5)) =!= 0)
       val delta = pw.filter(pmod(col("a") + col("b"), lit(5)) === 0)
       val baseMst = graft.operators.Graph.boruvkaMst(base, rounds = 12,
@@ -3021,10 +3029,14 @@ object StarQueries {
         |)
         |SELECT full_t AS n_triangles, full_t - base_t AS new_triangles
         |FROM tf, tb""".stripMargin) { (s, dir) =>
-      val pairs = graft.operators.Basket.pairCounts(
-          Tables.lineitem(s, dir), basket = "l_orderkey", item = "l_partkey")
-        .filter(col("cnt") >= 2)
-        .select(col("item_a").as("src"), col("item_b").as("dst"))
+      // one materialization of the pair derivation (r15): base feeds the
+      // census AND the incremental probe, Δ a third subtree — three
+      // evaluations of the lineitem self-join before the checkpoint
+      val pairs = graft.operators.Caches.checkpointTracked(
+        graft.operators.Basket.pairCounts(
+            Tables.lineitem(s, dir), basket = "l_orderkey", item = "l_partkey")
+          .filter(col("cnt") >= 2)
+          .select(col("item_a").as("src"), col("item_b").as("dst")))
       val base = pairs.filter(pmod(col("src") + col("dst"), lit(7)) =!= 0)
       val delta = pairs.filter(pmod(col("src") + col("dst"), lit(7)) === 0)
       val baseCount = graft.operators.Graph.triangleStats(base)
@@ -3044,7 +3056,10 @@ object StarQueries {
       s"""$strongCoPurchaseCte
         |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
         |FROM e GROUP BY src ORDER BY node""".stripMargin) { (s, dir) =>
-      val e = strongCoPurchaseEdges(s, dir)
+      // one materialization of the symmetrized edge derivation (the
+      // graph_mst_ivm r15 note: both half-views aggregate the same frame)
+      val e = graft.operators.Caches.checkpointTracked(
+        strongCoPurchaseEdges(s, dir))
       def degOf(df: org.apache.spark.sql.DataFrame) =
         df.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       val base = e.filter(pmod(col("src") + col("dst"), lit(7)) =!= 0)
@@ -3066,7 +3081,10 @@ object StarQueries {
     // ((s + d) mod 7) so both engines see the same base/Δ partition of
     // the same co-purchase pair set.
     QueryDef.of("graph_components_ivm", componentsOracle) { (s, dir) =>
-      val pr = strongCoPurchasePairs(s, dir)
+      // one materialization of the shared pair derivation (the
+      // graph_mst_ivm r15 note: base and Δ filter the same self-join)
+      val pr = graft.operators.Caches.checkpointTracked(
+        strongCoPurchasePairs(s, dir))
       val base = pr.filter(pmod(col("s") + col("d"), lit(7)) =!= 0)
       val delta = pr.filter(pmod(col("s") + col("d"), lit(7)) === 0)
       // loopParts pinned: a few-thousand-pair graph at every driver SF
@@ -3285,8 +3303,13 @@ object StarQueries {
         .join(li.select(col("ok"), col("pk").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct()
-      val labels = graft.operators.Graph.labelPropagation(e, iterations = 4)
-      graft.operators.Graph.modularity(e, labels)
+      // the mixing matrix reads the LPA loop's checkpointed base (row
+      // multiset = e — the query already distincts) instead of paying
+      // the lineitem self-join a second time (r15; the
+      // louvainMoveWithBase idiom)
+      val (labels, base) =
+        graft.operators.Graph.labelPropagationWithBase(e, iterations = 4)
+      graft.operators.Graph.modularity(base, labels)
         .orderBy("label")
     },
 
@@ -3303,8 +3326,10 @@ object StarQueries {
         .join(li.select(col("ok"), col("pk").as("dst")), "ok")
         .filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct()
-      val labels = graft.operators.Graph.labelPropagation(e, iterations = 4)
-      graft.operators.Graph.modularityTotal(e, labels)
+      // base-reuse for the mixing matrix (the graph_modularity r15 note)
+      val (labels, base) =
+        graft.operators.Graph.labelPropagationWithBase(e, iterations = 4)
+      graft.operators.Graph.modularityTotal(base, labels)
     },
 
     // K-ANONYMITY RISK AUDIT (Sweeney) — the re-identification

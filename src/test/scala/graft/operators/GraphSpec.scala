@@ -1742,4 +1742,70 @@ class GraphSpec extends SparkSpecBase {
       assert(r._3 >= 1L && r._6 > 0.0)
     }
   }
+
+  // ---- r15 MinSeeds / WithBase variants: the derivation-reuse rewires
+  // must be ROW-IDENTICAL to the explicit-argument originals (the wired
+  // oracle rows certify the originals' semantics; these laws certify the
+  // substitution) ----
+
+  private def randomSymEdges(seed: Int, n: Int = 300, ids: Int = 200) = {
+    val rnd = new scala.util.Random(seed)
+    val raw = Seq.fill(n)((rnd.nextInt(ids).toLong, rnd.nextInt(ids).toLong))
+      .filter(p => p._1 != p._2)
+    raw ++ raw.map(_.swap)
+  }
+
+  test("personalizedPageRankMinSeeds ≡ personalizedPageRank on the min seeds") {
+    import spark.implicits._
+    val symE = randomSymEdges(31)
+    val seeds = symE.map(_._1).distinct.sorted.take(4)
+    val want = Graph.personalizedPageRank(symE.toDF("src", "dst"), seeds,
+        iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    Caches.releaseAll()
+    val got = Graph.personalizedPageRankMinSeeds(symE.toDF("src", "dst"),
+        nSeeds = 4, iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    Caches.releaseAll()
+    assert(got == want) // bit-equal doubles: same seeds, same fold
+  }
+
+  test("harmonic/stressCentralityMinSeeds ≡ explicit min-seed originals") {
+    import spark.implicits._
+    val symE = randomSymEdges(37)
+    val seeds = symE.map(_._1).distinct.sorted.take(4)
+    val wantH = Graph.harmonicCentrality(symE.toDF("src", "dst"), seeds,
+        maxDepth = 6)
+      .as[(Long, Long, Double)].collect().toSet
+    Caches.releaseAll()
+    val gotH = Graph.harmonicCentralityMinSeeds(symE.toDF("src", "dst"),
+        nSeeds = 4, maxDepth = 6)
+      .as[(Long, Long, Double)].collect().toSet
+    Caches.releaseAll()
+    assert(gotH == wantH)
+    val wantS = Graph.stressCentrality(symE.toDF("src", "dst"), seeds,
+        maxDepth = 6)
+      .as[(Long, Long)].collect().toSet
+    Caches.releaseAll()
+    val gotS = Graph.stressCentralityMinSeeds(symE.toDF("src", "dst"),
+        nSeeds = 4, maxDepth = 6)
+      .as[(Long, Long)].collect().toSet
+    Caches.releaseAll()
+    assert(gotS == wantS)
+  }
+
+  test("labelPropagationWithBase: labels ≡ labelPropagation; base = distinct edges") {
+    import spark.implicits._
+    val symE = randomSymEdges(41)
+    val want = Graph.labelPropagation(symE.toDF("src", "dst"), iterations = 4)
+      .as[(Long, Long)].collect().toSet
+    Caches.releaseAll()
+    val (labels, base) = Graph.labelPropagationWithBase(
+      symE.toDF("src", "dst"), iterations = 4)
+    val gotLabels = labels.as[(Long, Long)].collect().toSet
+    val gotBase = base.as[(Long, Long)].collect().toSeq.sorted
+    Caches.releaseAll()
+    assert(gotLabels == want)
+    assert(gotBase == symE.distinct.sorted) // the oracle-neutral multiset
+  }
 }
