@@ -58,13 +58,23 @@ object Classify {
       .agg(count(lit(1)).as("k")))
     val trainToks = toks.filter(col("tr"))
     val testToks = toks.filter(!col("tr")).select("doc_id", "t", "k")
+    // slim per-doc frame behind ndc/nTrain/testDocs (r15): each of the
+    // three previously re-evaluated `base` — a full input scan PLUS the
+    // caller's label expression (for the wired quality_classifier row, a
+    // regex-heavy quality score) — per reference. |docs| rows of three
+    // narrow columns, one materialization.
+    val meta = Caches.persistTracked(base.select("doc_id", "label", "tr"))
 
     // model: C-row class frame (priors + token totals + the two corpus
     // constants), |V|·C-row likelihood table, |V|-row vocabulary
-    val ndc = base.filter(col("tr")).groupBy("label")
+    val ndc = meta.filter(col("tr")).groupBy("label")
       .agg(count(lit(1)).as("ndc"))
-    val nTrain = base.filter(col("tr")).agg(count(lit(1)).as("n"))
-    val tc = trainToks.groupBy("label", "t").agg(sum("k").as("c"))
+    val nTrain = meta.filter(col("tr")).agg(count(lit(1)).as("n"))
+    // checkpointTracked, not a bare plan (r15): tc feeds THREE subtrees
+    // (ncl, the in-vocabulary semi-join's distinct, the likelihood join)
+    // — unmaterialized, each re-aggregated the token cache per reference
+    val tc = Caches.checkpointTracked(
+      trainToks.groupBy("label", "t").agg(sum("k").as("c")))
     val ncl = tc.groupBy("label").agg(sum("c").as("ncl"))
     val vocabN = trainToks.select("t").distinct().agg(count(lit(1)).as("v"))
     val cls = ndc.join(ncl, "label")
@@ -89,7 +99,7 @@ object Classify {
         .as("ll"))
 
     // every (test doc, class) cell exists even with zero in-vocab tokens
-    val testDocs = base.filter(!col("tr")).select("doc_id")
+    val testDocs = meta.filter(!col("tr")).select("doc_id")
     val scored = testDocs.crossJoin(broadcast(cls))
       .join(folds, Seq("doc_id", "label"), "left")
       .select(col("doc_id"), col("label"),

@@ -587,6 +587,11 @@ object Graph {
     val lab0 = nodes.select(col("node"), col("node").as("label"))
     // label-lineage cap every 2nd round (see [[iterate]])
     val labels = iterate(lab0, iterations, capEvery = 2) { (lab, _, cap) =>
+      // NO repartition(dst) one-exchange hint here (r15 experiment C):
+      // unlike louvainLoop's union shape, the census's map-side partial
+      // aggregation collapses the |E| join output well before the
+      // exchange, and trading that for one raw |E| shuffle measured a
+      // wash (7.0 → 7.3 s) — the two partial-aggregated exchanges stay
       cap(e
         .join(lab.select(col("node").as(src), col("label")), src)
         .groupBy(col(dst), col("label"))
@@ -1915,9 +1920,18 @@ object Graph {
         // out-mass plus the always-present own-community row (the in
         // leg of the general loop is this one's mirror image — folded
         // into the ·2 below, not recomputed)
+        // ONE exchange for BOTH aggregation levels (r15, the
+        // foldedContribSum trick): HashPartitioning(node) satisfies
+        // ClusteredDistribution(node, c) AND survives the broadcast tot
+        // join, so the candidate aggregate and the final argmax both run
+        // exchange-free on it — the unhinted shape paid two exchanges per
+        // round (hash(node, c) after the union, hash(node) before the
+        // argmax). Values identical: integer sums are order-free and the
+        // argmax order is strict.
         val cand = contrib
           .unionAll(lab.select(col("node"), col("label").as("c"),
             lit(0L).as("kvc"), col("label"), col("d")))
+          .repartition(col("node"))
           .groupBy("node", "c")
           .agg(sum(col("kvc")).as("kvc"), max(col("label")).as("label"),
             max(col("d")).as("d"))

@@ -2335,10 +2335,14 @@ object LlmQueries {
           |FROM pick p JOIN d ON p.doc_id = d.doc_id
           |WHERE p.rn = 1
           |ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
-      val labeled = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"),
-          when(TextFunctions.qualityScore(col("text")) >= lit(0.75d), "hi")
-            .otherwise("lo").as("label"))
+      // checkpoint leaf (r15): the labeled frame is consumed by the
+      // classifier AND the final label join — unmaterialized, each
+      // consumer re-ran the regex-heavy quality score over the full scan
+      val labeled = graft.operators.Caches.checkpointTracked(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            when(TextFunctions.qualityScore(col("text")) >= lit(0.75d), "hi")
+              .otherwise("lo").as("label")))
       graft.operators.Classify.multinomialNb(labeled, "label",
           isTrain = col("doc_id") % 5 =!= 0)
         .join(labeled.select("doc_id", "label"), "doc_id")

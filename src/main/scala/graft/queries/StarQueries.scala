@@ -2721,6 +2721,10 @@ object StarQueries {
     // ALREADY-checkpointed base — bfsFromMinSource — so the co-purchase
     // derivation is paid once, not twice.
     QueryDef.of("graph_bfs", bfsOracle(3)) { (s, dir) =>
+      // NOT liPairs-checkpointed: materializing the 600k-row incidence
+      // frame costs more than the second scan+distinct it saves
+      // (measured 7.8 → 11.1 s, r15 experiment A) — the self-join's
+      // duplicated derivation is the cheaper evil at this shape
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()

@@ -197,4 +197,56 @@ class PersistHygieneSpec extends SparkSpecBase {
       .write.format("noop").mode("overwrite").save()
     assertAllReleased("survivors pipeline")
   }
+
+  // ---- graph-loop end-of-run hygiene (r15, the r14 verdict's item 7):
+  // the iterative operators accumulate checkpoint leaves — the edge base,
+  // per-round state caps, degree/marginal frames. The r14 driver run
+  // measured graph_pagerank_weighted's END-OF-SUITE retry at 4.3× its
+  // main-run median, a signature consistent with leaked BlockManager
+  // state; these pins make "releaseAll drains every loop's blocks" a
+  // failing test instead of an audit. ----
+
+  private def symEdges = {
+    val rnd = new scala.util.Random(5)
+    import spark.implicits._
+    val raw = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+    (raw ++ raw.map(_.swap)).toDF("src", "dst")
+  }
+
+  test("pageRankWeighted loop releases every checkpoint leaf after releaseAll") {
+    clean()
+    Graph.pageRankWeighted(
+        symEdges.groupBy("src", "dst").agg(count(lit(1)).as("w")),
+        iterations = 5)
+      .write.format("noop").mode("overwrite").save()
+    assertAllReleased("pageRankWeighted")
+  }
+
+  test("the louvain2_q composition releases every leaf after releaseAll") {
+    clean()
+    val (l1raw, base) = Graph.louvainMoveWithBase(symEdges,
+      iterations = 3, symmetric = true)
+    val l1 = Caches.persistTracked(l1raw)
+    val g2 = Graph.coarsen(base.select("src", "dst"), l1)
+    val l2 = Graph.louvainMoveWeighted(g2, iterations = 2,
+      weight = "weight", symmetric = true, localEdgeCap = 1000000L)
+    // the wired composition's exact mapping shape
+    val mapped = l1.join(l2.select(col("node").as("label"),
+        col("label").as("label2")), "label")
+      .select(col("node"), col("label2").as("label"))
+    Graph.modularityTotal(base.select("src", "dst"), mapped)
+      .write.format("noop").mode("overwrite").save()
+    assertAllReleased("louvain2_q composition")
+  }
+
+  test("hits and personalizedPageRankMinSeeds release everything") {
+    clean()
+    Graph.hits(symEdges, iterations = 3)
+      .write.format("noop").mode("overwrite").save()
+    assertAllReleased("hits")
+    Graph.personalizedPageRankMinSeeds(symEdges, nSeeds = 3, iterations = 3)
+      .write.format("noop").mode("overwrite").save()
+    assertAllReleased("personalizedPageRankMinSeeds")
+  }
 }
