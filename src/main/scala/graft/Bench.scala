@@ -193,20 +193,23 @@ object Bench {
     // pays TWO warm-ups (agreement needs two executions to compare), and
     // a THIRD only when those two disagree by > 40% — bounded wall clock,
     // roughly double round-7's single warm-up on the expensive queries.
-    // SINGLE warm-up for heavy queries: when the FIRST warm-up already
-    // costs ≥ 10 s, the agreement criterion's second execution buys
-    // little — the criterion exists for JIT tails on SMALL queries
-    // (dir_search's 6.4× monotone tail), and at the measured ≤ 6×
-    // first-execution JIT factor a ≥ 10 s first execution implies a
-    // steady state ≳ 1.7 s, where a transient stall is a small rep
-    // fraction the calibration probe attributes. The r13 threshold of
-    // 5 s left a danger zone — a 1-2 s-steady iterative query whose
-    // first execution pays 3-6× lands in the 5-10 s window, got ONE
-    // warm-up, and could ship a mid-rep JIT spike (the r13 ADVICE case);
-    // those rows now get the agreement protocol again, and any residual
-    // spike on the ≥ 10 s rows is closed by the end-of-run viol-retry
-    // pass instead of an unconditional second warm-up on every heavy row
-    // (~180 s of driver budget).
+    // SINGLE warm-up only for PATHOLOGICALLY heavy rows (first warm-up
+    // ≥ 25 s): the r13–r15 cliff sat at 10 s, and the r15 DRIVER run
+    // showed exactly the failure mode that leaves open — `dedup_auto`'s
+    // first execution pays ~13 s of codegen+JIT on a ~2–4 s steady state
+    // (measured locally: executions 13.2 / 4.2 / 3.2 / 2.4 s), so the
+    // 10 s cliff granted it ONE warm-up and the timed reps shipped the
+    // undescended JIT tail as the median (driver r15: 14.2/15.0 s at 32
+    // cores vs 3.0 s at 8 cores, where the first execution came in under
+    // the cliff and the agreement protocol ran — the whole "0.20 scaling
+    // ratio" was warm-up protocol, not plan). Measurement-bug fix, round
+    // 16 (guide §1: time the steady state): the agreement criterion now
+    // applies up to 25 s — no current query's first execution is within
+    // 2× of that — and the cliff survives only as a runaway bound so a
+    // hypothetical minutes-long row cannot triple its cost in warm-ups.
+    // Driver-budget cost: only rows whose first execution lands in
+    // [10 s, 25 s) pay more than before (r15: dedup_auto +~7 s,
+    // graph_louvain2_q +~12 s — two rows, ~20 s of the ~600 s headroom).
     var prevW = Double.MaxValue
     var wi = 0
     var continueWarm = true
@@ -221,7 +224,7 @@ object Bench {
       System.err.println(f"[bench] $name warm-up #${wi + 1} $wt%.2f s (untimed)")
       drain(spark)
       wi += 1
-      continueWarm = wi < 3 && wt < 10.0 &&
+      continueWarm = wi < 3 && wt < 25.0 &&
         math.abs(wt - prevW) / math.max(wt, 1e-9) > 0.4
       prevW = wt
     }
