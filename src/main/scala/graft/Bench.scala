@@ -554,8 +554,14 @@ object Bench {
     // `skipped_budget` marker — evidence withheld is recorded, never
     // silently absent. Forced (local-repro) retries are exempt: they only
     // run where the operator asked for them.
+    // 2850 → 3150 (r16): the r15 driver run finished its main pass at
+    // ~2,944 s of the ~3,600 s budget and the old cutoff skipped 2 of 3
+    // retries (the VERDICT's open item). The r16 speedups buy the main
+    // pass back under ~2,900 s; 3,150 funds ~2-3 retries while leaving
+    // ~450 s of kill margin (the per-10-query partial summary already
+    // guarantees a parsable artifact if the margin is ever eaten).
     val retryBudgetS =
-      sys.env.getOrElse("SPARK_GRAFT_RETRY_BUDGET", "2850").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_RETRY_BUDGET", "3150").toDouble
     val violRetry =
       if (retryRows.isEmpty) "{}"
       else retryRows.map { case (name, isForced) =>

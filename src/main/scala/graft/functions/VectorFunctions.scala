@@ -72,6 +72,36 @@ object VectorFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Deterministic in-order double sum of struct field `ordinal` over an
+    * array, via the native [[graft.expressions.ArrayFieldSum]] — the
+    * codegen twin of `aggregate(arr, 0.0, (acc, x) => acc + x.getField(f))`
+    * (bit-identical, asserted in ArrayFieldSumSpec): same sequential IEEE
+    * adds in array order, same null propagation. Swap-in replacement for
+    * the interpreted HOF in every sorted-fold hot path (pagerank/HITS
+    * exact contribution folds, tf-idf dots). */
+  def fieldSum(arr: Column, ordinal: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.ArrayFieldSum(
+      ColumnBridge.expression(arr), ordinal, squared = false))
+  }
+
+  /** [[fieldSum]] folding acc + v·v — the tf-idf norm shape
+    * (`acc + x.getField(f) * x.getField(f)`), same bit-identity twin
+    * argument. */
+  def fieldSumSq(arr: Column, ordinal: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.ArrayFieldSum(
+      ColumnBridge.expression(arr), ordinal, squared = true))
+  }
+
+  /** [[fieldSum]] over a plain array<double> (ordinal -1): the native
+    * twin of `aggregate(arr, 0.0, (acc, x) => acc + x)`. */
+  def elemSum(arr: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.ArrayFieldSum(
+      ColumnBridge.expression(arr), -1, squared = false))
+  }
+
   /** Asymmetric product-quantization distance via the native
     * [[graft.expressions.PqAdcDistance]] — squared L2 between a raw query
     * vector and a coded corpus vector reconstructed from the plan-constant

@@ -724,7 +724,7 @@ object Dedup {
    */
   def incrementalNearDup(base: DataFrame, batch: DataFrame, k: Int = 3,
       threshold: Double = 0.5, maxShingleDf: Int = 1000,
-      loopParts: Int = 0): DataFrame = {
+      loopParts: Int = 0, localPairsCap: Long = 0L): DataFrame = {
     val batchIds = batch.select(col("doc_id"))
     val union = base.select(col("doc_id"), col("text"))
       .unionAll(batch.select(col("doc_id"), col("text")))
@@ -759,7 +759,8 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     val pairs = verifyJaccard(cand, shSets, threshold)
       .select("doc_a", "doc_b")
-    val comp = duplicateClusters(pairs, loopParts = loopParts)
+    val comp = duplicateClusters(pairs, loopParts = loopParts,
+      localPairsCap = localPairsCap)
     // pure-batch component ⇔ every member is a batch doc
     val isBase = comp.join(broadcast(batchIds), Seq("doc_id"), "left_anti")
       .select(col("cluster")).distinct().withColumn("has_base", lit(1))
@@ -970,9 +971,25 @@ object Dedup {
    * it so the loop's plan is byte-identical run-to-run instead of
    * flipping partition counts with data drift, which makes benchmark
    * medians comparable across rounds.
+   *
+   * `localPairsCap` (r16): DRIVER-LOCAL FAST PATH, the
+   * [[Graph.louvainMoveWeighted]] `localEdgeCap` idiom applied to the
+   * union-find. When > 0 and the (materialized) pair count fits under
+   * the cap, the components are resolved by a plain-Scala min-label
+   * union-find over the collected pairs — BIT-IDENTICAL output (the
+   * min-label fixpoint is a pure function of the pair set; GraphSpec
+   * pins local ≡ distributed on random graphs) — instead of the
+   * ~5-jobs-per-round RDD loop, whose per-job fixed overhead dominates
+   * on the few-thousand-edge graphs the wired queries carry (the whole
+   * RDD loop is pure scheduling latency there, measured ~0.5-0.7 s per
+   * query at local[32]). Above the cap — a dup-heavy 100 TB corpus can
+   * carry an unbounded pair graph — the distributed loop runs as
+   * before; the gate is one count() on the already-persisted input
+   * (the same job the auto-sizing path always ran). Collect volume is
+   * bounded by the cap (16 bytes/pair).
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25,
-      loopParts: Int = 0): DataFrame = {
+      loopParts: Int = 0, localPairsCap: Long = 0L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // Persist the input FIRST: the edge build reads it twice (both
@@ -987,8 +1004,44 @@ object Dedup {
     // holding the previous run's loop state — measured as rep-over-rep
     // growth. Synchronous removal costs one RPC per release and buys a
     // clean heap at operator exit.
-    try duplicateClustersLoop(p, maxIter, loopParts)
-    finally p.unpersist(blocking = true)
+    try {
+      if (localPairsCap > 0 && p.count() <= localPairsCap) {
+        val out = Caches.persistTracked(spark.createDataset(
+            localMinLabelComponents(p.collect()).sortBy(_._1).toSeq)
+          .toDF("doc_id", "cluster"))
+        out.count()
+        out
+      } else duplicateClustersLoop(p, maxIter, loopParts)
+    } finally p.unpersist(blocking = true)
+  }
+
+  /** The plain-Scala twin of [[duplicateClustersLoop]]: min-label
+    * connected components via union-find with union-by-min — the root of
+    * every tree is, by induction, the minimum member id, so find(n) IS
+    * the component's min label, exactly the distributed loop's fixpoint.
+    * One (node, cluster) row per node appearing in some pair, same as
+    * the loop. Kept in op-for-op sync (the louvainLocalReplay twin
+    * convention); GraphSpec pins local ≡ distributed. */
+  private[graft] def localMinLabelComponents(
+      pairs: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.map(n => (n, find(n))).toArray
   }
 
   private def duplicateClustersLoop(

@@ -67,7 +67,11 @@ object Dsir {
   def importanceWeights(docs: DataFrame, isTarget: Column,
       buckets: Int): DataFrame = {
     val feats = Caches.persistTracked(hashedFeatures(docs, isTarget, buckets))
-    weightsFrom(feats, bucketMarginals(feats), buckets)
+    // persisted: weightsFrom references the marginals three times (rtot,
+    // ttot, wb) — unpersisted, the ≤B-row aggregate re-ran the persisted
+    // feature scan per reference (r15 ADVICE item; distributionShift
+    // already persisted its copy)
+    weightsFrom(feats, Caches.persistTracked(bucketMarginals(feats)), buckets)
   }
 
   /** BOTH per-bucket marginals in ONE pass over the feature frame (r15):

@@ -138,29 +138,25 @@ object Graph {
     s
   }
 
-  /**
-   * The exact-fixpoint detector for [[iterateUntil]]'s state-convergence
-   * loops: true iff `prev` and `next` are the SAME keyed relation — same
-   * key set, same (null-safe-compared) value columns. One bounded job: a
-   * full-outer equi-join of the two |V|-bounded frames on `keys` with
-   * presence markers (a key in only one side is a difference even when
-   * every value column happens to be null), filtered to mismatches,
-   * `isEmpty`. CALLER CONTRACT: both frames materialized (the loop caps
-   * every round when it uses this check) and unique per key — every
-   * state here is a groupBy/distinct output, so the join cannot fan out.
-   */
-  private def stateUnchanged(prev: DataFrame, next: DataFrame,
-      keys: Seq[String]): Boolean = {
-    val vals = prev.columns.toSeq.filterNot(keys.contains)
-    val p = prev.select(
-      (keys.map(col) ++ vals.map(col)) :+ lit(1).as("_pp"): _*)
-    val n = next.select(
-      (keys.map(col) ++ vals.map(c => col(c).as(c + "_nx")))
-        :+ lit(1).as("_pn"): _*)
-    val mismatch =
-      (col("_pp").isNull || col("_pn").isNull) +:
-        vals.map(c => !(col(c) <=> col(c + "_nx")))
-    p.join(n, keys, "full_outer").filter(mismatch.reduce(_ || _)).isEmpty
+  /** MONOTONE-loop fixpoint detector (r16): (row count, Σ of one integer
+    * value column) of a keyed state frame, collected in ONE tiny
+    * aggregate over the (already-capped, materialized) |V| leaf. For a
+    * loop whose round can only move the state ONE WAY — the key set only
+    * grows (sssp) or only shrinks (kCore peeling) AND the value column is
+    * pointwise non-increasing (sssp costs relax downward, the h-index
+    * iteration is non-increasing) — scalar equality of (count, sum)
+    * across rounds IS frame equality: equal counts force the key sets
+    * equal (one contains the other), and an equal sum of pointwise-≤
+    * longs forces every value equal. Replaces the r14 `stateUnchanged`
+    * detector (a per-round |V|⋈|V| full-outer join — 2 exchanges + join
+    * per round — asserting full keyed-relation equality) with one scalar
+    * job; the round-over-round fingerprints ride in the loop closure, so
+    * only `next` is ever scanned. Exact long arithmetic only; NEVER use
+    * with floating-point state. */
+  private def countSumFingerprint(frame: DataFrame, valueCol: String):
+      (Long, Long) = {
+    val r = frame.agg(count(lit(1)), sum(col(valueCol))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Distinct (`src`,`dst`) edges, pre-partitioned AND pre-sorted by the
@@ -414,6 +410,12 @@ object Graph {
     * fold). Output: (node, s). */
   private def foldedContribSum(contribs: DataFrame, key: String,
       by: String, exact: Boolean, foldBuckets: Int): DataFrame =
+    // both fold levels run through the NATIVE in-order sum (r16,
+    // graft.expressions.ArrayFieldSum — bit-identical to the interpreted
+    // `aggregate` HOF it replaces: same adds in the same sorted order,
+    // so the list_reduce oracles keep matching; ArrayFieldSumSpec pins
+    // the twin). The HOF paid a lambda dispatch + InternalRow wrapper
+    // per contribution, per round, on the |E|-sized hot path.
     if (exact) contribs
       .select(col(key), (col(by) % lit(foldBuckets.toLong)).as("bkt"),
         struct(col(by), col("c")).as("sc"))
@@ -421,14 +423,12 @@ object Graph {
       .groupBy(col(key), col("bkt"))
       .agg(sort_array(collect_list(col("sc"))).as("cs"))
       .select(col(key), col("bkt"),
-        aggregate(col("cs"), lit(0.0d),
-          (a, x) => a + x.getField("c")).as("bs"))
+        graft.functions.VectorFunctions.fieldSum(col("cs"), 1).as("bs"))
       .select(col(key), struct(col("bkt"), col("bs")).as("bc"))
       .groupBy(col(key))
       .agg(sort_array(collect_list(col("bc"))).as("bcs"))
       .select(col(key).as("node"),
-        aggregate(col("bcs"), lit(0.0d),
-          (a, x) => a + x.getField("bs")).as("s"))
+        graft.functions.VectorFunctions.fieldSum(col("bcs"), 1).as("s"))
     else contribs
       .groupBy(col(key))
       .agg(sum(col("c")).as("s"))
@@ -986,13 +986,22 @@ object Graph {
     // Bellman–Ford termination condition) is one bounded job against two
     // materialized |V| frames. At dist_t = dist_{t-1} every later round
     // relaxes to the same minima, so the early result is row-identical.
+    // MONOTONE fixpoint check (r16, replaces the per-round full-outer
+    // stateUnchanged join): the reached set only GROWS (next unions dist
+    // in) and every cost only relaxes DOWNWARD (min over the union), so
+    // equal (count, Σcost) across rounds is frame equality — see
+    // countSumFingerprint. Bellman–Ford termination, one scalar job.
+    var fp = (-1L, -1L)
     iterateUntil(dist0, maxRounds, capEvery = 1) { (dist, _, cap) =>
       val relaxed = e
         .join(dist.select(col("node").as("s"), col("cost")), "s")
         .select(col("d").as("node"), (col("cost") + col("w")).as("cost"))
       val next = cap(dist.unionAll(relaxed)
         .groupBy("node").agg(min("cost").as("cost")))
-      (next, stateUnchanged(dist, next, Seq("node")))
+      val nfp = countSumFingerprint(next, "cost")
+      val done = nfp == fp
+      fp = nfp
+      (next, done)
     }
   }
 
@@ -1402,8 +1411,16 @@ object Graph {
     // round recomputes an identical (node, deg) frame from two |E| joins.
     // The capped-every-round frame makes the equality check one bounded
     // job, and deg_t = deg_{t-1} implies all later peels are no-ops.
+    // MONOTONE fixpoint check (r16): peeling only SHRINKS the survivor
+    // set (keys(deg_t) ⊆ surv_{t-1}), so equal survivor COUNTS across
+    // rounds force equal survivor sets, and round t+1 then recomputes
+    // deg on the identical subgraph — the output is row-identical to the
+    // old full-frame stateUnchanged protocol (which ran exactly one more
+    // identity round before noticing). One count() on the already-capped
+    // leaf replaces the per-round |V|⋈|V| full-outer join.
+    var prevCount = -1L
     val (_, out) = iterateUntil((s0, d0), rounds, capEvery = 1) {
-      case ((surv, prevDeg), _, cap) =>
+      case ((surv, _), _, cap) =>
         // inner equi-joins against the UNIQUE survivor nodes ≡ left-semi
         // (no fan-out possible) but keep the planner free to reorder
         val deg = cap(e
@@ -1412,7 +1429,10 @@ object Graph {
           .groupBy(col(src).as("node"))
           .agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k))
-        ((deg.select("node"), deg), stateUnchanged(prevDeg, deg, Seq("node")))
+        val c = deg.count()
+        val done = c == prevCount
+        prevCount = c
+        ((deg.select("node"), deg), done)
     }
     out
   }
@@ -1473,6 +1493,12 @@ object Graph {
     // job); at h_t = h_{t-1} every later round is a no-op by purity, so
     // the early result is row-identical to the full unroll and the
     // 20-round oracle CTE chain still hash-matches.
+    // MONOTONE fixpoint check (r16): the h-index iteration is pointwise
+    // NON-INCREASING over a FIXED node universe (the coalesce-0 left
+    // join from h0's keys), so an unchanged (count, Σh) fingerprint
+    // forces every h equal — countSumFingerprint's argument. One scalar
+    // job per round replaces the |V|⋈|V| full-outer stateUnchanged join.
+    var fp = (-1L, -1L)
     iterateUntil(h0, rounds, capEvery = 1) { (h, _, cap) =>
       val cand = e
         .join(h.select(col("node").as(src), col("h").as("ha")), src)
@@ -1487,7 +1513,10 @@ object Graph {
         .groupBy("node").agg(max(col("k")).as("h"))
       val next = cap(h0.select("node").join(hm, Seq("node"), "left")
         .select(col("node"), coalesce(col("h"), lit(0L)).as("h")))
-      (next, stateUnchanged(h, next, Seq("node")))
+      val nfp = countSumFingerprint(next, "h")
+      val done = nfp == fp
+      fp = nfp
+      (next, done)
     }.select(col("node"), col("h").as("core"))
   }
 
@@ -1508,10 +1537,11 @@ object Graph {
    * callers release via `Caches.releaseAll()` once consumed.
    */
   def connectedComponents(edges: DataFrame, src: String = "src",
-      dst: String = "dst", loopParts: Int = 0): DataFrame =
+      dst: String = "dst", loopParts: Int = 0,
+      localPairsCap: Long = 0L): DataFrame =
     Dedup.duplicateClusters(
       edges.select(col(src).as("doc_a"), col(dst).as("doc_b")),
-      loopParts = loopParts)
+      loopParts = loopParts, localPairsCap = localPairsCap)
       .select(col("doc_id").as("node"), col("cluster").as("component"))
 
   /**
@@ -1552,7 +1582,7 @@ object Graph {
    */
   def componentsIncremental(baseComponents: DataFrame, deltaEdges: DataFrame,
       src: String = "src", dst: String = "dst",
-      loopParts: Int = 0): DataFrame = {
+      loopParts: Int = 0, localPairsCap: Long = 0L): DataFrame = {
     val comp = Caches.persistTracked(
       baseComponents.select(col("node"), col("component")))
     // Δ endpoints → representatives (new nodes represent themselves)
@@ -1566,9 +1596,12 @@ object Graph {
       // an edge inside one existing component contracts to a self-loop:
       // nothing to merge, drop it before the union-find shuffle
       .filter(col("ra") =!= col("rb"))
+    // localPairsCap: the contracted Δ graph is batch-bounded (≤|Δ| edges
+    // after self-loop drop), the natural fit for the driver-local
+    // union-find fast path (see Dedup.duplicateClusters)
     val repComp = Dedup.duplicateClusters(
       repped.select(col("ra").as("doc_a"), col("rb").as("doc_b")),
-      loopParts = loopParts)
+      loopParts = loopParts, localPairsCap = localPairsCap)
     // base nodes: re-label the touched components, keep the rest
     val updatedBase = comp
       .join(repComp.select(col("doc_id").as("component"),
@@ -1637,7 +1670,8 @@ object Graph {
    * [[connectedComponents]] contract.
    */
   def boruvkaMst(pairs: DataFrame, rounds: Int, a: String = "a",
-      b: String = "b", w: String = "w", loopParts: Int = 0): DataFrame = {
+      b: String = "b", w: String = "w", loopParts: Int = 0,
+      localMergeCap: Long = 0L): DataFrame = {
     // unclaimed layout on purpose — the hits eDst rationale above
     val e = Caches.checkpointTracked(pairs
       .select(col(a).as("a"), col(b).as("b"), col(w).as("w"))
@@ -1674,15 +1708,35 @@ object Graph {
       // can exist in any later round either (contraction only merges) —
       // the remaining wired margin rounds would each pay the two |E|
       // label joins, a union-find, and a relabel to select nothing. The
-      // emptiness probe reads the ALREADY-materialized selection; the
-      // skipped rounds' empty frames contribute no output rows, so the
-      // forest is row-identical to the full unroll and `rounds` becomes
-      // a safety CAP instead of a cost (wire it with slack).
-      if (chosen.isEmpty) done = true
+      // count reads the ALREADY-materialized selection (one leaf job
+      // that also gates the local-merge cap below); the skipped rounds'
+      // empty frames contribute no output rows, so the forest is
+      // row-identical to the full unroll and `rounds` becomes a safety
+      // CAP instead of a cost (wire it with slack).
+      val nChosen = chosen.count()
+      if (nChosen == 0L) done = true
       else {
-        val merge = Dedup.duplicateClusters(
-          chosen.select(col("ca").as("doc_a"), col("cb").as("doc_b")),
-          loopParts = loopParts)
+        // DRIVER-LOCAL contraction under `localMergeCap` (r16 — the
+        // louvainMoveWeighted localEdgeCap idiom): the merge graph has
+        // ONE edge per live component, so each round's union-find input
+        // is component-bounded and shrinks geometrically — yet the RDD
+        // loop charges it ~5 scheduling-latency jobs per pointer-jump
+        // round. Under the cap the min-label components come from the
+        // plain-Scala union-find twin (bit-identical — see
+        // Dedup.localMinLabelComponents; GraphSpec pins the pair);
+        // round 1 of a 100 TB graph can exceed any driver heap, so the
+        // count gate falls back to the distributed loop above the cap.
+        val merge =
+          if (localMergeCap > 0 && nChosen <= localMergeCap) {
+            val spark = chosen.sparkSession
+            import spark.implicits._
+            spark.createDataset(Dedup.localMinLabelComponents(
+                chosen.select(col("ca").cast("long"), col("cb").cast("long"))
+                  .as[(Long, Long)].collect()).sortBy(_._1).toSeq)
+              .toDF("doc_id", "cluster")
+          } else Dedup.duplicateClusters(
+            chosen.select(col("ca").as("doc_a"), col("cb").as("doc_b")),
+            loopParts = loopParts)
         lab = Caches.checkpointTrackedFreshStats(
           lab.join(merge.select(col("doc_id").as("l"), col("cluster")),
               Seq("l"), "left")
@@ -1776,12 +1830,19 @@ object Graph {
     // getLong, which would ClassCastException on an int-typed edge frame
     // the distributed fallback happily handles — normalize both paths to
     // bigint at the door so the local≡distributed pin holds for any
-    // integral input type
-    val e = Caches.checkpointTrackedLayout(
-      edges.select(
-        col(src).cast("bigint").as(src), col(dst).cast("bigint").as(dst),
-        col(weight).cast("bigint").as("w")),
-      hashCols = Seq(src), sortCols = Seq(src))
+    // integral input type.
+    // PLAIN checkpoint when a local cap is set (r16): the local path only
+    // counts and collects the frame, so the layout leaf's repartition +
+    // sort + claim is pure waste there; the distributed fallback re-lays
+    // the (already-materialized, ≤C²-row) leaf below — one extra tiny
+    // pass only on the path that needs the layout.
+    val cast = edges.select(
+      col(src).cast("bigint").as(src), col(dst).cast("bigint").as(dst),
+      col(weight).cast("bigint").as("w"))
+    val e =
+      if (symmetric && localEdgeCap > 0) Caches.checkpointTracked(cast)
+      else Caches.checkpointTrackedLayout(cast,
+        hashCols = Seq(src), sortCols = Seq(src))
     // DRIVER-LOCAL FAST PATH for the Louvain LEVEL-2 shape: [[coarsen]]'s
     // output is community-bounded (≤ C² edges, 2,777 at sf0.1 — and it
     // shrinks RELATIVE to |E| at scale, so the bound gets BETTER at
@@ -1807,6 +1868,11 @@ object Graph {
       spark.createDataset(
         louvainLocalReplay(collected, iterations).sortBy(_._1).toSeq)
         .toDF("node", "label")
+    } else if (symmetric && localEdgeCap > 0) {
+      // over-cap fallback: lay out the plain leaf for the distributed loop
+      louvainLoop(Caches.checkpointTrackedLayout(e,
+        hashCols = Seq(src), sortCols = Seq(src)), iterations, src, dst,
+        symmetric)
     } else louvainLoop(e, iterations, src, dst, symmetric)
   }
 
@@ -1984,7 +2050,12 @@ object Graph {
             col("label"), col("dout"), col("din"))
         // out-mass, in-mass, and the always-present own-community row
         // merge in one partial-agg pass; tot' subtracts v's own degrees
-        // when it scores the community it is already in
+        // when it scores the community it is already in.
+        // NO repartition(node) one-exchange hint here (unlike the
+        // symmetric branch): no wired query runs this branch — every
+        // co-purchase/coarse graph is symmetric — so the hint was never
+        // measured on it; left unhinted rather than blind-copied (r15
+        // ADVICE item, recorded not attempted).
         val cand = kout
           .select(col("node"), col("c"), col("kvc"), lit(0L).as("kcv"),
             col("label"), col("dout"), col("din"))
@@ -2166,6 +2237,59 @@ object Graph {
   def modularityTotal(edges: DataFrame, labels: DataFrame,
       src: String = "src", dst: String = "dst"): DataFrame = {
     val (lab, mixing) = labeledMixing(edges, labels, src, dst)
+    val mDf = mixing.agg(sum(col("cnt")).cast("double").as("m"))
+    communityMarginals(lab, mixing).agg(
+        sum(col("within_edges")).as("within_total"),
+        sum(col("out_degree") * col("in_degree")).as("degree_product_sum"))
+      .crossJoin(broadcast(mDf))
+      .select(col("m"), col("within_total"), col("degree_product_sum"),
+        (col("within_total").cast("double") / col("m")
+          - col("degree_product_sum").cast("double") / col("m") / col("m"))
+          .as("q"))
+  }
+
+  /**
+   * [[modularityTotal]] of a COMPOSED two-level partition, computed from
+   * the LEVEL-1 COMMUNITY GRAPH instead of rescanning the node graph
+   * (r16): given `coarse` = [[coarsen]](edges, l1) and the level-2 label
+   * map `l2` over its nodes, the output row is BIT-IDENTICAL to
+   * `modularityTotal(edges, l1 ⋈ l2)` — but the two label joins and the
+   * mixing aggregation run over the ≤C²-row community graph (2,777 rows
+   * at sf0.1) instead of the |E| edge list.
+   *
+   * WHY it is exact: the node-graph mixing matrix of the composed labels
+   * is an aggregation of the level-1 mixing matrix —
+   * mixing₂(c₁, c₂) = Σ { mixing₁(s, d) : l2(s) = c₁, l2(d) = c₂ } —
+   * and `coarse` IS mixing₁ by [[coarsen]]'s definition (weight = edge
+   * count between level-1 communities, self-loops = within mass). Every
+   * quantity [[modularityTotal]] derives (m, within_total, the out/in
+   * marginals feeding degree_product_sum) is an exact LONG sum over the
+   * mixing matrix — order-free, so regrouping through mixing₁ yields the
+   * same integers — and the final q expression is the same fixed-shape
+   * cast-then-divide over them, hence the same double bits. Coverage
+   * matches too: every level-1 label with an edge appears in `coarse`
+   * and must appear in `l2` (the [[modularity]] label-coverage
+   * contract), and edge-less communities contribute zero to every sum
+   * on both routes. GraphSpec pins the law on random graphs and random
+   * two-level partitions; the wired `graph_louvain2_q` oracle (which
+   * replays Q from scratch on the node graph) is the driver-side pin.
+   *
+   * Output: (m, within_total, degree_product_sum, q) — the
+   * [[modularityTotal]] row. Intermediates release via
+   * `Caches.releaseAll()`.
+   */
+  def modularityTotalFromCoarse(coarse: DataFrame, l2: DataFrame,
+      src: String = "src", dst: String = "dst",
+      weight: String = "weight"): DataFrame = {
+    val lab = Caches.persistTracked(l2.select(col("node"), col("label")))
+    // the composed-partition mixing matrix by regrouping the level-1 one:
+    // sum(weight) where labeledMixing counts rows — same ≤C²-row
+    // checkpoint-leaf shape, read by the same four subtrees
+    val mixing = Caches.checkpointTracked(coarse
+      .select(col(src).as("s"), col(dst).as("d"), col(weight).as("cw"))
+      .join(lab.select(col("node").as("s"), col("label").as("sl")), "s")
+      .join(lab.select(col("node").as("d"), col("label").as("dl")), "d")
+      .groupBy("sl", "dl").agg(sum(col("cw")).as("cnt")))
     val mDf = mixing.agg(sum(col("cnt")).cast("double").as("m"))
     communityMarginals(lab, mixing).agg(
         sum(col("within_edges")).as("within_total"),

@@ -36,5 +36,8 @@ object Rfm {
       .agg(max("t").as("recency"), count(lit(1)).as("frequency"),
         sort_array(collect_list(col("amt"))).as("amts"))
       .select(col("k"), col("recency"), col("frequency"),
-        aggregate(col("amts"), lit(0.0d), (acc, x) => acc + x).as("monetary"))
+        // native in-order sum (r16) — bit-identical twin of the
+        // interpreted `aggregate` HOF, see ArrayFieldSum
+        graft.functions.VectorFunctions.elemSum(col("amts"))
+          .as("monetary"))
 }

@@ -1017,7 +1017,8 @@ object Similarity {
    * `Caches.releaseAll()` after materializing.
    */
   def semanticDedup(corpus: DataFrame, centroids: Seq[Seq[Double]],
-      threshold: Double, loopParts: Int = 0): DataFrame = {
+      threshold: Double, loopParts: Int = 0,
+      localPairsCap: Long = 0L): DataFrame = {
     // one assignment scan feeds the pair join (twice) and the member
     // re-read — persist it or the codegen'd argmin runs three times
     val assigned = Caches.persistTracked(corpus.select(
@@ -1032,7 +1033,8 @@ object Similarity {
       .filter(VectorFunctions.cosine(col("e_a"), col("e_b")) >= threshold)
       .select("doc_a", "doc_b")
     // groups of mutually-similar members (union-find; eager, owns its caches)
-    val members = Dedup.duplicateClusters(pairs, loopParts = loopParts)
+    val members = Dedup.duplicateClusters(pairs, loopParts = loopParts,
+      localPairsCap = localPairsCap)
     // centroid table: k rows, broadcast — never a plan-constant CASE here
     // because members ≪ corpus makes the join side tiny anyway
     val spark = corpus.sparkSession

@@ -52,11 +52,14 @@ object Tfidf {
       .select(col("doc_id"), col("h"),
         (col("tf").cast("double") *
           log(col("n").cast("double") / col("df").cast("double"))).as("w")))
+    // norms and dots fold through the NATIVE in-order sum (r16,
+    // ArrayFieldSum — bit-identical to the interpreted HOF twin, same
+    // sorted order, so the oracle's list_reduce replay still matches)
     val norms = w.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("h"), col("w")))).as("ws"))
       .select(col("doc_id"),
-        sqrt(aggregate(col("ws"), lit(0.0d),
-          (acc, x) => acc + x.getField("w") * x.getField("w"))).as("nrm"))
+        sqrt(graft.functions.VectorFunctions.fieldSumSq(col("ws"), 1))
+          .as("nrm"))
     val l = w.select(col("h"), col("doc_id").as("doc_a"), col("w").as("w_a"))
     val r = w.select(col("h"), col("doc_id").as("doc_b"), col("w").as("w_b"))
     val dots = l.join(r, "h")
@@ -66,8 +69,7 @@ object Tfidf {
       .groupBy("doc_a", "doc_b")
       .agg(sort_array(collect_list(struct(col("h"), col("p")))).as("ps"))
       .select(col("doc_a"), col("doc_b"),
-        aggregate(col("ps"), lit(0.0d),
-          (acc, x) => acc + x.getField("p")).as("dot"))
+        graft.functions.VectorFunctions.fieldSum(col("ps"), 1).as("dot"))
     dots
       .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("nrm_a")),
         "doc_a")

@@ -1062,7 +1062,7 @@ object LlmQueries {
     QueryDef.of("dedup_semantic", semanticDedupOracle) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.semanticDedup(emb, fixedCentroids(emb), threshold = 0.4,
-          loopParts = 1)
+          loopParts = 1, localPairsCap = 500000L)
         .orderBy("dropped_id", "kept_id")
     },
 
@@ -1080,10 +1080,14 @@ object LlmQueries {
         .select("doc_a", "doc_b")
       // loopParts PINNED (= what auto sizing picks at every driver SF —
       // the pair graph is a few thousand edges, far under one 50k-pair
-      // partition): the cluster loop's plan is byte-identical run-to-run
-      // and the auto path's pair-count sizing job is skipped. The 100 TB
-      // path keeps the default auto sizing.
-      val losers = Dedup.duplicateClusters(pairs, loopParts = 1)
+      // partition): the cluster loop's plan is byte-identical run-to-run.
+      // localPairsCap (r16): under the cap the components resolve via the
+      // driver-local union-find twin (bit-identical — see
+      // duplicateClusters' scaladoc), skipping the RDD loop's ~15
+      // scheduling-latency jobs; the 100 TB path falls back to the
+      // distributed loop above the cap.
+      val losers = Dedup.duplicateClusters(pairs, loopParts = 1,
+        localPairsCap = 500000L)
         .filter(col("doc_id") =!= col("cluster"))
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id")
@@ -1105,7 +1109,8 @@ object LlmQueries {
       val pairs = Dedup.minhashNgramJaccard(docs, k = 3, threshold = 0.5)
         .select("doc_a", "doc_b")
       // loopParts pinned — see dedup_survivors' rationale
-      val losers = Dedup.duplicateClusters(pairs, loopParts = 1)
+      val losers = Dedup.duplicateClusters(pairs, loopParts = 1,
+        localPairsCap = 500000L)
         .filter(col("doc_id") =!= col("cluster"))
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id")
@@ -1129,7 +1134,8 @@ object LlmQueries {
       val pairs = Dedup.nearDupAuto(docs, k = 3, threshold = 0.5).pairs
         .select("doc_a", "doc_b")
       // loopParts pinned — see dedup_survivors' rationale
-      val losers = Dedup.duplicateClusters(pairs, loopParts = 1)
+      val losers = Dedup.duplicateClusters(pairs, loopParts = 1,
+        localPairsCap = 500000L)
         .filter(col("doc_id") =!= col("cluster"))
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id")
@@ -1156,7 +1162,8 @@ object LlmQueries {
         maxShingleDf = 1000, hashShingles = true, prefixFilter = true)
         .select("doc_a", "doc_b")
       // loopParts pinned — see dedup_survivors' rationale
-      Dedup.duplicateClusters(pairs, loopParts = 1)
+      Dedup.duplicateClusters(pairs, loopParts = 1,
+        localPairsCap = 500000L)
         .groupBy("cluster").agg(count(lit(1)).as("size"))
         .groupBy("size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("size")
@@ -1229,7 +1236,7 @@ object LlmQueries {
       val batch = docs.filter(col("doc_id") % 5 === 0)
       // loopParts pinned — see dedup_survivors' rationale
       Dedup.incrementalNearDup(base, batch, k = 3, threshold = 0.5,
-          maxShingleDf = 1000, loopParts = 1)
+          maxShingleDf = 1000, loopParts = 1, localPairsCap = 500000L)
         .orderBy("doc_id")
     },
 
@@ -1270,7 +1277,8 @@ object LlmQueries {
         maxShingleDf = 1000, hashShingles = true, prefixFilter = true)
         .select("doc_a", "doc_b")
       // loopParts pinned — see dedup_survivors' rationale
-      val losers = Dedup.duplicateClusters(pairs, loopParts = 1)
+      val losers = Dedup.duplicateClusters(pairs, loopParts = 1,
+        localPairsCap = 500000L)
         .filter(col("doc_id") =!= col("cluster"))
         .select("doc_id").withColumn("is_dup", lit(1))
       docs.select("doc_id", "source")
@@ -3077,7 +3085,8 @@ object LlmQueries {
       val pairs = Dedup.phashPairs(media, idCol = "doc_id")
         .select("doc_a", "doc_b")
       // loopParts pinned — see dedup_survivors' rationale
-      val losers = Dedup.duplicateClusters(pairs, loopParts = 1)
+      val losers = Dedup.duplicateClusters(pairs, loopParts = 1,
+        localPairsCap = 500000L)
         .filter(col("doc_id") =!= col("cluster"))
       media.join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id")

@@ -2269,7 +2269,8 @@ object StarQueries {
         .select("doc_a", "doc_b")
       // loopParts pinned — the fuzzy graph is far under one 50k-pair
       // partition at every driver SF (see dedup_survivors' rationale)
-      Dedup.duplicateClusters(pairs, loopParts = 1)
+      Dedup.duplicateClusters(pairs, loopParts = 1,
+        localPairsCap = 500000L)
         .join(ids.select(col("nid").as("doc_id"), col("p_name").as("name")),
           "doc_id")
         .join(ids.select(col("nid").as("cluster"), col("p_name").as("canon")),
@@ -2786,7 +2787,7 @@ object StarQueries {
       // loopParts pinned: a few-thousand-pair graph at every driver SF
       // (the fuzzy_clusters/dedup_survivors convention)
       graft.operators.Graph.connectedComponents(pr, src = "s", dst = "d",
-          loopParts = 1)
+          loopParts = 1, localPairsCap = 500000L)
         .orderBy("node")
     },
 
@@ -2961,7 +2962,8 @@ object StarQueries {
     // idiom).
     QueryDef.of("graph_mst", mstOracle(6)) { (s, dir) =>
       graft.operators.Graph.boruvkaMst(
-          strongCoPurchaseWeightedPairs(s, dir), rounds = 6, loopParts = 1)
+          strongCoPurchaseWeightedPairs(s, dir), rounds = 6, loopParts = 1,
+          localMergeCap = 500000L)
         .orderBy("a", "b")
     },
 
@@ -2996,10 +2998,10 @@ object StarQueries {
       val base = pw.filter(pmod(col("a") + col("b"), lit(5)) =!= 0)
       val delta = pw.filter(pmod(col("a") + col("b"), lit(5)) === 0)
       val baseMst = graft.operators.Graph.boruvkaMst(base, rounds = 12,
-          loopParts = 1)
+          loopParts = 1, localMergeCap = 500000L)
         .select("a", "b", "w")
       graft.operators.Graph.boruvkaMst(baseMst.unionAll(delta), rounds = 12,
-          loopParts = 1)
+          loopParts = 1, localMergeCap = 500000L)
         .select("a", "b", "w")
         .orderBy("a", "b")
     },
@@ -3094,9 +3096,9 @@ object StarQueries {
       // loopParts pinned: a few-thousand-pair graph at every driver SF
       // (the graph_components convention, both loops)
       val baseComp = graft.operators.Graph.connectedComponents(base,
-        src = "s", dst = "d", loopParts = 1)
+        src = "s", dst = "d", loopParts = 1, localPairsCap = 500000L)
       graft.operators.Graph.componentsIncremental(baseComp, delta,
-          src = "s", dst = "d", loopParts = 1)
+          src = "s", dst = "d", loopParts = 1, localPairsCap = 500000L)
         .orderBy("node")
     },
 
@@ -3219,25 +3221,26 @@ object StarQueries {
         .filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct()
       // the graph_louvain2 composition verbatim (symmetric fast path at
-      // both levels), then the level-2 node partition through the same
-      // integer-sum total as graph_louvain_q
-      // e is scanned THREE times here (move, coarsen, mixing) — all
-      // three read the move loop's one checkpointed base, so the
-      // self-join runs exactly once and nothing is persisted twice
-      val (l1raw, base) = graft.operators.Graph.louvainMoveWithBase(e,
+      // both levels), then the level-2 partition's Q through
+      // modularityTotalFromCoarse (r16): the composed partition's mixing
+      // matrix is an exact long-sum regrouping of the level-1 mixing
+      // matrix — which IS the coarsen output already materialized here —
+      // so the Q row derives from the 2,777-row community graph instead
+      // of a second |E| mixing scan + the |V| label map-back join the
+      // old shape paid (bit-identical output; GraphSpec pins the law,
+      // the from-scratch oracle pins it driver-side)
+      // l1 is consumed ONCE now (coarsen — whose labeledMixing persists
+      // its own label copy), so the old query-level persist is gone with
+      // the map-back join; the loop already returns a materialized leaf
+      val (l1, base) = graft.operators.Graph.louvainMoveWithBase(e,
         iterations = 3, symmetric = true)
-      val l1 = graft.operators.Caches.persistTracked(l1raw)
       val g2 = graft.operators.Graph.coarsen(base.select("src", "dst"), l1)
       // driver-local level-2 move under the cap (the graph_louvain2
       // rationale) — bit-identical labels either path
       val l2 = graft.operators.Graph.louvainMoveWeighted(g2,
         iterations = 2, weight = "weight", symmetric = true,
         localEdgeCap = 1000000L)
-      val labels = l1.join(l2.select(col("node").as("label"),
-          col("label").as("label2")), "label")
-        .select(col("node"), col("label2").as("label"))
-      graft.operators.Graph.modularityTotal(
-        base.select("src", "dst"), labels)
+      graft.operators.Graph.modularityTotalFromCoarse(g2, l2)
     },
 
     // LOUVAIN AGGREGATION PHASE: the Louvain(3) partition collapsed to

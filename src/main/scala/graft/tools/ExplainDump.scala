@@ -20,7 +20,12 @@ import org.apache.spark.sql.execution.ExplainMode
   * still execute that part, so the dump can take seconds per query. */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, suffix, qcsv) = args.take(4)
+    if (args.length != 4) {
+      System.err.println(
+        "usage: ExplainDump <sfDir> <outDir> <suffix> <queryCsv|all>")
+      sys.exit(2)
+    }
+    val Array(sfDir, outDir, suffix, qcsv) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -291,6 +291,30 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("duplicateClusters localPairsCap: local union-find ≡ distributed loop") {
+    // the r16 driver-local fast path — same random-topology battery as
+    // the distributed law above, local vs distributed row multisets
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed + 100)
+      val n = 60
+      val edges = (1 to 70)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val dist = Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b"),
+          localPairsCap = 1000000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"seed $seed, edges: $edges")
+      // above the cap the distributed loop must still run (fallback)
+      val fallback = Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b"),
+          localPairsCap = 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fallback == dist, s"seed $seed fallback")
+    }
+    graft.operators.Caches.releaseAll()
+  }
+
   test("containmentPairs ≡ exact asymmetric reference on the planted corpus") {
     val local = docs.select("doc_id", "text").as[(Long, String)].collect()
     val expected = (for {

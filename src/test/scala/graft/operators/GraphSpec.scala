@@ -1336,6 +1336,61 @@ class GraphSpec extends SparkSpecBase {
     e.unpersist()
   }
 
+  test("modularityTotalFromCoarse ≡ modularityTotal over the composed labels (bitwise)") {
+    // the r16 louvain2_q rewire's law: Q of the two-level partition from
+    // the coarse graph equals Q from the node graph, bit for bit — on
+    // the REAL sf0.001 co-purchase graph in exactly the wired shape
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.select(col("ok"), col("pk").as("src"))
+      .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val (l1, base) = Graph.louvainMoveWithBase(e, iterations = 3,
+      symmetric = true)
+    val g2 = Graph.coarsen(base.select("src", "dst"), l1)
+    val l2 = Graph.louvainMoveWeighted(g2, iterations = 2,
+      weight = "weight", symmetric = true, localEdgeCap = 1000000L)
+    val composed = l1.join(l2.select(col("node").as("label"),
+        col("label").as("label2")), "label")
+      .select(col("node"), col("label2").as("label"))
+    val viaNode = Graph.modularityTotal(base.select("src", "dst"), composed)
+      .collect()(0)
+    val viaCoarse = Graph.modularityTotalFromCoarse(g2, l2).collect()(0)
+    assert(java.lang.Double.doubleToRawLongBits(viaNode.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(viaCoarse.getDouble(0)), "m")
+    assert(viaNode.getLong(1) == viaCoarse.getLong(1), "within_total")
+    assert(viaNode.getLong(2) == viaCoarse.getLong(2), "degree_product_sum")
+    assert(java.lang.Double.doubleToRawLongBits(viaNode.getDouble(3)) ==
+      java.lang.Double.doubleToRawLongBits(viaCoarse.getDouble(3)), "q")
+    Caches.releaseAll()
+  }
+
+  test("boruvkaMst localMergeCap: local contraction ≡ distributed (random graphs)") {
+    // the r16 driver-local union-find contraction — same forest, round
+    // tags included, with and without the cap; plus the fallback path
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 40)
+      val n = 40
+      val pairs = (1 to 70).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b), rnd.nextInt(50).toLong + 1L)
+      }.filter(p => p._1 != p._2).distinct
+      def run(cap: Long) = Graph.boruvkaMst(pairs.toDF("a", "b", "w"),
+          rounds = 7, loopParts = 1, localMergeCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val dist = run(0L)
+      Caches.releaseAll()
+      val local = run(1000000L)
+      Caches.releaseAll()
+      assert(local == dist, s"seed $seed")
+    }
+  }
+
   /** Plain-Scala replay of [[Graph.louvainMove]]'s exact semantics:
     * per-round community totals, per-(node, candidate) edge masses
     * (own community always a candidate), the directed Dugué–Perez gain
